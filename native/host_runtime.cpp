@@ -1,0 +1,70 @@
+// Native host runtime for spectralae: hot host-side frame path.
+//
+// TPU-native equivalent of the reference's C++ host layer: the per-frame
+// image<->tensor repacking the reference does with nested std::vectors
+// (netlib.cpp:37-77) and cv::resize (autoencoder.cpp:124).  These run on the
+// host every frame at video rate and feed jax.device_put; flat buffers +
+// tight loops keep the producer ahead of the device.
+//
+// C ABI (ctypes-bound from spectralae/data/native.py):
+//   sae_frame_to_tensor : uint8 [H,W,3] BGR -> float32 [3,W,H]   (0..255)
+//   sae_tensor_to_frame : float32 [3,W,H] -> uint8 [H,W,3], round+clamp
+//   sae_resize_nn       : uint8 [H,W,3] -> uint8 [oh,ow,3] nearest-neighbor
+//
+// Build: make -C native   (g++ -O3 -march=native -shared -fPIC)
+
+#include <cstdint>
+#include <cmath>
+#include <cstring>
+
+extern "C" {
+
+// uint8 HWC (BGR) frame -> channel-major float tensor [3][W][H].
+// Matches ImageToSpin_C (netlib.cpp:37-51): spin[c][i][j] = img(j, i)[c],
+// i over columns, values kept in 0..255.
+void sae_frame_to_tensor(const uint8_t* img, float* out, int h, int w) {
+  const int64_t plane = (int64_t)w * h;
+  for (int j = 0; j < h; ++j) {
+    const uint8_t* row = img + (int64_t)j * w * 3;
+    for (int i = 0; i < w; ++i) {
+      const int64_t t = (int64_t)i * h + j;
+      out[0 * plane + t] = (float)row[i * 3 + 0];
+      out[1 * plane + t] = (float)row[i * 3 + 1];
+      out[2 * plane + t] = (float)row[i * 3 + 2];
+    }
+  }
+}
+
+// float tensor [3][W][H] -> uint8 HWC frame with round + clamp [0,255].
+// Matches SpinToImage_C (netlib.cpp:54-77).
+void sae_tensor_to_frame(const float* spin, uint8_t* img, int h, int w) {
+  const int64_t plane = (int64_t)w * h;
+  for (int j = 0; j < h; ++j) {
+    uint8_t* row = img + (int64_t)j * w * 3;
+    for (int i = 0; i < w; ++i) {
+      const int64_t t = (int64_t)i * h + j;
+      for (int c = 0; c < 3; ++c) {
+        float v = std::nearbyint(spin[c * plane + t]);
+        v = v < 0.f ? 0.f : (v > 255.f ? 255.f : v);
+        row[i * 3 + c] = (uint8_t)v;
+      }
+    }
+  }
+}
+
+// Nearest-neighbor resize of an HWC uint8 frame (floor index mapping,
+// matching spectralae.data.pipeline.resize_nn).
+void sae_resize_nn(const uint8_t* img, uint8_t* out, int h, int w,
+                   int oh, int ow) {
+  for (int j = 0; j < oh; ++j) {
+    const int sj = (int)((int64_t)j * h / oh);
+    const uint8_t* srow = img + (int64_t)sj * w * 3;
+    uint8_t* drow = out + (int64_t)j * ow * 3;
+    for (int i = 0; i < ow; ++i) {
+      const int si = (int)((int64_t)i * w / ow);
+      std::memcpy(drow + i * 3, srow + si * 3, 3);
+    }
+  }
+}
+
+}  // extern "C"

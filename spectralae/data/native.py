@@ -1,0 +1,88 @@
+"""ctypes bindings to the C++ host runtime (libspectralae_host.so).
+
+The reference's performance-critical host path — frame repacking between
+OpenCV mats and channel-major float tensors (netlib.cpp:37-77), done every
+frame — is native C++ there; here the equivalent hot host loop (uint8 HWC ↔
+float32 CWH, NN resize, checkpoint IO) lives in ``native/host_runtime.cpp``,
+compiled to a shared library and bound via ctypes (no pybind11 in this
+image).  Falls back to numpy transparently when the library isn't built;
+build with ``make -C native`` or ``python -m spectralae.data.build_native``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+
+import numpy as np
+
+_LIB_NAMES = ("libspectralae_host.so",)
+_lib = None
+
+
+def _find_lib() -> ctypes.CDLL | None:
+    root = Path(__file__).resolve().parents[2]
+    candidates = [root / "native" / "build" / n for n in _LIB_NAMES]
+    candidates += [root / "native" / n for n in _LIB_NAMES]
+    env = os.environ.get("SPECTRALAE_NATIVE_LIB")
+    if env:
+        candidates.insert(0, Path(env))
+    for c in candidates:
+        if c.exists():
+            try:
+                lib = ctypes.CDLL(str(c))
+            except OSError:
+                continue
+            _bind(lib)
+            return lib
+    return None
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    f32 = ctypes.POINTER(ctypes.c_float)
+    lib.sae_frame_to_tensor.argtypes = [u8, f32, ctypes.c_int, ctypes.c_int]
+    lib.sae_frame_to_tensor.restype = None
+    lib.sae_tensor_to_frame.argtypes = [f32, u8, ctypes.c_int, ctypes.c_int]
+    lib.sae_tensor_to_frame.restype = None
+    lib.sae_resize_nn.argtypes = [u8, u8, ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_int, ctypes.c_int]
+    lib.sae_resize_nn.restype = None
+
+
+def available() -> bool:
+    global _lib
+    if _lib is None:
+        _lib = _find_lib()
+    return _lib is not None
+
+
+def frame_to_tensor(img: np.ndarray) -> np.ndarray:
+    h, w = img.shape[:2]
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    out = np.empty((3, w, h), np.float32)
+    _lib.sae_frame_to_tensor(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), h, w)
+    return out
+
+
+def tensor_to_frame(spin: np.ndarray) -> np.ndarray:
+    _, w, h = spin.shape
+    spin = np.ascontiguousarray(spin, dtype=np.float32)
+    out = np.empty((h, w, 3), np.uint8)
+    _lib.sae_tensor_to_frame(
+        spin.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w)
+    return out
+
+
+def resize_nn(img: np.ndarray, nx: int, ny: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    out = np.empty((ny, nx, 3), np.uint8)
+    _lib.sae_resize_nn(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, ny, nx)
+    return out

@@ -1,0 +1,181 @@
+"""Host input pipeline: frame sources, codecs, and device prefetch.
+
+Replaces the reference's OpenCV camera loop (source/autoencoder.cpp:54,
+123-125): a frame source produces uint8 HWC frames; the codec converts them
+to the reference's channel-major float tensor layout; a double-buffered
+prefetcher overlaps host preprocessing with device compute via
+``jax.device_put``.
+
+Codec parity: ``ImageToSpin_C`` (netlib.cpp:37-51) indexes ``spin[c][i][j] =
+img.at(j, i)[c]`` — the tensor's first spatial axis is the image *column*
+(i over Nx = img.cols), and values stay in 0..255 (no /255, netlib.cpp:46).
+When the C++ native codec (spectralae.data.native) is built it transparently
+replaces the numpy path for the hot conversions.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator
+
+import numpy as np
+import jax
+
+try:
+    from . import native as _native
+except Exception:  # pragma: no cover - native lib optional
+    _native = None
+
+
+# --------------------------------------------------------------------- codecs
+
+def frame_to_tensor(img: np.ndarray) -> np.ndarray:
+    """uint8 ``[H, W, 3]`` (BGR) → float32 ``[3, W, H]`` in 0..255.
+
+    Reference: ``ImageToSpin_C`` netlib.cpp:37-51 (note the j,i transpose —
+    the spin tensor is column-major in the image sense)."""
+    if _native is not None and _native.available():
+        return _native.frame_to_tensor(img)
+    return np.ascontiguousarray(
+        img.astype(np.float32).transpose(2, 1, 0))
+
+
+def tensor_to_frame(spin: np.ndarray) -> np.ndarray:
+    """float32 ``[3, W, H]`` → uint8 ``[H, W, 3]`` with round + clamp to
+    [0, 255] (reference: ``SpinToImage_C`` netlib.cpp:54-77)."""
+    if _native is not None and _native.available():
+        return _native.tensor_to_frame(spin)
+    img = np.clip(np.round(spin.transpose(2, 1, 0)), 0, 255)
+    return img.astype(np.uint8)
+
+
+def feature_to_image(fmap: np.ndarray) -> np.ndarray:
+    """Feature map ``[W, H]`` → uint8 grayscale, *unclamped* truncating cast
+    (reference: ``SpinToImage_V`` netlib.cpp:80-94 — overflow wraps, a quirk
+    kept for display parity)."""
+    return fmap.T.astype(np.int64).astype(np.uint8)
+
+
+def kernel_to_image(k: np.ndarray) -> np.ndarray:
+    """Kernel ``[Nk, Nl]`` → uint8 centered at 128 with ×100 gain
+    (reference: ``SpinToImage_K`` netlib.cpp:97-111, including its
+    sign-fold quirk ``128 - intens`` for negatives)."""
+    intens = (100 * k.T).astype(np.int64)
+    out = np.where(intens > 0, intens + 128, 128 - intens)
+    return out.astype(np.uint8)
+
+
+# -------------------------------------------------------------- frame sources
+
+def synthetic_frames(nx: int, ny: int, *, seed: int = 0,
+                     kind: str = "drift") -> Iterator[np.ndarray]:
+    """Deterministic synthetic video: smooth drifting pattern, camera-like.
+
+    Stands in for the live camera in tests/benchmarks; uint8 HWC frames."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    phase = rng.uniform(0, 2 * np.pi, size=3)
+    freq = rng.uniform(0.02, 0.1, size=(3, 2))
+    t = 0
+    while True:
+        chans = []
+        for c in range(3):
+            z = 127.5 + 127.5 * np.sin(
+                freq[c, 0] * xx + freq[c, 1] * yy + phase[c] + 0.1 * t)
+            chans.append(z)
+        yield np.stack(chans, axis=-1).astype(np.uint8)
+        t += 1
+
+
+def npy_video(path: str) -> Iterator[np.ndarray]:
+    """Frames from a ``.npy``/``.npz`` array of shape [T, H, W, 3] uint8."""
+    arr = np.load(path)
+    if hasattr(arr, "files"):
+        arr = arr[arr.files[0]]
+    for frame in arr:
+        yield np.asarray(frame, dtype=np.uint8)
+
+
+def camera_frames(index: int = 0) -> Iterator[np.ndarray]:
+    """Live camera via OpenCV when available (reference A2)."""
+    try:
+        import cv2
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "camera source requires opencv-python; use synthetic_frames or "
+            "npy_video instead") from e
+    cam = cv2.VideoCapture(index)
+    while True:
+        ok, frame = cam.read()
+        if not ok:
+            break
+        yield frame
+
+
+def resize_nn(img: np.ndarray, nx: int, ny: int) -> np.ndarray:
+    """Nearest-neighbor resize of an HWC frame to (ny, nx) — stands in for
+    the reference's cv::resize (autoencoder.cpp:124)."""
+    h, w = img.shape[:2]
+    ri = (np.arange(ny) * h // ny)
+    ci = (np.arange(nx) * w // nx)
+    return img[ri][:, ci]
+
+
+# ----------------------------------------------------------------- prefetcher
+
+class DevicePrefetcher:
+    """Double-buffered host→device pipeline.
+
+    A worker thread pulls frames, converts and batches them, and eagerly
+    ``device_put``s the next batch while the device computes on the current
+    one — hiding the host↔device copy the reference pays synchronously every
+    frame (SURVEY.md §3.2 boundaries)."""
+
+    def __init__(self, source: Iterator[np.ndarray], nx: int, ny: int,
+                 batch: int = 1, depth: int = 2,
+                 sharding=None):
+        self._source = source
+        self._nx, self._ny, self._batch = nx, ny, batch
+        self._sharding = sharding
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._work, daemon=True)
+        self._thread.start()
+
+    def _make_batch(self) -> np.ndarray | None:
+        frames = []
+        for _ in range(self._batch):
+            try:
+                f = next(self._source)
+            except StopIteration:
+                return None
+            f = resize_nn(f, self._nx, self._ny)
+            frames.append(frame_to_tensor(f))
+        return np.stack(frames)
+
+    def _work(self):
+        while not self._stop.is_set():
+            batch = self._make_batch()
+            if batch is None:
+                self._q.put(None)
+                return
+            arr = jax.device_put(batch, self._sharding)
+            self._q.put(arr)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is None:
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass

@@ -1,0 +1,96 @@
+"""Device mesh + sharding layer: SPMD data/model parallelism.
+
+The reference is strictly single-device (SURVEY.md §2.9 — no DP/TP/PP, no
+communication backend).  These are *new* first-class components, built the
+TPU way: a ``jax.sharding.Mesh`` with named axes, ``NamedSharding``
+annotations on the batch and (optionally) the feature dimension of kernels,
+and XLA-inserted collectives over ICI.  No hand-written communication layer.
+
+Axes:
+  - ``data``:  batch dimension of frames (DP; gradients psum-reduced by XLA).
+  - ``model``: the M (feature-map) dimension of the spectral pointwise conv
+    (TP; the Σ_d contraction shards over m with an all-gather-free layout,
+    and the decoder-side contraction over m becomes a reduce-scatter/psum,
+    all chosen by the partitioner).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.types import AEParams, ConvStage, OptState
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1,
+              devices: Sequence[jax.Device] | None = None) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Frames sharded over the data axis: ``[B, D, H, W]`` → B split."""
+    return NamedSharding(mesh, P("data", None, None, None))
+
+
+def stage_sharding(mesh: Mesh, stage: ConvStage) -> ConvStage:
+    """Shard a stage's kernels over the model axis on M when it divides."""
+    n_model = mesh.shape["model"]
+    if n_model > 1 and stage.c.shape[0] % n_model == 0:
+        c_s = NamedSharding(mesh, P("model", None, None, None))
+        b_s = NamedSharding(mesh, P("model"))
+    else:
+        c_s = NamedSharding(mesh, P())
+        b_s = NamedSharding(mesh, P())
+    return ConvStage(c=jax.device_put(stage.c, c_s),
+                     b=jax.device_put(stage.b, b_s))
+
+
+def shard_params(params: AEParams, mesh: Mesh) -> AEParams:
+    """Place parameters on the mesh (replicated over data, M-sharded over
+    model where divisible)."""
+    return AEParams(stages=tuple(stage_sharding(mesh, s)
+                                 for s in params.stages))
+
+
+def shard_opt_state(opt: OptState, params: AEParams, mesh: Mesh) -> OptState:
+    shardings = jax.tree.map(lambda t: t.sharding, shard_params(params, mesh))
+    return OptState(
+        mom=jax.tree.map(jax.device_put, opt.mom, shardings),
+        prev_grad=jax.tree.map(jax.device_put, opt.prev_grad, shardings))
+
+
+def shard_batch(x: jax.Array | np.ndarray, mesh: Mesh) -> jax.Array:
+    return jax.device_put(x, batch_sharding(mesh))
+
+
+def distributed_train_step(mesh: Mesh):
+    """Return a jitted DP/TP train step bound to ``mesh``.
+
+    Gradients reduce over 'data' and activations/kernels shard over 'model'
+    purely through sharding propagation — XLA inserts the psum/all-gather
+    collectives over ICI (SURVEY.md §5.8).
+    """
+    from ..train.modern import train_step
+
+    @functools.partial(jax.jit,
+                       static_argnames=("scales", "domain", "tap_mode",
+                                        "scale_by_dm", "train_pair", "active"))
+    def step(params, opt, x, scales, *, lr=0.2, alpha=0.9, domain="fft",
+             tap_mode="centered", scale_by_dm=True, train_pair=-1,
+             active=False):
+        x = jax.lax.with_sharding_constraint(x, batch_sharding(mesh))
+        return train_step(params, opt, x, scales, lr=lr, alpha=alpha,
+                          domain=domain, tap_mode=tap_mode,
+                          scale_by_dm=scale_by_dm, train_pair=train_pair,
+                          active=active)
+
+    return step

@@ -1,0 +1,160 @@
+"""Checkpointing: pytree save/load + reference ``.conv`` interchange shim.
+
+Native format: a directory with a JSON manifest (shapes, dtypes, scales,
+config) + one ``.npz`` of all arrays — unlike the reference, shape metadata
+travels with the payload, so mismatched loads fail loudly instead of
+silently corrupting (cf. SURVEY.md §2.7).
+
+``.conv`` shim: byte-compatible with the reference's per-stage raw-float32
+files (``SaveLoad_conv``/``SaveLoad_vec``, source/netlib.cpp:200-272) —
+filename ``C_weights_{L}{_in|_out}_D=…_M=…_Lk=…_Ll=…_S=….conv``, payload
+all kernel weights in (m,d,k,l) row-major order followed by the M biases.
+Validates parity with reference-produced checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.config import half_extent
+from ..core.types import AEParams, ConvStage, NetSpec, OptState, StageSpec
+
+FORMAT_VERSION = 1
+
+
+# --------------------------------------------------------------- native pytree
+
+def save(path: str | Path, params: AEParams, spec: NetSpec,
+         opt: OptState | None = None, extra: dict | None = None) -> None:
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    arrays: dict[str, np.ndarray] = {}
+    for i, st in enumerate(params.stages):
+        arrays[f"stage{i}/c"] = np.asarray(st.c)
+        arrays[f"stage{i}/b"] = np.asarray(st.b)
+    if opt is not None:
+        for i, st in enumerate(opt.mom.stages):
+            arrays[f"mom{i}/c"] = np.asarray(st.c)
+            arrays[f"mom{i}/b"] = np.asarray(st.b)
+        for i, st in enumerate(opt.prev_grad.stages):
+            arrays[f"pg{i}/c"] = np.asarray(st.c)
+            arrays[f"pg{i}/b"] = np.asarray(st.b)
+    np.savez(path / "arrays.npz", **arrays)
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "n_stages": len(params.stages),
+        "has_opt": opt is not None,
+        "spec": {
+            "nx": spec.nx, "ny": spec.ny, "d": spec.d,
+            "stages": [dataclasses.asdict(s) for s in spec.stages],
+        },
+        "shapes": {k: list(v.shape) for k, v in arrays.items()},
+        "dtypes": {k: str(v.dtype) for k, v in arrays.items()},
+        "extra": extra or {},
+    }
+    (path / "manifest.json").write_text(json.dumps(manifest, indent=2))
+
+
+def load(path: str | Path):
+    """Returns (params, spec, opt_or_None, extra)."""
+    path = Path(path)
+    manifest = json.loads((path / "manifest.json").read_text())
+    if manifest["format_version"] != FORMAT_VERSION:
+        raise ValueError(f"unsupported checkpoint version "
+                         f"{manifest['format_version']}")
+    data = np.load(path / "arrays.npz")
+    for k, shape in manifest["shapes"].items():
+        if list(data[k].shape) != shape:
+            raise ValueError(f"shape mismatch for {k}: "
+                             f"{data[k].shape} != {shape}")
+    n = manifest["n_stages"]
+    params = AEParams(stages=tuple(
+        ConvStage(c=jnp.asarray(data[f"stage{i}/c"]),
+                  b=jnp.asarray(data[f"stage{i}/b"])) for i in range(n)))
+    opt = None
+    if manifest["has_opt"]:
+        opt = OptState(
+            mom=AEParams(stages=tuple(
+                ConvStage(c=jnp.asarray(data[f"mom{i}/c"]),
+                          b=jnp.asarray(data[f"mom{i}/b"]))
+                for i in range(n))),
+            prev_grad=AEParams(stages=tuple(
+                ConvStage(c=jnp.asarray(data[f"pg{i}/c"]),
+                          b=jnp.asarray(data[f"pg{i}/b"]))
+                for i in range(n))))
+    sm = manifest["spec"]
+    spec = NetSpec(nx=sm["nx"], ny=sm["ny"], d=sm["d"],
+                   stages=tuple(StageSpec(**s) for s in sm["stages"]))
+    return params, spec, opt, manifest.get("extra", {})
+
+
+# ------------------------------------------------------------------ .conv shim
+
+def conv_filename(level: int, io: int, d: int, m: int, nk: int, nl: int,
+                  scale: int) -> str:
+    """The reference's shape-in-the-filename scheme (netlib.cpp:230-234)."""
+    inout = "_in" if io == 0 else "_out"
+    return (f"C_weights_{level}{inout}_D={d}_M={m}"
+            f"_Lk={half_extent(nk)}_Ll={half_extent(nl)}_S={scale}.conv")
+
+
+def export_conv(stage: ConvStage, path: str | Path) -> None:
+    """Write one stage in reference binary layout (netlib.cpp:236-253)."""
+    c = np.asarray(stage.c, dtype=np.float32)
+    b = np.asarray(stage.b, dtype=np.float32)
+    with open(path, "wb") as fh:
+        fh.write(c.tobytes())   # (m,d,k,l) row-major == reference flattening
+        fh.write(b.tobytes())
+
+
+def import_conv(path: str | Path, m: int, d: int, nk: int, nl: int) -> ConvStage:
+    """Read one reference-format stage file (netlib.cpp:254-271).
+
+    Shapes come from the caller (in the reference, from the filename)."""
+    raw = np.fromfile(path, dtype="<f4")
+    want = m * d * nk * nl + m
+    if raw.size != want:
+        raise ValueError(f"{path}: expected {want} floats, got {raw.size}")
+    c = raw[: m * d * nk * nl].reshape(m, d, nk, nl)
+    b = raw[m * d * nk * nl:]
+    return ConvStage(c=jnp.asarray(c), b=jnp.asarray(b))
+
+
+def save_pair_conv(params: AEParams, spec: NetSpec, n_l: int,
+                   weights_dir: str | Path) -> tuple[Path, Path]:
+    """'s' key semantics: save the selected stage pair
+    (source/autoencoder.cpp:358-369)."""
+    weights_dir = Path(weights_dir)
+    weights_dir.mkdir(parents=True, exist_ok=True)
+    n = len(params.stages)
+    enc, dec = params.pair(n_l)
+    enc_spec, dec_spec = spec.stages[n_l], spec.stages[n - 1 - n_l]
+    p_enc = weights_dir / conv_filename(n_l, 0, enc.d, enc.m, enc.nk, enc.nl,
+                                        enc_spec.scale)
+    p_dec = weights_dir / conv_filename(n_l, 1, dec.d, dec.m, dec.nk, dec.nl,
+                                        dec_spec.scale)
+    export_conv(enc, p_enc)
+    export_conv(dec, p_dec)
+    return p_enc, p_dec
+
+
+def load_pair_conv(params: AEParams, spec: NetSpec, n_l: int,
+                   weights_dir: str | Path) -> AEParams:
+    """'l' key semantics: load the selected stage pair
+    (source/autoencoder.cpp:370-383)."""
+    weights_dir = Path(weights_dir)
+    n = len(params.stages)
+    enc, dec = params.pair(n_l)
+    enc_spec, dec_spec = spec.stages[n_l], spec.stages[n - 1 - n_l]
+    p_enc = weights_dir / conv_filename(n_l, 0, enc.d, enc.m, enc.nk, enc.nl,
+                                        enc_spec.scale)
+    p_dec = weights_dir / conv_filename(n_l, 1, dec.d, dec.m, dec.nk, dec.nl,
+                                        dec_spec.scale)
+    new_enc = import_conv(p_enc, enc.m, enc.d, enc.nk, enc.nl)
+    new_dec = import_conv(p_dec, dec.m, dec.d, dec.nk, dec.nl)
+    return params.replace_pair(n_l, new_enc, new_dec)

@@ -76,14 +76,14 @@ def max_pool(x: jax.Array, scale: int) -> jax.Array:
     """Max-pool over ``scale×scale`` blocks, implicitly clamped at zero.
 
     The reference initializes the block max to 0 (netlib.cpp:127), so the
-    result is ``max(0, block max)`` — reproduced via ``init_value=0``.
+    result is ``max(0, block max)`` — a standard max-pool (which XLA
+    recognizes for autodiff) clamped at zero.
     Reference: ``Pool`` with scale>0, netlib.cpp:117-140.
     """
-    return lax.reduce_window(
-        x, jnp.array(0.0, x.dtype), lax.max,
-        window_dimensions=(1, 1, scale, scale),
-        window_strides=(1, 1, scale, scale),
-        padding="VALID")
+    b, c, h, w = x.shape
+    blocks = x.reshape(b, c, h // scale, scale, w // scale, scale)
+    pooled = jnp.max(blocks, axis=(3, 5))
+    return jnp.maximum(pooled, jnp.array(0.0, x.dtype))
 
 
 def nn_upsample(x: jax.Array, scale: int) -> jax.Array:

@@ -1,0 +1,79 @@
+"""Batched whole-network training — the production path.
+
+The reference trains one stage pair at a time on a single frame.  This path
+generalizes to: batched frames, all stages trained jointly (or a selected
+pair via ``train_pair``), gradients by autodiff through the full forward in
+either domain, and the reference's normalized-gradient inertia optimizer.
+It is the unit the distribution layer shards over the TPU mesh
+(:mod:`spectralae.dist.mesh`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import AEParams, OptState
+from ..model import autoencoder as model
+from ..optim.update import tree_update
+
+
+class TrainStepResult(NamedTuple):
+    params: AEParams
+    opt: OptState
+    loss: jax.Array
+
+
+def reconstruction_loss(params: AEParams, x: jax.Array, scales, *,
+                        domain: str = "fft", tap_mode: str = "centered",
+                        scale_by_dm: bool = True) -> jax.Array:
+    """½·mean squared reconstruction error over the batch."""
+    if domain == "fft":
+        out = model.forward_fft(params, x, scales, scale_by_dm=scale_by_dm)
+    else:
+        out = model.forward_coord(params, x, scales, tap_mode=tap_mode,
+                                  scale_by_dm=scale_by_dm)[-1]
+    return 0.5 * jnp.mean((out - x) ** 2)
+
+
+def _mask_grads(grads: AEParams, params: AEParams, train_pair: int) -> AEParams:
+    """Zero gradients of all but the selected encoder/decoder stage pair —
+    the reference's per-layer training focus (autoencoder.cpp:161-201)."""
+    n = params.n_stages
+    stages = []
+    for i, g in enumerate(grads.stages):
+        keep = i == train_pair or i == n - 1 - train_pair
+        stages.append(jax.tree.map(lambda t: t if keep else jnp.zeros_like(t), g)
+                      if not keep else g)
+    return AEParams(stages=tuple(stages))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scales", "domain", "tap_mode", "scale_by_dm",
+                     "train_pair", "active"))
+def train_step(params: AEParams, opt: OptState, x: jax.Array,
+               scales: tuple, *, lr: float = 0.2, alpha: float = 0.9,
+               domain: str = "fft", tap_mode: str = "centered",
+               scale_by_dm: bool = True, train_pair: int = -1,
+               active: bool = False) -> TrainStepResult:
+    """One batched train step.
+
+    Args:
+      x: ``[B, D, Nx, Ny]`` batch of frames.
+      scales: static per-stage pooling scales (NetSpec.scales).
+      train_pair: ``-1`` trains all stages; ``n`` trains only pair ``n``.
+    """
+    loss, grads = jax.value_and_grad(reconstruction_loss)(
+        params, x, scales, domain=domain, tap_mode=tap_mode,
+        scale_by_dm=scale_by_dm)
+    if train_pair >= 0:
+        grads = _mask_grads(grads, params, train_pair)
+    new_params, new_mom, new_pg = tree_update(
+        params, grads, opt.mom, opt.prev_grad, lr, alpha, active=active)
+    return TrainStepResult(params=new_params,
+                           opt=OptState(mom=new_mom, prev_grad=new_pg),
+                           loss=loss)

@@ -1,0 +1,123 @@
+"""Checkpoint round-trips, .conv shim parity, data pipeline and codecs."""
+
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+
+from spectralae.core.config import Config, LayerParams
+from spectralae.core.types import initial_spec, init_params, init_opt_state
+from spectralae.io import checkpoint as ckpt
+from spectralae.data import pipeline
+
+
+def setup(nx=16, d=3, m=4):
+    cfg = Config(nx=nx, ny=nx, d=d,
+                 layer=LayerParams(depth=m, lk=0, ll=0, scale=2, rmax=0.5))
+    spec = initial_spec(cfg)
+    params = init_params(jax.random.key(0), spec, 0.5)
+    return cfg, spec, params
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg, spec, params = setup()
+    opt = init_opt_state(params)
+    ckpt.save(tmp_path / "ck", params, spec, opt, extra={"step": 7})
+    p2, spec2, opt2, extra = ckpt.load(tmp_path / "ck")
+    assert extra["step"] == 7
+    assert spec2 == spec
+    for a, b in zip(params.stages, p2.stages):
+        np.testing.assert_array_equal(np.asarray(a.c), np.asarray(b.c))
+        np.testing.assert_array_equal(np.asarray(a.b), np.asarray(b.b))
+    for a, b in zip(opt.mom.stages, opt2.mom.stages):
+        np.testing.assert_array_equal(np.asarray(a.c), np.asarray(b.c))
+
+
+def test_checkpoint_shape_mismatch_fails_loudly(tmp_path):
+    cfg, spec, params = setup()
+    ckpt.save(tmp_path / "ck", params, spec)
+    import json
+    man = json.loads((tmp_path / "ck" / "manifest.json").read_text())
+    man["shapes"]["stage0/c"] = [1, 2, 3, 4]
+    (tmp_path / "ck" / "manifest.json").write_text(json.dumps(man))
+    with pytest.raises(ValueError, match="shape mismatch"):
+        ckpt.load(tmp_path / "ck")
+
+
+def test_conv_shim_reference_layout(tmp_path):
+    """The .conv payload is (m,d,k,l) row-major floats then M biases —
+    byte-for-byte the reference's SaveLoad_conv (netlib.cpp:236-253)."""
+    cfg, spec, params = setup()
+    pe, pd = ckpt.save_pair_conv(params, spec, 0, tmp_path)
+    assert pe.name == "C_weights_0_in_D=3_M=4_Lk=0_Ll=0_S=2.conv"
+    # decoder files carry the signed (negative) scale — reference passes
+    # scale[N-n_l] directly (autoencoder.cpp:362)
+    assert pd.name == "C_weights_0_out_D=4_M=3_Lk=0_Ll=0_S=-2.conv"
+    enc = params.stages[0]
+    raw = np.fromfile(pe, dtype="<f4")
+    m, d, nk, nl = enc.c.shape
+    np.testing.assert_array_equal(raw[: m * d * nk * nl],
+                                  np.asarray(enc.c).ravel())
+    np.testing.assert_array_equal(raw[m * d * nk * nl:], np.asarray(enc.b))
+    # round-trip load restores the pair
+    blank = init_params(jax.random.key(9), spec, 0.0)
+    loaded = ckpt.load_pair_conv(blank, spec, 0, tmp_path)
+    np.testing.assert_array_equal(np.asarray(loaded.stages[0].c),
+                                  np.asarray(enc.c))
+
+
+def test_synthetic_source_and_codecs():
+    src = pipeline.synthetic_frames(16, 16, seed=0)
+    f = next(src)
+    assert f.shape == (16, 16, 3) and f.dtype == np.uint8
+    t = pipeline.frame_to_tensor(f)
+    assert t.shape == (3, 16, 16) and t.dtype == np.float32
+    # codec round trip is exact for uint8-representable values
+    back = pipeline.tensor_to_frame(t)
+    np.testing.assert_array_equal(back, f)
+
+
+def test_feature_and_kernel_images():
+    fmap = np.array([[1.7, -2.0], [300.0, 0.0]], np.float32)
+    img = pipeline.feature_to_image(fmap)
+    assert img.dtype == np.uint8
+    assert img[0, 0] == 1 and img[0, 1] == 44  # 300 wraps (quirk parity)
+    k = np.array([[0.5, -0.5]], np.float32)
+    kimg = pipeline.kernel_to_image(k)
+    assert kimg[0, 0] == 178 and kimg[1, 0] == 178
+
+
+def test_prefetcher_batches_and_stops():
+    src = iter([np.zeros((8, 8, 3), np.uint8)] * 6)
+    pf = pipeline.DevicePrefetcher(src, nx=8, ny=8, batch=2)
+    batches = list(pf)
+    assert len(batches) == 3
+    assert batches[0].shape == (2, 3, 8, 8)
+    pf.close()
+
+
+def test_native_codec_parity_when_built():
+    from spectralae.data import native
+    root = Path(__file__).resolve().parents[1]
+    if not native.available():
+        r = subprocess.run(["make", "-C", str(root / "native")],
+                           capture_output=True)
+        if r.returncode != 0:
+            pytest.skip("native toolchain unavailable")
+        native._lib = None
+    if not native.available():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(20, 24, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        native.frame_to_tensor(img),
+        img.astype(np.float32).transpose(2, 1, 0))
+    spin = rng.normal(128, 90, size=(3, 24, 20)).astype(np.float32)
+    np.testing.assert_array_equal(
+        native.tensor_to_frame(spin),
+        np.clip(np.round(spin.transpose(2, 1, 0)), 0, 255).astype(np.uint8))
+    np.testing.assert_array_equal(native.resize_nn(img, 12, 10),
+                                  pipeline.resize_nn(img, 12, 10))

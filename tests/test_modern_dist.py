@@ -1,0 +1,93 @@
+"""Batched training + multi-device mesh sharding (8 virtual CPU devices)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spectralae.core.config import Config, LayerParams
+from spectralae.core.types import (initial_spec, init_params, init_opt_state)
+from spectralae.train.modern import train_step
+from spectralae.dist import mesh as dist
+
+
+def setup(nx=16, d=2, m=4, scale=2, lk=0, seed=0):
+    cfg = Config(nx=nx, ny=nx, d=d,
+                 layer=LayerParams(depth=m, lk=lk, ll=lk, scale=scale, rmax=0.5))
+    spec = initial_spec(cfg)
+    params = init_params(jax.random.key(seed), spec, cfg.layer.rmax)
+    return cfg, spec, params
+
+
+@pytest.mark.parametrize("domain", ["fft", "coord"])
+def test_train_step_decreases_loss(domain):
+    cfg, spec, params = setup()
+    opt = init_opt_state(params)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(4, cfg.d, cfg.nx, cfg.ny)).astype(np.float32)) * 20
+    losses = []
+    for _ in range(40):
+        res = train_step(params, opt, x, spec.scales, lr=0.5, domain=domain)
+        params, opt = res.params, res.opt
+        losses.append(float(res.loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, (losses[0], losses[-1])
+
+
+def test_train_pair_masks_other_stages():
+    """train_pair=1 must leave the outer stage pair untouched."""
+    import dataclasses
+    from spectralae.core.types import init_params
+    cfg, spec, params = setup(m=4)
+    spec2 = spec.add_pair(dataclasses.replace(cfg.layer, depth=6))
+    assert spec2.n_pairs == 2
+    params = init_params(jax.random.key(7), spec2, 0.5)
+    opt = init_opt_state(params)
+    x = jnp.asarray(np.random.default_rng(2).normal(
+        size=(2, cfg.d, cfg.nx, cfg.ny)).astype(np.float32)) * 20
+    res = train_step(params, opt, x, spec2.scales, lr=0.5, domain="fft",
+                     train_pair=1)
+    np.testing.assert_array_equal(np.asarray(res.params.stages[0].c),
+                                  np.asarray(params.stages[0].c))
+    np.testing.assert_array_equal(np.asarray(res.params.stages[3].c),
+                                  np.asarray(params.stages[3].c))
+    assert not np.array_equal(np.asarray(res.params.stages[1].c),
+                              np.asarray(params.stages[1].c))
+    assert not np.array_equal(np.asarray(res.params.stages[2].c),
+                              np.asarray(params.stages[2].c))
+
+
+def test_distributed_train_step_8_devices():
+    assert len(jax.devices()) == 8
+    cfg, spec, params = setup(m=4)
+    m = dist.make_mesh(n_data=4, n_model=2)
+    params = dist.shard_params(params, m)
+    opt = dist.shard_opt_state(init_opt_state(params), params, m)
+    x = np.random.default_rng(1).normal(
+        size=(8, cfg.d, cfg.nx, cfg.ny)).astype(np.float32) * 20
+    xb = dist.shard_batch(x, m)
+    step = dist.distributed_train_step(m)
+    loss0 = None
+    for i in range(10):
+        res = step(params, opt, xb, spec.scales, lr=0.5, domain="fft")
+        params, opt = res.params, res.opt
+        if i == 0:
+            loss0 = float(res.loss)
+    assert float(res.loss) < loss0
+    # DP+TP result equals single-device result
+    cfg2, spec2, params2 = setup(m=4)
+    opt2 = init_opt_state(params2)
+    for _ in range(10):
+        r2 = train_step(params2, opt2, jnp.asarray(x), spec2.scales,
+                        lr=0.5, domain="fft")
+        params2, opt2 = r2.params, r2.opt
+    np.testing.assert_allclose(float(res.loss), float(r2.loss),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_data_parallel_batch_is_sharded():
+    m = dist.make_mesh(n_data=8, n_model=1)
+    x = np.ones((16, 3, 8, 8), np.float32)
+    xb = dist.shard_batch(x, m)
+    assert len(xb.sharding.device_set) == 8
