@@ -1,0 +1,180 @@
+"""Command-line interface: run / train / bench / info / export.
+
+The reference's interactive OpenCV app becomes:
+  - ``spectralae run``   — the live loop on a frame source, with the 20
+    keyboard commands read from stdin (works headless; views dumped as PNGs).
+  - ``spectralae train`` — headless batched training (modern path) with
+    checkpointing and JSONL metrics.
+  - ``spectralae info``  — print the network structure ('i' key).
+  - ``spectralae bench`` — the benchmark harness.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--nx", type=int, default=256)
+    p.add_argument("--ny", type=int, default=256)
+    p.add_argument("--depth", type=int, default=3,
+                   help="input channels (D)")
+    p.add_argument("--param-file", type=str, default=None,
+                   help="reference-format New_Layer_Param.txt")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--layers", type=int, default=1,
+                   help="number of conv stage pairs")
+
+
+def _make_engine(args):
+    from ..core.config import Config
+    from ..model.engine import Engine
+    cfg = Config(nx=args.nx, ny=args.ny, d=args.depth)
+    eng = Engine(cfg, seed=args.seed, param_file=args.param_file)
+    for _ in range(args.layers - 1):
+        eng.add_layer()
+    eng.flags.n_l = 0
+    return eng
+
+
+def _source(args):
+    from ..data import pipeline
+    if args.source == "synthetic":
+        return pipeline.synthetic_frames(args.nx, args.ny, seed=args.seed)
+    if args.source == "camera":
+        return pipeline.camera_frames()
+    return pipeline.npy_video(args.source)
+
+
+def cmd_run(args):
+    from ..data import pipeline
+    from ..model.engine import dispatch_key
+    from ..viz.png import write_png
+    eng = _make_engine(args)
+    src = _source(args)
+    outdir = Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    print("commands: same keys as the reference (1..9,0,f,g,q,w,m,z,x,e,c,"
+          "p,s,l,n,d,i; Esc/Q quits); enter to step", flush=True)
+    for i in range(args.frames):
+        frame = next(src)
+        x = pipeline.frame_to_tensor(pipeline.resize_nn(frame, args.nx, args.ny))
+        t0 = time.perf_counter()
+        eng.step(x)
+        dt = time.perf_counter() - t0
+        if eng.last_mse is not None:
+            print(f"frame {i}: {dt*1e3:.1f} ms  mse: {eng.last_mse:.6g}",
+                  flush=True)
+        if args.dump_every and i % args.dump_every == 0:
+            for name, img in eng.current_views().items():
+                write_png(outdir / f"{name}_{i:05d}.png", img)
+        if args.keys and i < len(args.keys):
+            k = args.keys[i]
+            r = dispatch_key(eng, k)
+            print(f"key '{k}' -> {r}", flush=True)
+        elif args.interactive:
+            line = sys.stdin.readline().strip()
+            if line in ("\x1b", "Q"):
+                break
+            for k in line:
+                r = dispatch_key(eng, k)
+                print(f"key '{k}' -> {r}", flush=True)
+
+
+def cmd_train(args):
+    import jax
+    import jax.numpy as jnp
+    from ..core.types import init_opt_state
+    from ..data import pipeline
+    from ..io import checkpoint as ckpt
+    from ..train.modern import train_step
+    eng = _make_engine(args)
+    src = _source(args)
+    params, spec = eng.params, eng.spec
+    opt = init_opt_state(params)
+    metrics = Path(args.metrics) if args.metrics else None
+    pf = pipeline.DevicePrefetcher(src, args.nx, args.ny, batch=args.batch)
+    t_start = time.perf_counter()
+    for step_i, batch in enumerate(pf):
+        if step_i >= args.steps:
+            break
+        res = train_step(params, opt, batch, spec.scales, lr=args.lr,
+                         alpha=args.alpha, domain=args.domain)
+        params, opt = res.params, res.opt
+        if step_i % args.log_every == 0:
+            rec = {"step": step_i, "loss": float(res.loss),
+                   "domain": args.domain,
+                   "steps_per_sec": (step_i + 1) /
+                                    (time.perf_counter() - t_start)}
+            print(json.dumps(rec), flush=True)
+            if metrics:
+                with metrics.open("a") as fh:
+                    fh.write(json.dumps(rec) + "\n")
+        if args.ckpt and step_i and step_i % args.ckpt_every == 0:
+            ckpt.save(args.ckpt, params, spec, opt,
+                      extra={"step": step_i})
+    pf.close()
+    if args.ckpt:
+        ckpt.save(args.ckpt, params, spec, opt, extra={"step": args.steps})
+        print(f"checkpoint written to {args.ckpt}", flush=True)
+
+
+def cmd_info(args):
+    eng = _make_engine(args)
+    print(eng.info())
+
+
+def cmd_bench(args):
+    import bench
+    bench.main()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="spectralae")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="interactive/streaming loop")
+    _add_common(p)
+    p.add_argument("--source", default="synthetic",
+                   help="synthetic | camera | path to .npy video")
+    p.add_argument("--frames", type=int, default=100)
+    p.add_argument("--outdir", default="./views")
+    p.add_argument("--dump-every", type=int, default=0)
+    p.add_argument("--interactive", action="store_true")
+    p.add_argument("--keys", default="",
+                   help="scripted key sequence, one key per frame")
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("train", help="headless batched training")
+    _add_common(p)
+    p.add_argument("--source", default="synthetic")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--lr", type=float, default=0.2)
+    p.add_argument("--alpha", type=float, default=0.9)
+    p.add_argument("--domain", choices=("fft", "coord"), default="fft")
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--ckpt", default="")
+    p.add_argument("--ckpt-every", type=int, default=100)
+    p.add_argument("--metrics", default="")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("info", help="print network structure")
+    _add_common(p)
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("bench", help="run the benchmark harness")
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,188 @@
+"""Engine (interactive runtime) and CLI behavior."""
+
+import numpy as np
+import pytest
+
+from spectralae.core.config import Config, LayerParams, save_layer_params
+from spectralae.model.engine import Engine, dispatch_key, KEYMAP
+from spectralae.data import pipeline
+
+
+def make_engine(nx=16, m=4, fft_iters=5, **kw):
+    cfg = Config(nx=nx, ny=nx, d=3,
+                 layer=LayerParams(depth=m, lk=0, ll=0, scale=2, rmax=0.5),
+                 fft_iters=fft_iters)
+    return Engine(cfg, seed=0, **kw)
+
+
+def frame(nx=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.normal(100, 40, size=(3, nx, nx)).astype(np.float32)
+
+
+def test_step_and_views_both_domains():
+    eng = make_engine()
+    out = eng.step(frame())
+    assert out.shape == (3, 16, 16)
+    views = eng.current_views()
+    assert views["input"].shape == (16, 16, 3)
+    assert views["feature_map"].shape == (8, 8)
+    assert views["kernel"].shape == (3, 9)  # Nl x (D*Nk) for 3x3 kernels
+    eng.toggle_fft()
+    out2 = eng.step(frame())
+    assert out2.shape == (3, 16, 16)
+
+
+def test_fft_training_disarms_after_burst():
+    eng = make_engine()
+    eng.toggle_training()
+    assert eng.flags.sel
+    eng.step(frame())
+    assert not eng.flags.sel            # one burst per arm (A5 semantics)
+    assert eng.last_mse is not None and np.isfinite(eng.last_mse)
+
+
+def test_coord_training_stays_armed_and_learns():
+    eng = make_engine()
+    eng.toggle_fft()                    # coord mode
+    eng.toggle_training()
+    first = None
+    for i in range(20):
+        eng.step(frame())
+        assert eng.flags.sel            # stays armed every frame
+        if first is None:
+            first = eng.last_mse
+    assert eng.last_mse < first
+
+
+def test_layer_mutation_roundtrip():
+    eng = make_engine(nx=32)
+    assert eng.spec.n_pairs == 1
+    eng.add_layer()
+    assert eng.spec.n_pairs == 2
+    assert eng.flags.n_l == 1           # new layer selected (A9)
+    out = eng.step(frame(32))
+    assert out.shape == (3, 32, 32)
+    eng.drop_layer()
+    assert eng.spec.n_pairs == 1 and eng.flags.n_l == 0
+    out = eng.step(frame(32))
+    assert out.shape == (3, 32, 32)
+    # cannot drop below one pair
+    eng.drop_layer()
+    assert eng.spec.n_pairs == 1
+
+
+def test_lr_stepping_log_scale():
+    eng = make_engine()
+    assert eng.flags.lr == 0.2
+    dispatch_key(eng, "4")
+    assert abs(eng.flags.lr - 0.3) < 1e-9
+    for _ in range(10):
+        dispatch_key(eng, "5")
+    assert eng.flags.lr >= 0.0
+    # step size shrinks at decade boundaries
+    eng.flags.lr, eng.flags.dlr = 0.011, 0.01
+    dispatch_key(eng, "5")
+    # 0.011-0.01 rounds just below 0.001, landing in the next decade —
+    # same as the reference's float arithmetic (autoencoder.cpp:260-268)
+    assert abs(eng.flags.lr - 0.001) < 1e-9
+    assert eng.flags.dlr == 0.0001
+
+
+def test_feature_and_layer_cycling_resets_state():
+    eng = make_engine()
+    eng.add_layer()
+    eng.flags.feat = 2
+    dispatch_key(eng, "z")
+    assert eng.flags.feat == 0
+    mom0 = eng._mom
+    assert all(float(np.abs(np.asarray(t)).sum()) == 0 for t in mom0)
+
+
+def test_symmetric_tie():
+    eng = make_engine()
+    dispatch_key(eng, "p")
+    enc, dec = eng.params.pair(0)
+    np.testing.assert_array_equal(
+        np.asarray(dec.c), np.asarray(enc.c).transpose(1, 0, 2, 3))
+
+
+def test_save_load_weights(tmp_path):
+    eng = make_engine()
+    eng.save_weights(tmp_path)
+    old = np.asarray(eng.params.stages[0].c).copy()
+    eng.reinit_weights()
+    assert not np.array_equal(np.asarray(eng.params.stages[0].c), old)
+    eng.load_weights(tmp_path)
+    np.testing.assert_array_equal(np.asarray(eng.params.stages[0].c), old)
+
+
+def test_param_file_reload(tmp_path):
+    pf = tmp_path / "New_Layer_Param.txt"
+    save_layer_params(LayerParams(depth=6, lk=1, ll=1, scale=2, rmax=2.0), pf)
+    eng = Engine(Config(nx=32, ny=32, d=3), seed=0, param_file=pf)
+    assert eng.params.stages[0].m == 6
+    assert eng.params.stages[0].nk == 5
+    eng.add_layer()
+    assert eng.params.stages[1].m == 6
+
+
+def test_all_keys_dispatch(tmp_path):
+    eng = make_engine(nx=16)
+    eng.step(frame())
+    import os
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        for key in KEYMAP:
+            if key == "l":
+                dispatch_key(eng, "s")  # ensure files exist before load
+            dispatch_key(eng, key)
+    finally:
+        os.chdir(cwd)
+    eng.step(frame())
+
+
+def test_info_structure():
+    eng = make_engine(nx=32)
+    eng.add_layer()
+    text = eng.info()
+    assert "Network structure" in text
+    assert "C=0" in text and "C=3" in text
+    assert "S=2" in text and "S=-2" in text
+
+
+def test_cli_train_and_info(tmp_path, capsys):
+    from spectralae.cli.main import main
+    main(["info", "--nx", "16", "--layers", "2", "--depth", "3"])
+    out = capsys.readouterr().out
+    assert "Network structure" in out
+    metrics = tmp_path / "m.jsonl"
+    main(["train", "--nx", "16", "--steps", "5", "--batch", "2",
+          "--log-every", "1", "--metrics", str(metrics),
+          "--ckpt", str(tmp_path / "ck")])
+    lines = metrics.read_text().strip().splitlines()
+    assert len(lines) == 5
+    from spectralae.io import checkpoint as ckpt
+    params, spec, opt, extra = ckpt.load(tmp_path / "ck")
+    assert extra["step"] == 5
+
+
+def test_cli_run_with_scripted_keys(tmp_path, capsys):
+    from spectralae.cli.main import main
+    main(["run", "--nx", "16", "--frames", "4", "--keys", "1ifq",
+          "--outdir", str(tmp_path), "--dump-every", "2"])
+    out = capsys.readouterr().out
+    assert "key '1' -> True" in out
+    assert (tmp_path / "input_00000.png").exists()
+
+
+def test_png_roundtrip(tmp_path):
+    from spectralae.viz.png import write_png, read_png
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    write_png(tmp_path / "t.png", img)
+    np.testing.assert_array_equal(read_png(tmp_path / "t.png"), img)
+    gray = rng.integers(0, 256, size=(5, 6), dtype=np.uint8)
+    write_png(tmp_path / "g.png", gray)
+    np.testing.assert_array_equal(read_png(tmp_path / "g.png"), gray)
