@@ -11,18 +11,28 @@ full-size cuFFT execs, two conv kernels, a Thrust reduce with device→host
 sync, and a console print, on an sm_50-class part — ≈100 it/s is a generous
 estimate (≥10 ms/iter).  The north-star target is ≥10× that (BASELINE.json).
 
-Extended results (forward fps both domains, coord step rate, batched modern
-step) are written to bench_details.json.
+Methodology notes (measured on this rig):
+  - everything timed is jitted — eager dispatch over the axon tunnel is
+    pathologically slow and never represents TPU performance;
+  - timed calls cycle *distinct* input buffers, because the execution relay
+    caches identical (executable, args) calls and would report ~0 ms;
+  - per-call block_until_ready; median of the timed calls reported.
+
+Extended results go to bench_details.json.
 """
 
-import dataclasses
 import json
+import statistics
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+from spectralae.core.runtime import enable_compilation_cache
+
+enable_compilation_cache()
 
 from spectralae.core.config import Config, LayerParams
 from spectralae.core.types import initial_spec, init_params, init_opt_state
@@ -34,14 +44,17 @@ from spectralae.train.modern import train_step
 REFERENCE_FFT_ITERS_PER_SEC_ESTIMATE = 100.0
 
 
-def timeit(fn, *, iters=10, warmup=2):
-    for _ in range(warmup):
-        jax.block_until_ready(fn())
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def timeit_cycled(fn, inputs, *, warmup=1, rounds=2):
+    """Median seconds/call over distinct inputs, per-call blocking."""
+    for x in inputs[:warmup]:
+        jax.block_until_ready(fn(x))
+    times = []
+    for _ in range(rounds):
+        for x in inputs:
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(x))
+            times.append(time.perf_counter() - t0)
+    return statistics.median(times)
 
 
 def main():
@@ -54,55 +67,63 @@ def main():
     params1 = init_params(jax.random.key(0), spec, 1.0)
     params3 = init_params(jax.random.key(0), spec3, 1.0)
 
-    x1 = jnp.asarray(rng.normal(size=(cfg.d, 256, 256)).astype(np.float32)) * 50
-    xb = jnp.asarray(rng.normal(size=(1, cfg.d, 256, 256)).astype(np.float32)) * 50
+    def frames(n, b=None):
+        shape = (3, 256, 256) if b is None else (b, 3, 256, 256)
+        return [jax.device_put(rng.normal(size=shape).astype(np.float32) * 50)
+                for _ in range(n)]
 
     # ---- headline: FFT backprop burst at 256×256 (stage pair 0) ----
     enc, dec = params1.pair(0)
-    out0 = model.forward_fft(params1, x1[None], spec.scales)[0]
+    fwd1 = jax.jit(lambda p, x: model.forward_fft(p, x, spec.scales))
+    xs = frames(6)
+    out0 = fwd1(params1, xs[0][None])[0]
     burst_iters = 100
 
-    def burst():
-        return fft_burst(x1, x1, out0, enc.c, dec.c, enc.b, dec.b,
+    def burst(x):
+        return fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
                          lr=0.2, iters=burst_iters)
 
-    dt = timeit(burst, iters=5, warmup=2)
+    dt = timeit_cycled(burst, xs)
     fft_steps_per_sec = burst_iters / dt
     results["fft_backprop_iters_per_sec_256"] = fft_steps_per_sec
     results["fft_burst_100_ms"] = dt * 1e3
 
-    # ---- forward passes, 3-layer net ----
-    fwd_fft = jax.jit(lambda p, x: model.forward_fft(p, x, spec3.scales))
-    dt = timeit(lambda: fwd_fft(params3, xb), iters=20, warmup=3)
+    # ---- forward passes, 3-layer net, batch 1 ----
+    fwd_fft3 = jax.jit(lambda x: model.forward_fft(params3, x, spec3.scales))
+    dt = timeit_cycled(fwd_fft3, frames(6, b=1))
     results["forward_fft_3layer_256_ms"] = dt * 1e3
     results["forward_fft_3layer_256_fps"] = 1.0 / dt
 
-    fwd_coord = jax.jit(
-        lambda p, x: model.forward_coord(p, x, spec3.scales)[-1])
-    dt = timeit(lambda: fwd_coord(params3, xb), iters=20, warmup=3)
+    fwd_coord3 = jax.jit(
+        lambda x: model.forward_coord(params3, x, spec3.scales)[-1])
+    dt = timeit_cycled(fwd_coord3, frames(6, b=1))
     results["forward_coord_3layer_256_ms"] = dt * 1e3
 
-    # ---- coordinate-space reference train step (pair 0, q=1 patch) ----
-    acts = model.forward_coord(params1, xb, spec.scales, tap_mode="ref_gpu")
+    # ---- coordinate-space reference train step (pair 0, 128×128 patch) ----
+    acts = jax.jit(lambda x: model.forward_coord(
+        params1, x, spec.scales, tap_mode="ref_gpu"))(xs[0][None])
     mom = tuple(jnp.zeros_like(t) for t in (enc.c, dec.c, enc.b, dec.b))
+    hin = acts[2][0]
+    outp = acts[-2][0]
 
-    def cstep():
-        return coord_step(acts[1][0], acts[-2][0], acts[2][0],
-                          enc.c, dec.c, enc.b, dec.b, mom, mom, lr=0.2)
+    def cstep(in_s):
+        return coord_step(in_s, outp, hin, enc.c, dec.c, enc.b, dec.b,
+                          mom, mom, lr=0.2)
 
-    dt = timeit(cstep, iters=10, warmup=2)
+    ins = [jax.device_put(rng.normal(size=(3, 128, 128)).astype(np.float32))
+           for _ in range(6)]
+    dt = timeit_cycled(cstep, ins)
     results["coord_step_128_ms"] = dt * 1e3
     results["coord_steps_per_sec"] = 1.0 / dt
 
     # ---- modern batched train step (3-layer, batch 8, fft domain) ----
     opt3 = init_opt_state(params3)
-    xb8 = jnp.asarray(rng.normal(size=(8, cfg.d, 256, 256)).astype(np.float32))
 
-    def mstep():
-        return train_step(params3, opt3, xb8, spec3.scales, lr=0.2,
+    def mstep(x):
+        return train_step(params3, opt3, x, spec3.scales, lr=0.2,
                           domain="fft")
 
-    dt = timeit(mstep, iters=10, warmup=2)
+    dt = timeit_cycled(mstep, frames(4, b=8))
     results["modern_fft_step_b8_ms"] = dt * 1e3
     results["modern_fft_frames_per_sec"] = 8.0 / dt
 

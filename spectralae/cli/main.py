@@ -136,6 +136,8 @@ def cmd_bench(args):
 
 
 def main(argv=None):
+    from ..core.runtime import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(prog="spectralae")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -128,10 +128,14 @@ def fft_burst(x: jax.Array, expout: jax.Array, out0: jax.Array,
     mse0 = spectral.parseval_mse(Y, O, dD, dM, nx, ny)
     mses = jnp.zeros((iters + 1,), x.dtype).at[0].set(mse0)
 
+    Cf0 = spectral.kernel_rfft(c, nx, ny)
+    Ff0 = spectral.kernel_rfft(f, nx, ny)
+
     def body(i, carry):
-        c, f, b, p, Dc, Df, Db, Dp, O, mses = carry
-        Cf = spectral.kernel_rfft(c, nx, ny)
-        Ff = spectral.kernel_rfft(f, nx, ny)
+        # kernel spectra are carried across iterations (computed once per
+        # update) — the reference re-FFTs inside `backprop` and reuses the
+        # device buffers the same way (fft_backproplib.cu:1281-1282)
+        c, f, b, p, Dc, Df, Db, Dp, O, Cf, Ff, mses = carry
         dc, df, db, dp = gradient_k_io(X, Y, O, Cf, Ff, b, nx, ny)
         # spectral grads → spatial, projected to compact support
         gc = spectral.kernel_shrink(
@@ -149,11 +153,13 @@ def fft_burst(x: jax.Array, expout: jax.Array, out0: jax.Array,
         f, Df = _inertia(f, gf, Df, del_eff, alpha)
         b, Db = _inertia(b, gb, Db, del_eff, alpha)
         p, Dp = _inertia(p, gp, Dp, del_eff, alpha)
-        O, _, _ = _two_stage_output(X, c, f, b, p, nx, ny, scale_by_dm)
+        O, Cf, Ff = _two_stage_output(X, c, f, b, p, nx, ny, scale_by_dm)
         mse = spectral.parseval_mse(Y, O, dD, dM, nx, ny)
         mses = mses.at[i + 1].set(mse)
-        return (c, f, b, p, Dc, Df, Db, Dp, O, mses)
+        return (c, f, b, p, Dc, Df, Db, Dp, O, Cf, Ff, mses)
 
-    init = (c, f, b, p, *mom, O, mses)
-    c, f, b, p, Dc, Df, Db, Dp, O, mses = lax.fori_loop(0, iters, body, init)
+    init = (c, f, b, p, *mom, O, Cf0, Ff0, mses)
+    out = lax.fori_loop(0, iters, body, init)
+    c, f, b, p, Dc, Df, Db, Dp = out[:8]
+    mses = out[-1]
     return FFTBurstResult(c=c, f=f, b=b, p=p, mom=(Dc, Df, Db, Dp), mses=mses)
