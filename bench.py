@@ -44,16 +44,18 @@ from spectralae.train.modern import train_step
 REFERENCE_FFT_ITERS_PER_SEC_ESTIMATE = 100.0
 
 
-def timeit_cycled(fn, inputs, *, warmup=1, rounds=2):
-    """Median seconds/call over distinct inputs, per-call blocking."""
+def timeit_cycled(fn, inputs, *, warmup=1):
+    """Median seconds/call, per-call blocking, every call a DISTINCT input.
+
+    An input is never submitted twice: the execution relay deduplicates
+    repeated (executable, args) submissions and reports ~0 ms for them."""
     for x in inputs[:warmup]:
         jax.block_until_ready(fn(x))
     times = []
-    for _ in range(rounds):
-        for x in inputs:
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(x))
-            times.append(time.perf_counter() - t0)
+    for x in inputs[warmup:]:
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(x))
+        times.append(time.perf_counter() - t0)
     return statistics.median(times)
 
 

@@ -162,9 +162,12 @@ class Engine:
             self.last_mse = float(res.mses[-1])
             f.sel = False
         else:
+            # the CPU reference path (gpu off) is plain normalized-gradient
+            # SGD with no inertia term (netlib.cpp:437-443) — alpha=0
+            alpha = f.alpha if f.gpu else 0.0
             res = coord_step(in_s, out_s, hin_s, enc.c, dec.c, enc.b, dec.b,
                              self._mom, self._prev_grad, lr=f.lr,
-                             alpha=f.alpha, tap_mode=self._coord_tap(),
+                             alpha=alpha, tap_mode=self._coord_tap(),
                              sym=f.sym, active=False)
             self._mom, self._prev_grad = res.mom, res.prev_grad
             self.last_mse = float(res.mse)

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops import spectral
+from ..ops import dft, spectral
 from ..losses.losses import diversity_gradients
 from ..optim.update import GRAD_CLIP
 
@@ -75,10 +75,27 @@ def gradient_k_io(X: jax.Array, Y: jax.Array, O: jax.Array,
     return dc, df, db, dp
 
 
-def _two_stage_output(X, c, f, b, p, nx, ny, scale_by_dm=True):
+def _kernel_spectrum(c, nx, ny, impl):
+    """Compact kernel → half-spectrum: FFT path (pad+rfft2) or the
+    compact-support DFT matmul (:mod:`spectralae.ops.dft`)."""
+    if impl == "dft":
+        return dft.kernel_spectrum(c, nx, ny)
+    return spectral.kernel_rfft(c, nx, ny)
+
+
+def _kernel_gradient(D, nk, nl, nx, ny, impl):
+    """Gradient spectrum → compact spatial gradient (unnormalized C2R +
+    shrink projection, fft_backproplib.cu:1219-1226)."""
+    if impl == "dft":
+        return dft.kernel_project(D, nk, nl, nx, ny)
+    return spectral.kernel_shrink(
+        spectral.irfft2_unnormalized(D, (nx, ny)), nk, nl)
+
+
+def _two_stage_output(X, c, f, b, p, nx, ny, scale_by_dm=True, impl="fft"):
     """Recompute the output spectrum O = F·(C·X) (fft_backproplib.cu:1460-1461)."""
-    Cf = spectral.kernel_rfft(c, nx, ny)
-    Ff = spectral.kernel_rfft(f, nx, ny)
+    Cf = _kernel_spectrum(c, nx, ny, impl)
+    Ff = _kernel_spectrum(f, nx, ny, impl)
     H = spectral.spectral_conv(X[None], Cf, b, nx, ny,
                                scale_by_dm=scale_by_dm)[0]
     O = spectral.spectral_conv(H[None], Ff, p, nx, ny,
@@ -94,13 +111,13 @@ def _inertia(w, g, mom, lr, alpha):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iters", "maxdiff", "scale_by_dm"))
+    static_argnames=("iters", "maxdiff", "scale_by_dm", "impl"))
 def fft_burst(x: jax.Array, expout: jax.Array, out0: jax.Array,
               c: jax.Array, f: jax.Array, b: jax.Array, p: jax.Array,
               mom: tuple | None = None, *,
               lr: float = 0.2, alpha: float = 0.9, iters: int = 100,
               maxdiff: bool = False, w0: float = 1.0, w1: float = 10.0,
-              scale_by_dm: bool = True) -> FFTBurstResult:
+              scale_by_dm: bool = True, impl: str = "dft") -> FFTBurstResult:
     """One ``backprop_fft`` call: a full frozen-input optimization burst.
 
     Args:
@@ -115,6 +132,10 @@ def fft_burst(x: jax.Array, expout: jax.Array, out0: jax.Array,
       alpha: inertia weight — hard-coded 0.9 in the reference (line 608).
       maxdiff: multiobjective kernel-diversity combination
         ``g ← w0·g − w1·g_div`` (fft_backproplib.cu:1252, 665-694).
+      impl: kernel↔spectrum transform implementation — "dft" (default)
+        maps the compact-support transforms onto MXU matmuls
+        (:mod:`spectralae.ops.dft`); "fft" is the literal pad+rfft2 path.
+        Both are numerically equivalent (tests/test_dft_ops.py).
     """
     nx, ny = x.shape[-2], x.shape[-1]
     dM, dD, nk, nl = c.shape
@@ -128,8 +149,8 @@ def fft_burst(x: jax.Array, expout: jax.Array, out0: jax.Array,
     mse0 = spectral.parseval_mse(Y, O, dD, dM, nx, ny)
     mses = jnp.zeros((iters + 1,), x.dtype).at[0].set(mse0)
 
-    Cf0 = spectral.kernel_rfft(c, nx, ny)
-    Ff0 = spectral.kernel_rfft(f, nx, ny)
+    Cf0 = _kernel_spectrum(c, nx, ny, impl)
+    Ff0 = _kernel_spectrum(f, nx, ny, impl)
 
     def body(i, carry):
         # kernel spectra are carried across iterations (computed once per
@@ -138,10 +159,8 @@ def fft_burst(x: jax.Array, expout: jax.Array, out0: jax.Array,
         c, f, b, p, Dc, Df, Db, Dp, O, Cf, Ff, mses = carry
         dc, df, db, dp = gradient_k_io(X, Y, O, Cf, Ff, b, nx, ny)
         # spectral grads → spatial, projected to compact support
-        gc = spectral.kernel_shrink(
-            spectral.irfft2_unnormalized(dc, (nx, ny)), nk, nl)
-        gf = spectral.kernel_shrink(
-            spectral.irfft2_unnormalized(df, (nx, ny)), nk, nl)
+        gc = _kernel_gradient(dc, nk, nl, nx, ny, impl)
+        gf = _kernel_gradient(df, nk, nl, nx, ny, impl)
         gb, gp = db, dp
         if maxdiff:
             cd, fd, bd, pd = diversity_gradients(c, f, b, p)
@@ -153,7 +172,8 @@ def fft_burst(x: jax.Array, expout: jax.Array, out0: jax.Array,
         f, Df = _inertia(f, gf, Df, del_eff, alpha)
         b, Db = _inertia(b, gb, Db, del_eff, alpha)
         p, Dp = _inertia(p, gp, Dp, del_eff, alpha)
-        O, Cf, Ff = _two_stage_output(X, c, f, b, p, nx, ny, scale_by_dm)
+        O, Cf, Ff = _two_stage_output(X, c, f, b, p, nx, ny, scale_by_dm,
+                                      impl)
         mse = spectral.parseval_mse(Y, O, dD, dM, nx, ny)
         mses = mses.at[i + 1].set(mse)
         return (c, f, b, p, Dc, Df, Db, Dp, O, Cf, Ff, mses)

@@ -121,3 +121,19 @@ def test_native_codec_parity_when_built():
         np.clip(np.round(spin.transpose(2, 1, 0)), 0, 255).astype(np.uint8))
     np.testing.assert_array_equal(native.resize_nn(img, 12, 10),
                                   pipeline.resize_nn(img, 12, 10))
+
+
+def test_metrics_logger_and_timer(tmp_path):
+    from spectralae.core.profiling import MetricsLogger, StepTimer
+    log = MetricsLogger(tmp_path / "m.jsonl", echo=False)
+    log.log(step=1, loss=0.5)
+    log.log(step=2, loss=0.25)
+    log.close()
+    import json
+    lines = [json.loads(l) for l in (tmp_path / "m.jsonl").read_text().splitlines()]
+    assert lines[1] == {"step": 2, "loss": 0.25}
+    t = StepTimer()
+    for _ in range(3):
+        with t:
+            pass
+    assert t.median_ms >= 0 and t.steps_per_sec > 0
