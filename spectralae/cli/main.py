@@ -94,14 +94,22 @@ def cmd_train(args):
     from ..data import pipeline
     from ..io import checkpoint as ckpt
     from ..train.modern import train_step
-    eng = _make_engine(args)
+    start_step = 0
+    if args.resume:
+        params, spec, opt, extra = ckpt.load(args.resume)
+        if opt is None:
+            opt = init_opt_state(params)
+        start_step = int(extra.get("step", 0))
+        print(f"resumed from {args.resume} at step {start_step}", flush=True)
+    else:
+        eng = _make_engine(args)
+        params, spec = eng.params, eng.spec
+        opt = init_opt_state(params)
     src = _source(args)
-    params, spec = eng.params, eng.spec
-    opt = init_opt_state(params)
     metrics = Path(args.metrics) if args.metrics else None
     pf = pipeline.DevicePrefetcher(src, args.nx, args.ny, batch=args.batch)
     t_start = time.perf_counter()
-    for step_i, batch in enumerate(pf):
+    for step_i, batch in enumerate(pf, start=start_step):
         if step_i >= args.steps:
             break
         res = train_step(params, opt, batch, spec.scales, lr=args.lr,
@@ -164,6 +172,8 @@ def main(argv=None):
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--ckpt", default="")
     p.add_argument("--ckpt-every", type=int, default=100)
+    p.add_argument("--resume", default="",
+                   help="checkpoint dir to resume params/opt/step from")
     p.add_argument("--metrics", default="")
     p.set_defaults(fn=cmd_train)
 

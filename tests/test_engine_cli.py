@@ -186,3 +186,27 @@ def test_png_roundtrip(tmp_path):
     gray = rng.integers(0, 256, size=(5, 6), dtype=np.uint8)
     write_png(tmp_path / "g.png", gray)
     np.testing.assert_array_equal(read_png(tmp_path / "g.png"), gray)
+
+
+def test_cli_train_resume(tmp_path, capsys):
+    from spectralae.cli.main import main
+    main(["train", "--nx", "16", "--steps", "3", "--batch", "2",
+          "--log-every", "1", "--ckpt", str(tmp_path / "ck")])
+    main(["train", "--nx", "16", "--steps", "5", "--batch", "2",
+          "--log-every", "1", "--resume", str(tmp_path / "ck")])
+    out = capsys.readouterr().out
+    assert "resumed from" in out and '"step": 4' in out
+
+
+def test_spectrum_view_matches_fft_magnitude():
+    import numpy as np
+    from spectralae.viz.spectrum import magnitude, shift_magnitude
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 8, 8)).astype(np.float32)
+    spec = np.fft.rfft2(x)
+    mag = magnitude(spec, 8, 8)
+    full = np.abs(np.fft.fft2(x))
+    np.testing.assert_allclose(mag, np.sqrt(full / x.size), rtol=1e-5, atol=1e-6)
+    sh = shift_magnitude(mag)
+    assert sh.shape == mag.shape
+    np.testing.assert_allclose(sh[..., 4, 4], mag[..., 0, 0])
