@@ -11,18 +11,17 @@ full-size cuFFT execs, two conv kernels, a Thrust reduce with device→host
 sync, and a console print, on an sm_50-class part — ≈100 it/s is a generous
 estimate (≥10 ms/iter).  The north-star target is ≥10× that (BASELINE.json).
 
-Methodology notes (measured on this rig):
-  - everything timed is jitted — eager dispatch over the axon tunnel is
-    pathologically slow and never represents TPU performance;
-  - timed calls cycle *distinct* input buffers, because the execution relay
-    caches identical (executable, args) calls and would report ~0 ms;
-  - per-call block_until_ready; median of the timed calls reported.
+Timing methodology (validated on this rig): each timed call's input is a
+function of the previous call's output, so calls can neither be deduplicated
+by the execution relay (which caches repeated (executable, args) and reports
+~0 ms) nor overlapped; the chain is timed end-to-end with one final blocking
+fetch and divided by N.  Everything timed is jitted — eager dispatch over the
+axon tunnel does not represent TPU performance.
 
 Extended results go to bench_details.json.
 """
 
 import json
-import statistics
 import time
 
 import numpy as np
@@ -44,19 +43,32 @@ from spectralae.train.modern import train_step
 REFERENCE_FFT_ITERS_PER_SEC_ESTIMATE = 100.0
 
 
-def timeit_cycled(fn, inputs, *, warmup=1):
-    """Median seconds/call, per-call blocking, every call a DISTINCT input.
+def _fetch_scalar(arr) -> float:
+    """Force a real device→host value fetch — the only true sync point on
+    this rig (block_until_ready can return before remote execution ends)."""
+    return float(jnp.sum(arr))
 
-    An input is never submitted twice: the execution relay deduplicates
-    repeated (executable, args) submissions and reports ~0 ms for them."""
-    for x in inputs[:warmup]:
-        jax.block_until_ready(fn(x))
-    times = []
-    for x in inputs[warmup:]:
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(x))
-        times.append(time.perf_counter() - t0)
-    return statistics.median(times)
+
+def time_chained(step, x0, n=10, warmup=1):
+    """Seconds/call for ``step(x) -> (result, next_x)`` chains of length n.
+
+    The chain's data dependency forces sequential execution; the final value
+    fetch forces completion of every link.  The fetch round-trip latency is
+    measured on a no-op and subtracted."""
+    x = x0
+    for _ in range(warmup):
+        r, x = step(x)
+    _fetch_scalar(x)
+    # fetch round-trip latency on an already-materialized array
+    t0 = time.perf_counter()
+    _fetch_scalar(x)
+    fetch_rt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r, x = step(x)
+    _fetch_scalar(x)
+    total = time.perf_counter() - t0
+    return max(total - fetch_rt, 1e-9) / n
 
 
 def main():
@@ -69,52 +81,59 @@ def main():
     params1 = init_params(jax.random.key(0), spec, 1.0)
     params3 = init_params(jax.random.key(0), spec3, 1.0)
 
-    def frames(n, b=None):
+    def frame(b=None):
         shape = (3, 256, 256) if b is None else (b, 3, 256, 256)
-        return [jax.device_put(rng.normal(size=shape).astype(np.float32) * 50)
-                for _ in range(n)]
+        return jax.device_put(rng.normal(size=shape).astype(np.float32) * 50)
 
     # ---- headline: FFT backprop burst at 256×256 (stage pair 0) ----
     enc, dec = params1.pair(0)
     fwd1 = jax.jit(lambda p, x: model.forward_fft(p, x, spec.scales))
-    xs = frames(6)
-    out0 = fwd1(params1, xs[0][None])[0]
+    x0 = frame()
+    out0 = fwd1(params1, x0[None])[0]
     burst_iters = 100
 
-    def burst(x):
-        return fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
-                         lr=0.2, iters=burst_iters)
-
-    dt = timeit_cycled(burst, xs)
-    fft_steps_per_sec = burst_iters / dt
-    results["fft_backprop_iters_per_sec_256"] = fft_steps_per_sec
-    results["fft_burst_100_ms"] = dt * 1e3
+    for impl in ("dft", "fft"):
+        def burst_step(x, impl=impl):
+            r = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                          lr=0.2, iters=burst_iters, impl=impl)
+            return r, x + r.mses[-1] * 0.0 + 1e-6
+        dt = time_chained(burst_step, x0)
+        results[f"fft_burst_100_ms[{impl}]"] = dt * 1e3
+        results[f"fft_backprop_iters_per_sec_256[{impl}]"] = burst_iters / dt
+    fft_steps_per_sec = results["fft_backprop_iters_per_sec_256[dft]"]
 
     # ---- forward passes, 3-layer net, batch 1 ----
     fwd_fft3 = jax.jit(lambda x: model.forward_fft(params3, x, spec3.scales))
-    dt = timeit_cycled(fwd_fft3, frames(6, b=1))
+
+    def fwd_fft_step(x):
+        out = fwd_fft3(x)
+        return out, x + out * 1e-9
+    dt = time_chained(fwd_fft_step, frame(b=1))
     results["forward_fft_3layer_256_ms"] = dt * 1e3
     results["forward_fft_3layer_256_fps"] = 1.0 / dt
 
     fwd_coord3 = jax.jit(
         lambda x: model.forward_coord(params3, x, spec3.scales)[-1])
-    dt = timeit_cycled(fwd_coord3, frames(6, b=1))
+
+    def fwd_coord_step(x):
+        out = fwd_coord3(x)
+        return out, x + out * 1e-9
+    dt = time_chained(fwd_coord_step, frame(b=1))
     results["forward_coord_3layer_256_ms"] = dt * 1e3
 
-    # ---- coordinate-space reference train step (pair 0, 128×128 patch) ----
+    # ---- coordinate-space reference train step (pair 0, full frame) ----
     acts = jax.jit(lambda x: model.forward_coord(
-        params1, x, spec.scales, tap_mode="ref_gpu"))(xs[0][None])
+        params1, x, spec.scales, tap_mode="ref_gpu"))(x0[None])
     mom = tuple(jnp.zeros_like(t) for t in (enc.c, dec.c, enc.b, dec.b))
     hin = acts[2][0]
     outp = acts[-2][0]
 
     def cstep(in_s):
-        return coord_step(in_s, outp, hin, enc.c, dec.c, enc.b, dec.b,
-                          mom, mom, lr=0.2)
-
-    ins = [jax.device_put(rng.normal(size=(3, 128, 128)).astype(np.float32))
-           for _ in range(6)]
-    dt = timeit_cycled(cstep, ins)
+        r = coord_step(in_s, outp, hin, enc.c, dec.c, enc.b, dec.b,
+                       mom, mom, lr=0.2)
+        return r, in_s + r.mse * 0.0 + 1e-6
+    dt = time_chained(cstep, jax.device_put(
+        rng.normal(size=(3, 128, 128)).astype(np.float32) * 50))
     results["coord_step_128_ms"] = dt * 1e3
     results["coord_steps_per_sec"] = 1.0 / dt
 
@@ -122,10 +141,9 @@ def main():
     opt3 = init_opt_state(params3)
 
     def mstep(x):
-        return train_step(params3, opt3, x, spec3.scales, lr=0.2,
-                          domain="fft")
-
-    dt = timeit_cycled(mstep, frames(4, b=8))
+        r = train_step(params3, opt3, x, spec3.scales, lr=0.2, domain="fft")
+        return r, x + r.loss * 0.0 + 1e-6
+    dt = time_chained(mstep, frame(b=8), n=5)
     results["modern_fft_step_b8_ms"] = dt * 1e3
     results["modern_fft_frames_per_sec"] = 8.0 / dt
 
