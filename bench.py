@@ -37,6 +37,7 @@ from spectralae.core.config import Config, LayerParams
 from spectralae.core.types import initial_spec, init_params, init_opt_state
 from spectralae.model import autoencoder as model
 from spectralae.train.fft import fft_burst
+from spectralae.train.fft_pallas import fft_burst_pallas
 from spectralae.train.coord import coord_step
 from spectralae.train.modern import train_step
 
@@ -92,15 +93,27 @@ def main():
     out0 = fwd1(params1, x0[None])[0]
     burst_iters = 100
 
-    for impl in ("dft", "fft"):
-        def burst_step(x, impl=impl):
-            r = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
-                          lr=0.2, iters=burst_iters, impl=impl)
+    impls = {
+        "pallas": lambda x: fft_burst_pallas(
+            x, x, out0, enc.c, dec.c, enc.b, dec.b, lr=0.2,
+            iters=burst_iters),
+        "dft": lambda x: fft_burst(
+            x, x, out0, enc.c, dec.c, enc.b, dec.b, lr=0.2,
+            iters=burst_iters, impl="dft"),
+        "fft": lambda x: fft_burst(
+            x, x, out0, enc.c, dec.c, enc.b, dec.b, lr=0.2,
+            iters=burst_iters, impl="fft"),
+    }
+    for impl, fn in impls.items():
+        def burst_step(x, fn=fn):
+            r = fn(x)
             return r, x + r.mses[-1] * 0.0 + 1e-6
         dt = time_chained(burst_step, x0)
         results[f"fft_burst_100_ms[{impl}]"] = dt * 1e3
         results[f"fft_backprop_iters_per_sec_256[{impl}]"] = burst_iters / dt
-    fft_steps_per_sec = results["fft_backprop_iters_per_sec_256[dft]"]
+    fft_steps_per_sec = max(
+        results["fft_backprop_iters_per_sec_256[pallas]"],
+        results["fft_backprop_iters_per_sec_256[dft]"])
 
     # ---- forward passes, 3-layer net, batch 1 ----
     fwd_fft3 = jax.jit(lambda x: model.forward_fft(params3, x, spec3.scales))

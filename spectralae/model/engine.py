@@ -29,7 +29,7 @@ from ..core.types import (AEParams, ConvStage, NetSpec, initial_spec,
 from ..io import checkpoint as ckpt
 from ..ops import coord as coord_ops
 from ..train.coord import coord_step
-from ..train.fft import fft_burst
+from ..train.fft_pallas import auto_burst
 from . import autoencoder as model
 
 
@@ -154,11 +154,11 @@ class Engine:
         if f.fft:
             # one 100-iteration burst per arm, then disarm
             # (autoencoder.cpp:194-197)
-            res = fft_burst(in_s, in_s, out_s, enc.c, dec.c, enc.b, dec.b,
-                            lr=f.lr, alpha=f.alpha,
-                            iters=self.cfg.fft_iters, maxdiff=f.maxdiff,
-                            w0=self.cfg.maxdiff_w0, w1=self.cfg.maxdiff_w1,
-                            scale_by_dm=self.cfg.scale_by_dm)
+            res = auto_burst(in_s, in_s, out_s, enc.c, dec.c, enc.b, dec.b,
+                             lr=f.lr, alpha=f.alpha,
+                             iters=self.cfg.fft_iters, maxdiff=f.maxdiff,
+                             w0=self.cfg.maxdiff_w0, w1=self.cfg.maxdiff_w1,
+                             scale_by_dm=self.cfg.scale_by_dm)
             self.last_mse = float(res.mses[-1])
             f.sel = False
         else:

@@ -1,0 +1,309 @@
+"""Fully-fused Pallas iteration for the momentum-space burst.
+
+The jnp burst body (:mod:`spectralae.train.fft`) materializes, per
+iteration, the gradient spectra ``dc/df [M,D,Nx,Nyr]`` and the kernel
+spectra ``Cf/Ff`` in HBM (~45 MB round-tripped at 256²).  But every large
+intermediate is either *elementwise in ω* or a rank-P DFT projection of the
+25-float kernels — so one ω-tile sweep can compute everything on-chip:
+
+  K1 ``grad-project``: per ω-tile, reconstruct Cf/Ff from the compact
+     kernels (two [M·D,P]×[P,TW] MXU matmuls), form E=O−Y, S, H, the dc/df
+     products, apply Hermitian weights, and accumulate the *projected*
+     gradients G_c/G_f [M·D, P] plus the DC-bin bias grads — never writing
+     a full-size spectrum.
+  K2 ``respectra-conv``: after the (tiny, jnp) inertia update, per ω-tile
+     reconstruct the updated Cf/Ff and run the two-stage pointwise conv
+     (conv_k semantics, fft_backproplib.cu:162-189 incl. /M scaling and
+     DC-bin bias) producing the new output spectrum O and the Hermitian-
+     weighted Parseval MSE partial (calc_mse, 480-498).
+
+Per-iteration HBM traffic drops from ~70 MB to ~20 MB (basis + X/Y/O).
+Numerical equivalence with the jnp path is tested in interpret mode
+(tests/test_fft_pallas.py) and the full burst on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops import spectral
+from ..optim.update import GRAD_CLIP
+from .fft import FFTBurstResult
+
+TW = 512  # ω-tile width (lanes); W = Nx·(Ny/2+1) is padded to a multiple
+
+
+@functools.lru_cache(maxsize=None)
+def _basis(nk: int, nl: int, nx: int, ny: int, wpad: int):
+    """Unweighted restricted-DFT basis, layout [P, Wpad] (see ops/dft.py)."""
+    nyr = ny // 2 + 1
+    rx = (np.arange(nk) - nk // 2) % nx
+    ry = (np.arange(nl) - nl // 2) % ny
+    theta = (2 * np.pi * np.outer(rx, np.arange(nx)) / nx)[:, None, :, None] \
+        + (2 * np.pi * np.outer(ry, np.arange(nyr)) / ny)[None, :, None, :]
+    theta = theta.reshape(nk * nl, nx * nyr)
+    cos = np.zeros((nk * nl, wpad), np.float32)
+    sin = np.zeros((nk * nl, wpad), np.float32)
+    cos[:, : nx * nyr] = np.cos(theta)
+    sin[:, : nx * nyr] = np.sin(theta)
+    return cos, sin
+
+
+@functools.lru_cache(maxsize=None)
+def _herm_weights(nx: int, ny: int, wpad: int):
+    """Per-bin Hermitian double-count weights, zero in the padding."""
+    nyr = ny // 2 + 1
+    w = np.full((nyr,), 2.0, np.float32)
+    w[0] = 1.0
+    if ny % 2 == 0:
+        w[-1] = 1.0
+    out = np.zeros((wpad,), np.float32)
+    out[: nx * nyr] = np.tile(w, nx)
+    return out.reshape(1, wpad)
+
+
+def _grad_project_kernel(m, d, p, norm, n_norm,
+                         xr_ref, xi_ref, yr_ref, yi_ref, or_ref, oi_ref,
+                         cos_ref, sin_ref, wv_ref, c_ref, f_ref, b_ref,
+                         gc_ref, gf_ref, db_ref, dp_ref):
+    i = pl.program_id(0)
+    cos = cos_ref[:]                      # [P, TW]
+    sin = sin_ref[:]
+    # kernel spectra tiles from compact kernels: real c ⇒ re=c@cos, im=−c@sin
+    cfr = jnp.dot(c_ref[:], cos, preferred_element_type=jnp.float32)
+    cfi = -jnp.dot(c_ref[:], sin, preferred_element_type=jnp.float32)
+    ffr = jnp.dot(f_ref[:], cos, preferred_element_type=jnp.float32)
+    ffi = -jnp.dot(f_ref[:], sin, preferred_element_type=jnp.float32)
+    cfr = cfr.reshape(m, d, cfr.shape[-1])   # rows m·D+d
+    cfi = cfi.reshape(m, d, cfi.shape[-1])
+    ffr = ffr.reshape(d, m, ffr.shape[-1])   # rows d·M+m
+    ffi = ffi.reshape(d, m, ffi.shape[-1])
+    er = or_ref[:] - yr_ref[:]               # [D, TW]
+    ei = oi_ref[:] - yi_ref[:]
+    xr = xr_ref[:]
+    xi = xi_ref[:]
+    # S_m = Σ_d E_d · conj(Ff_{d,m})
+    sr = jnp.sum(er[:, None] * ffr + ei[:, None] * ffi, axis=0)   # [M, TW]
+    si = jnp.sum(ei[:, None] * ffr - er[:, None] * ffi, axis=0)
+    # H_m = Σ_d Cf_{m,d} · X_d  (+ b·Nx·Ny at the DC bin — tile 0, lane 0;
+    # note: *no* /M scaling in the gradient's H, a reference quirk)
+    hr = jnp.sum(cfr * xr[None] - cfi * xi[None], axis=1)         # [M, TW]
+    hi = jnp.sum(cfr * xi[None] + cfi * xr[None], axis=1)
+    dc_mask = jnp.where(
+        (jax.lax.broadcasted_iota(jnp.int32, (1, hr.shape[-1]), 1) == 0)
+        & (i == 0), 1.0, 0.0)
+    hr = hr + b_ref[:] * norm * dc_mask
+
+    wv = wv_ref[:]                             # [1, TW] Hermitian weights
+    # dc[m,d] = S_m·conj(X_d); df[d,m] = E_d·conj(H_m)
+    dcr = (sr[:, None] * xr[None] + si[:, None] * xi[None]) * wv  # [M,D,TW]
+    dci = (si[:, None] * xr[None] - sr[:, None] * xi[None]) * wv
+    dfr = (er[:, None] * hr[None] + ei[:, None] * hi[None]) * wv  # [D,M,TW]
+    dfi = (ei[:, None] * hr[None] - er[:, None] * hi[None]) * wv
+    tw = dcr.shape[-1]
+    contract = (((1,), (1,)), ((), ()))
+    gc_tile = (lax.dot_general(dcr.reshape(m * d, tw), cos, contract,
+                               preferred_element_type=jnp.float32)
+               - lax.dot_general(dci.reshape(m * d, tw), sin, contract,
+                                 preferred_element_type=jnp.float32))
+    gf_tile = (lax.dot_general(dfr.reshape(d * m, tw), cos, contract,
+                               preferred_element_type=jnp.float32)
+               - lax.dot_general(dfi.reshape(d * m, tw), sin, contract,
+                                 preferred_element_type=jnp.float32))
+
+    @pl.when(i == 0)
+    def _():
+        gc_ref[:] = jnp.zeros_like(gc_ref)
+        gf_ref[:] = jnp.zeros_like(gf_ref)
+        # DC-bin bias gradients (fft_backproplib.cu:463-473)
+        db_ref[:] = sr[:, 0:1] * norm / n_norm
+        dp_ref[:] = er[:, 0:1] * norm / n_norm
+
+    gc_ref[:] += gc_tile / n_norm
+    gf_ref[:] += gf_tile / n_norm
+
+
+def _respectra_conv_kernel(m, d, norm, inv_m, inv_d,
+                           xr_ref, xi_ref, yr_ref, yi_ref,
+                           cos_ref, sin_ref, wv_ref, c_ref, f_ref,
+                           b_ref, p_ref,
+                           or_ref, oi_ref, mse_ref):
+    i = pl.program_id(0)
+    cos = cos_ref[:]
+    sin = sin_ref[:]
+    cfr = jnp.dot(c_ref[:], cos, preferred_element_type=jnp.float32)
+    cfi = -jnp.dot(c_ref[:], sin, preferred_element_type=jnp.float32)
+    ffr = jnp.dot(f_ref[:], cos, preferred_element_type=jnp.float32)
+    ffi = -jnp.dot(f_ref[:], sin, preferred_element_type=jnp.float32)
+    tw = cfr.shape[-1]
+    cfr = cfr.reshape(m, d, tw)
+    cfi = cfi.reshape(m, d, tw)
+    ffr = ffr.reshape(d, m, tw)
+    ffi = ffi.reshape(d, m, tw)
+    xr = xr_ref[:] * inv_m                     # conv_k's /M input scaling
+    xi = xi_ref[:] * inv_m
+    hr = jnp.sum(cfr * xr[None] - cfi * xi[None], axis=1)   # [M, TW]
+    hi = jnp.sum(cfr * xi[None] + cfi * xr[None], axis=1)
+    dc_mask = jnp.where(
+        (jax.lax.broadcasted_iota(jnp.int32, (1, tw), 1) == 0) & (i == 0),
+        1.0, 0.0)
+    hr = hr + b_ref[:] * norm * dc_mask
+    hr2 = hr * inv_d                           # second conv's /D scaling
+    hi2 = hi * inv_d
+    our = jnp.sum(ffr * hr2[None] - ffi * hi2[None], axis=1)  # [D, TW]
+    oui = jnp.sum(ffr * hi2[None] + ffi * hr2[None], axis=1)
+    our = our + p_ref[:] * norm * dc_mask
+    or_ref[:] = our
+    oi_ref[:] = oui
+    diff = (our - yr_ref[:]) ** 2 + (oui - yi_ref[:]) ** 2
+
+    @pl.when(i == 0)
+    def _():
+        mse_ref[0, 0] = 0.0
+
+    mse_ref[0, 0] += jnp.sum(diff * wv_ref[:])
+
+
+def _pad_flat(Z, w, wpad):
+    flat = Z.reshape(Z.shape[0], w)
+    if wpad != w:
+        flat = jnp.pad(flat, ((0, 0), (0, wpad - w)))
+    return flat
+
+
+def _split(Z, w, wpad):
+    return _pad_flat(Z.real, w, wpad), _pad_flat(Z.imag, w, wpad)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "scale_by_dm", "interpret"))
+def fft_burst_pallas(x: jax.Array, expout: jax.Array, out0: jax.Array,
+                     c: jax.Array, f: jax.Array, b: jax.Array, p: jax.Array,
+                     mom: tuple | None = None, *, lr: float = 0.2,
+                     alpha: float = 0.9, iters: int = 100,
+                     scale_by_dm: bool = True,
+                     interpret: bool | None = None) -> FFTBurstResult:
+    """Drop-in replacement for :func:`spectralae.train.fft.fft_burst`
+    (maxdiff unsupported here — use the jnp path for multiobjective)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    nx, ny = x.shape[-2], x.shape[-1]
+    dM, dD, nk, nl = c.shape
+    P = nk * nl
+    nyr = ny // 2 + 1
+    w = nx * nyr
+    tw = min(TW, w)
+    wpad = -(-w // tw) * tw
+    n_tiles = wpad // tw
+    norm = float(nx * ny)
+    n_norm = norm * 2.0 * dM * dD * nx * ny
+    del_eff = 0.1 * lr
+    inv_m = (1.0 / dM) if scale_by_dm else 1.0
+    inv_d = (1.0 / dD) if scale_by_dm else 1.0
+
+    cos_np, sin_np = _basis(nk, nl, nx, ny, wpad)
+    cosB = jnp.asarray(cos_np)
+    sinB = jnp.asarray(sin_np)
+    wv = jnp.asarray(_herm_weights(nx, ny, wpad))
+
+    X = spectral.rfft2(x)
+    Y = spectral.rfft2(expout)
+    O = spectral.rfft2(out0)
+    xr, xi = _split(X, w, wpad)
+    yr, yi = _split(Y, w, wpad)
+    orr, oii = _split(O, w, wpad)
+    if mom is None:
+        mom = (jnp.zeros_like(c), jnp.zeros_like(f),
+               jnp.zeros_like(b), jnp.zeros_like(p))
+    Dc, Df, Db, Dp = mom
+    mse0 = spectral.parseval_mse(Y, O, dD, dM, nx, ny)
+    mses = jnp.zeros((iters + 1,), x.dtype).at[0].set(mse0)
+
+    tile = lambda r: pl.BlockSpec((r, tw), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM)
+    whole = lambda r, cdim: pl.BlockSpec((r, cdim), lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM)
+
+    k1 = pl.pallas_call(
+        functools.partial(_grad_project_kernel, dM, dD, P, norm, n_norm),
+        grid=(n_tiles,),
+        in_specs=[tile(dD), tile(dD), tile(dD), tile(dD), tile(dD), tile(dD),
+                  tile(P), tile(P), tile(1),
+                  whole(dM * dD, P), whole(dD * dM, P), whole(dM, 1)],
+        out_specs=[whole(dM * dD, P), whole(dD * dM, P),
+                   whole(dM, 1), whole(dD, 1)],
+        out_shape=[jax.ShapeDtypeStruct((dM * dD, P), jnp.float32),
+                   jax.ShapeDtypeStruct((dD * dM, P), jnp.float32),
+                   jax.ShapeDtypeStruct((dM, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((dD, 1), jnp.float32)],
+        interpret=interpret,
+    )
+
+    k2 = pl.pallas_call(
+        functools.partial(_respectra_conv_kernel, dM, dD, norm, inv_m, inv_d),
+        grid=(n_tiles,),
+        in_specs=[tile(dD), tile(dD), tile(dD), tile(dD),
+                  tile(P), tile(P), tile(1),
+                  whole(dM * dD, P), whole(dD * dM, P),
+                  whole(dM, 1), whole(dD, 1)],
+        out_specs=[tile(dD), tile(dD),
+                   pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((dD, wpad), jnp.float32),
+                   jax.ShapeDtypeStruct((dD, wpad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)],
+        interpret=interpret,
+    )
+
+    def inertia(wgt, g, mo):
+        dw = (1.0 - alpha) * del_eff * g / jnp.maximum(jnp.abs(g), GRAD_CLIP) \
+            + alpha * mo
+        return wgt - dw, dw
+
+    def body(i, carry):
+        c, f, b, p, Dc, Df, Db, Dp, orr, oii, mses = carry
+        gc, gf, db, dp = k1(xr, xi, yr, yi, orr, oii, cosB, sinB, wv,
+                            c.reshape(dM * dD, P), f.reshape(dD * dM, P),
+                            b[:, None])
+        c, Dc = inertia(c, gc.reshape(c.shape), Dc)
+        f, Df = inertia(f, gf.reshape(f.shape), Df)
+        b, Db = inertia(b, db[:, 0], Db)
+        p, Dp = inertia(p, dp[:, 0], Dp)
+        orr, oii, msep = k2(xr, xi, yr, yi, cosB, sinB, wv,
+                            c.reshape(dM * dD, P), f.reshape(dD * dM, P),
+                            b[:, None], p[:, None])
+        mse = msep[0, 0] / (dD * nx * ny) / (2 * dM * nx * ny)
+        mses = mses.at[i + 1].set(mse)
+        return (c, f, b, p, Dc, Df, Db, Dp, orr, oii, mses)
+
+    init = (c, f, b, p, Dc, Df, Db, Dp, orr, oii, mses)
+    out = lax.fori_loop(0, iters, body, init)
+    c, f, b, p, Dc, Df, Db, Dp = out[:8]
+    return FFTBurstResult(c=c, f=f, b=b, p=p, mom=(Dc, Df, Db, Dp),
+                          mses=out[-1])
+
+
+def auto_burst(x, expout, out0, c, f, b, p, mom=None, *, lr=0.2, alpha=0.9,
+               iters=100, maxdiff=False, w0=1.0, w1=10.0, scale_by_dm=True):
+    """Pick the fastest correct burst implementation.
+
+    The fused Pallas path (this module) when compiled TPU execution is
+    available and the multiobjective term is off; otherwise the jnp path
+    (which also supports ``maxdiff``).
+    """
+    from .fft import fft_burst
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    if on_tpu and not maxdiff:
+        return fft_burst_pallas(x, expout, out0, c, f, b, p, mom, lr=lr,
+                                alpha=alpha, iters=iters,
+                                scale_by_dm=scale_by_dm)
+    return fft_burst(x, expout, out0, c, f, b, p, mom, lr=lr, alpha=alpha,
+                     iters=iters, maxdiff=maxdiff, w0=w0, w1=w1,
+                     scale_by_dm=scale_by_dm)

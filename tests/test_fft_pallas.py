@@ -1,0 +1,64 @@
+"""Fused Pallas burst vs the jnp burst (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spectralae.core.config import Config, LayerParams
+from spectralae.core.types import initial_spec, init_params
+from spectralae.model import autoencoder as model
+from spectralae.train.fft import fft_burst
+from spectralae.train.fft_pallas import fft_burst_pallas
+
+
+def setup(nx=16, d=2, m=4, lk=1, seed=0):
+    cfg = Config(nx=nx, ny=nx, d=d,
+                 layer=LayerParams(depth=m, lk=lk, ll=lk, scale=1, rmax=0.5))
+    spec = initial_spec(cfg)
+    params = init_params(jax.random.key(seed), spec, 0.5)
+    x = jnp.asarray(np.random.default_rng(seed).normal(
+        size=(d, nx, nx)).astype(np.float32)) * 50
+    out0 = model.forward_fft(params, x[None], spec.scales)[0]
+    enc, dec = params.pair(0)
+    return x, out0, enc, dec
+
+
+@pytest.mark.parametrize("iters", [1, 5])
+def test_pallas_burst_matches_jnp(iters):
+    x, out0, enc, dec = setup()
+    ref = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                    lr=0.2, iters=iters, impl="dft")
+    got = fft_burst_pallas(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                           lr=0.2, iters=iters, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.mses), np.asarray(ref.mses),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.c), np.asarray(ref.c),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.b), np.asarray(ref.b),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(ref.p),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_burst_converges():
+    x, out0, enc, dec = setup(nx=16, d=2, m=4)
+    res = fft_burst_pallas(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                           lr=0.2, iters=60, interpret=True)
+    mses = np.asarray(res.mses)
+    assert np.all(np.isfinite(mses))
+    assert mses[-1] < mses[0] * 0.9
+
+
+def test_pallas_burst_nonsquare_tiles():
+    """W not a multiple of the tile width exercises the padding path."""
+    x, out0, enc, dec = setup(nx=32, d=2, m=3)  # W = 32*17 = 544
+    ref = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                    lr=0.2, iters=3, impl="dft")
+    got = fft_burst_pallas(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                           lr=0.2, iters=3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.mses), np.asarray(ref.mses),
+                               rtol=1e-3, atol=1e-4)
