@@ -160,6 +160,25 @@ def main():
     results["modern_fft_step_b8_ms"] = dt * 1e3
     results["modern_fft_frames_per_sec"] = 8.0 / dt
 
+    # ---- 512×512 deep config (BASELINE config 5), batch 4 ----
+    cfg512 = Config(nx=512, ny=512, d=3,
+                    layer=LayerParams(depth=10, lk=1, ll=1, scale=2,
+                                      rmax=3.0))
+    spec512 = initial_spec(cfg512).add_pair(cfg512.layer).add_pair(
+        cfg512.layer)
+    params512 = init_params(jax.random.key(0), spec512, 1.0)
+    opt512 = init_opt_state(params512)
+
+    def mstep512(x):
+        r = train_step(params512, opt512, x, spec512.scales, lr=0.2,
+                       domain="fft")
+        return r, x + r.loss * 0.0 + 1e-6
+    x512 = jax.device_put(
+        rng.normal(size=(4, 3, 512, 512)).astype(np.float32) * 50)
+    dt = time_chained(mstep512, x512, n=5)
+    results["modern_fft_step_512_b4_ms"] = dt * 1e3
+    results["modern_fft_512_frames_per_sec"] = 4.0 / dt
+
     results["device"] = str(jax.devices()[0])
     with open("bench_details.json", "w") as f:
         json.dump(results, f, indent=2)

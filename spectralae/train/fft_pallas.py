@@ -33,6 +33,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..losses.losses import diversity_gradients
 from ..ops import spectral
 from ..optim.update import GRAD_CLIP
 from .fft import FFTBurstResult
@@ -183,15 +184,18 @@ def _split(Z, w, wpad):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "scale_by_dm", "interpret"))
+    jax.jit, static_argnames=("iters", "scale_by_dm", "maxdiff", "interpret"))
 def fft_burst_pallas(x: jax.Array, expout: jax.Array, out0: jax.Array,
                      c: jax.Array, f: jax.Array, b: jax.Array, p: jax.Array,
                      mom: tuple | None = None, *, lr: float = 0.2,
                      alpha: float = 0.9, iters: int = 100,
+                     maxdiff: bool = False, w0: float = 1.0, w1: float = 10.0,
                      scale_by_dm: bool = True,
                      interpret: bool | None = None) -> FFTBurstResult:
-    """Drop-in replacement for :func:`spectralae.train.fft.fft_burst`
-    (maxdiff unsupported here — use the jnp path for multiobjective)."""
+    """Drop-in replacement for :func:`spectralae.train.fft.fft_burst`.
+
+    The multiobjective diversity term operates on the tiny compact kernels,
+    so it stays in plain jnp between the two Pallas sweeps."""
     if interpret is None:
         interpret = jax.devices()[0].platform not in ("tpu", "axon")
     nx, ny = x.shape[-2], x.shape[-1]
@@ -272,10 +276,19 @@ def fft_burst_pallas(x: jax.Array, expout: jax.Array, out0: jax.Array,
         gc, gf, db, dp = k1(xr, xi, yr, yi, orr, oii, cosB, sinB, wv,
                             c.reshape(dM * dD, P), f.reshape(dD * dM, P),
                             b[:, None])
-        c, Dc = inertia(c, gc.reshape(c.shape), Dc)
-        f, Df = inertia(f, gf.reshape(f.shape), Df)
-        b, Db = inertia(b, db[:, 0], Db)
-        p, Dp = inertia(p, dp[:, 0], Dp)
+        gc = gc.reshape(c.shape)
+        gf = gf.reshape(f.shape)
+        gb, gp = db[:, 0], dp[:, 0]
+        if maxdiff:
+            cd, fd, bd, pd = diversity_gradients(c, f, b, p)
+            gc = w0 * gc - w1 * cd
+            gf = w0 * gf - w1 * fd
+            gb = w0 * gb - w1 * bd
+            gp = w0 * gp - w1 * pd
+        c, Dc = inertia(c, gc, Dc)
+        f, Df = inertia(f, gf, Df)
+        b, Db = inertia(b, gb, Db)
+        p, Dp = inertia(p, gp, Dp)
         orr, oii, msep = k2(xr, xi, yr, yi, cosB, sinB, wv,
                             c.reshape(dM * dD, P), f.reshape(dD * dM, P),
                             b[:, None], p[:, None])
@@ -295,15 +308,14 @@ def auto_burst(x, expout, out0, c, f, b, p, mom=None, *, lr=0.2, alpha=0.9,
     """Pick the fastest correct burst implementation.
 
     The fused Pallas path (this module) when compiled TPU execution is
-    available and the multiobjective term is off; otherwise the jnp path
-    (which also supports ``maxdiff``).
+    available; otherwise the jnp path.
     """
     from .fft import fft_burst
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-    if on_tpu and not maxdiff:
+    if on_tpu:
         return fft_burst_pallas(x, expout, out0, c, f, b, p, mom, lr=lr,
-                                alpha=alpha, iters=iters,
-                                scale_by_dm=scale_by_dm)
+                                alpha=alpha, iters=iters, maxdiff=maxdiff,
+                                w0=w0, w1=w1, scale_by_dm=scale_by_dm)
     return fft_burst(x, expout, out0, c, f, b, p, mom, lr=lr, alpha=alpha,
                      iters=iters, maxdiff=maxdiff, w0=w0, w1=w1,
                      scale_by_dm=scale_by_dm)

@@ -62,3 +62,29 @@ def test_pallas_burst_nonsquare_tiles():
                            lr=0.2, iters=3, interpret=True)
     np.testing.assert_allclose(np.asarray(got.mses), np.asarray(ref.mses),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_burst_maxdiff_matches_jnp():
+    x, out0, enc, dec = setup()
+    ref = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                    lr=0.2, iters=4, impl="dft", maxdiff=True)
+    got = fft_burst_pallas(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                           lr=0.2, iters=4, maxdiff=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.mses), np.asarray(ref.mses),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.c), np.asarray(ref.c),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_burst_momentum_carry():
+    x, out0, enc, dec = setup()
+    r1 = fft_burst_pallas(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                          lr=0.2, iters=3, interpret=True)
+    r2 = fft_burst_pallas(x, x, out0, r1.c, r1.f, r1.b, r1.p, mom=r1.mom,
+                          lr=0.2, iters=3, interpret=True)
+    ref = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                    lr=0.2, iters=3, impl="dft")
+    ref2 = fft_burst(x, x, out0, ref.c, ref.f, ref.b, ref.p, mom=ref.mom,
+                     lr=0.2, iters=3, impl="dft")
+    np.testing.assert_allclose(np.asarray(r2.c), np.asarray(ref2.c),
+                               rtol=1e-3, atol=1e-4)
