@@ -39,7 +39,7 @@ def _make_engine(args):
     eng = Engine(cfg, seed=args.seed, param_file=args.param_file)
     for _ in range(args.layers - 1):
         eng.add_layer()
-    eng.flags.n_l = 0
+    eng.select_layer(0)
     return eng
 
 

@@ -141,9 +141,20 @@ class Engine:
         self.step_count += 1
         return np.asarray(out[0])
 
+    def select_layer(self, n_l: int):
+        """Set the training-focus pair, resetting per-pair optimizer state
+        (the 'z'/'x' semantics for direct assignment)."""
+        self.flags.n_l = n_l % self.spec.n_pairs
+        self.flags.feat = 0
+        self._reset_pair_opt_state()
+
     def _train(self):
         f = self.flags
         n_l = f.n_l
+        enc0, dec0 = self.params.pair(n_l)
+        if self._mom[0].shape != enc0.c.shape:
+            # focus pair changed without going through select_layer
+            self._reset_pair_opt_state()
         in_full = self.layers[2 * n_l + 1][0]
         hin_full = self.layers[2 * n_l + 2][0]
         out_full = self.layers[len(self.layers) - 2 - 2 * n_l][0]

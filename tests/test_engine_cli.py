@@ -210,3 +210,19 @@ def test_spectrum_view_matches_fft_magnitude():
     sh = shift_magnitude(mag)
     assert sh.shape == mag.shape
     np.testing.assert_allclose(sh[..., 4, 4], mag[..., 0, 0])
+
+
+def test_direct_layer_selection_resets_opt_state():
+    """Regression: switching focus pairs without select_layer must not
+    carry mismatched momentum shapes into the coord train step."""
+    eng = make_engine(nx=32)
+    eng.add_layer()              # focus moves to pair 1 (8x8 inner)
+    eng.flags.n_l = 0            # direct assignment, stale opt state
+    eng.toggle_fft()             # coord mode
+    eng.toggle_training()
+    eng.step(frame(32))          # must not raise
+    assert np.isfinite(eng.last_mse)
+    eng2 = make_engine(nx=32)
+    eng2.add_layer()
+    eng2.select_layer(0)
+    assert eng2._mom[0].shape == eng2.params.stages[0].c.shape
