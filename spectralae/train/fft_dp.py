@@ -1,0 +1,139 @@
+"""Data-parallel momentum-space bursts: one kernel pair, many frames.
+
+A *new* capability beyond the reference (whose burst trains on a single
+frozen frame, SURVEY.md §2.9): the analytic frequency-domain gradients are
+averaged over a batch of frozen patches each inner iteration, and the batch
+shards over the mesh's ``data`` axis — gradients cross ICI via ``psum``
+(expressed with ``shard_map`` + ``pmean``; XLA lowers the collective).
+
+Semantics reduce exactly to the reference burst at B=1 (tested), making
+this the scaling path for BASELINE config 5 (video streams at 512²).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import dft, spectral
+from ..optim.update import GRAD_CLIP
+from .fft import FFTBurstResult
+
+
+def _gradient_k_io_batch(X, Y, O, Cf, Ff, b, nx, ny, axis_name=None):
+    """Batch-averaged analytic gradients (see train.fft.gradient_k_io)."""
+    dM, dD = Cf.shape[0], Cf.shape[1]
+    norm = nx * ny
+    Norm = norm * 2.0 * dM * dD * nx * ny
+    E = O - Y                                               # [B, D, x, y]
+    S = jnp.einsum("bdxy,dmxy->bmxy", E, jnp.conj(Ff))
+    H = jnp.einsum("mdxy,bdxy->bmxy", Cf, X)
+    H = H.at[:, :, 0, 0].add(b.astype(H.dtype) * norm)
+    nb = X.shape[0]
+    dc = jnp.einsum("bmxy,bdxy->mdxy", S, jnp.conj(X)) / (Norm * nb)
+    df = jnp.einsum("bdxy,bmxy->dmxy", E, jnp.conj(H)) / (Norm * nb)
+    db = jnp.mean(S[:, :, 0, 0].real, axis=0) * norm / Norm
+    dp = jnp.mean(E[:, :, 0, 0].real, axis=0) * norm / Norm
+    if axis_name is not None:
+        dc, df, db, dp = jax.tree.map(
+            lambda t: lax.pmean(t, axis_name), (dc, df, db, dp))
+    return dc, df, db, dp
+
+
+def _burst_dp_body(x, expout, out0, c, f, b, p, mom, *, lr, alpha, iters,
+                   scale_by_dm, axis_name):
+    nx, ny = x.shape[-2], x.shape[-1]
+    dM, dD, nk, nl = c.shape
+    del_eff = 0.1 * lr
+    X = spectral.rfft2(x)
+    Y = spectral.rfft2(expout)
+    O = spectral.rfft2(out0)
+
+    def batch_mse(Yb, Ob):
+        m = jax.vmap(lambda a, o: spectral.parseval_mse(a, o, dD, dM, nx, ny)
+                     )(Yb, Ob)
+        m = jnp.mean(m)
+        return lax.pmean(m, axis_name) if axis_name else m
+
+    mses = jnp.zeros((iters + 1,), x.dtype).at[0].set(batch_mse(Y, O))
+
+    def inertia(w, g, mo):
+        dw = (1.0 - alpha) * del_eff * g / jnp.maximum(jnp.abs(g), GRAD_CLIP) \
+            + alpha * mo
+        return w - dw, dw
+
+    def body(i, carry):
+        c, f, b, p, Dc, Df, Db, Dp, O, mses = carry
+        Cf = dft.kernel_spectrum(c, nx, ny)
+        Ff = dft.kernel_spectrum(f, nx, ny)
+        dc, df, db, dp = _gradient_k_io_batch(X, Y, O, Cf, Ff, b, nx, ny,
+                                              axis_name)
+        gc = dft.kernel_project(dc, nk, nl, nx, ny)
+        gf = dft.kernel_project(df, nk, nl, nx, ny)
+        c, Dc = inertia(c, gc, Dc)
+        f, Df = inertia(f, gf, Df)
+        b, Db = inertia(b, db, Db)
+        p, Dp = inertia(p, dp, Dp)
+        Cf = dft.kernel_spectrum(c, nx, ny)
+        Ff = dft.kernel_spectrum(f, nx, ny)
+        H = spectral.spectral_conv(X, Cf, b, nx, ny, scale_by_dm=scale_by_dm)
+        O = spectral.spectral_conv(H, Ff, p, nx, ny, scale_by_dm=scale_by_dm)
+        mses = mses.at[i + 1].set(batch_mse(Y, O))
+        return (c, f, b, p, Dc, Df, Db, Dp, O, mses)
+
+    init = (c, f, b, p, *mom, O, mses)
+    out = lax.fori_loop(0, iters, body, init)
+    c, f, b, p, Dc, Df, Db, Dp = out[:8]
+    return FFTBurstResult(c=c, f=f, b=b, p=p, mom=(Dc, Df, Db, Dp),
+                          mses=out[-1])
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "scale_by_dm"))
+def fft_burst_dp(x: jax.Array, expout: jax.Array, out0: jax.Array,
+                 c: jax.Array, f: jax.Array, b: jax.Array, p: jax.Array,
+                 mom: tuple | None = None, *, lr: float = 0.2,
+                 alpha: float = 0.9, iters: int = 100,
+                 scale_by_dm: bool = True) -> FFTBurstResult:
+    """Single-device batched burst: ``x/expout/out0`` are ``[B, D, h, w]``."""
+    if mom is None:
+        mom = (jnp.zeros_like(c), jnp.zeros_like(f),
+               jnp.zeros_like(b), jnp.zeros_like(p))
+    return _burst_dp_body(x, expout, out0, c, f, b, p, mom, lr=lr,
+                          alpha=alpha, iters=iters, scale_by_dm=scale_by_dm,
+                          axis_name=None)
+
+
+def distributed_burst(mesh: Mesh, *, lr: float = 0.2, alpha: float = 0.9,
+                      iters: int = 100, scale_by_dm: bool = True):
+    """Build a jitted multi-chip burst: batch sharded over 'data', params
+    replicated, per-iteration gradient pmean over ICI."""
+    from jax import shard_map
+
+    batch_spec = P("data", None, None, None)
+    rep = P()
+
+    def local(x, expout, out0, c, f, b, p, Dc, Df, Db, Dp):
+        return _burst_dp_body(x, expout, out0, c, f, b, p,
+                              (Dc, Df, Db, Dp), lr=lr, alpha=alpha,
+                              iters=iters, scale_by_dm=scale_by_dm,
+                              axis_name="data")
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(batch_spec, batch_spec, batch_spec,
+                  rep, rep, rep, rep, rep, rep, rep, rep),
+        out_specs=FFTBurstResult(c=rep, f=rep, b=rep, p=rep,
+                                 mom=(rep, rep, rep, rep), mses=rep))
+
+    @jax.jit
+    def run(x, expout, out0, c, f, b, p, mom=None):
+        if mom is None:
+            mom = (jnp.zeros_like(c), jnp.zeros_like(f),
+                   jnp.zeros_like(b), jnp.zeros_like(p))
+        return sharded(x, expout, out0, c, f, b, p, *mom)
+
+    return run

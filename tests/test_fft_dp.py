@@ -1,0 +1,63 @@
+"""Data-parallel burst: B=1 equivalence, convergence, 8-device sharding."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spectralae.core.config import Config, LayerParams
+from spectralae.core.types import initial_spec, init_params
+from spectralae.dist import mesh as dist
+from spectralae.model import autoencoder as model
+from spectralae.train.fft import fft_burst
+from spectralae.train.fft_dp import fft_burst_dp, distributed_burst
+
+
+def setup(nx=16, d=2, m=4, b=8, seed=0):
+    cfg = Config(nx=nx, ny=nx, d=d,
+                 layer=LayerParams(depth=m, lk=1, ll=1, scale=1, rmax=0.5))
+    spec = initial_spec(cfg)
+    params = init_params(jax.random.key(seed), spec, 0.5)
+    xs = jnp.asarray(np.random.default_rng(seed).normal(
+        size=(b, d, nx, nx)).astype(np.float32)) * 50
+    out0 = model.forward_fft(params, xs, spec.scales)
+    enc, dec = params.pair(0)
+    return xs, out0, enc, dec
+
+
+def test_dp_burst_b1_matches_reference_burst():
+    xs, out0, enc, dec = setup(b=1)
+    ref = fft_burst(xs[0], xs[0], out0[0], enc.c, dec.c, enc.b, dec.b,
+                    lr=0.2, iters=5, impl="dft")
+    got = fft_burst_dp(xs, xs, out0, enc.c, dec.c, enc.b, dec.b,
+                       lr=0.2, iters=5)
+    np.testing.assert_allclose(np.asarray(got.mses), np.asarray(ref.mses),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.c), np.asarray(ref.c),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dp_burst_converges_on_batch():
+    xs, out0, enc, dec = setup(b=4)
+    res = fft_burst_dp(xs, xs, out0, enc.c, dec.c, enc.b, dec.b,
+                       lr=0.2, iters=60)
+    mses = np.asarray(res.mses)
+    assert np.isfinite(mses).all()
+    assert mses[-1] < mses[0] * 0.9
+
+
+def test_distributed_burst_matches_single_device():
+    assert len(jax.devices()) == 8
+    m = dist.make_mesh(n_data=8, n_model=1)
+    xs, out0, enc, dec = setup(b=8)
+    xs_s = dist.shard_batch(np.asarray(xs), m)
+    out0_s = dist.shard_batch(np.asarray(out0), m)
+    run = distributed_burst(m, lr=0.2, iters=10)
+    got = run(xs_s, xs_s, out0_s, enc.c, dec.c, enc.b, dec.b)
+    want = fft_burst_dp(xs, xs, out0, enc.c, dec.c, enc.b, dec.b,
+                        lr=0.2, iters=10)
+    np.testing.assert_allclose(np.asarray(got.mses), np.asarray(want.mses),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.c), np.asarray(want.c),
+                               rtol=1e-4, atol=1e-5)
