@@ -38,7 +38,12 @@ from ..ops import spectral
 from ..optim.update import GRAD_CLIP
 from .fft import FFTBurstResult
 
-TW = 512  # ω-tile width (lanes); W = Nx·(Ny/2+1) is padded to a multiple
+import os as _os
+
+TW = int(_os.environ.get("SPECTRALAE_PALLAS_TW", "2048"))
+# ω-tile width (lanes); W = Nx·(Ny/2+1) is padded to a multiple.  2048 keeps
+# per-tile VMEM ~4.5 MB and minimizes grid-step overhead (measured best on
+# v5e; override via SPECTRALAE_PALLAS_TW).
 
 
 @functools.lru_cache(maxsize=None)
