@@ -16,7 +16,6 @@ from __future__ import annotations
 import dataclasses
 import functools
 from pathlib import Path
-from typing import Optional
 
 import numpy as np
 import jax
@@ -106,15 +105,12 @@ class Engine:
         self._mom = (z(enc.c), z(dec.c), z(enc.b), z(dec.b))
         self._prev_grad = tuple(self._mom)
 
-    @property
-    def tap_mode(self) -> str:
+    def _coord_tap(self) -> str:
         """gpu toggle selects which reference tap window the coord path uses
-        (the reference's CPU and GPU convs genuinely differ — SURVEY.md §7)."""
+        (the reference's CPU and GPU convs genuinely differ — SURVEY.md §7);
+        an explicit Config.tap_mode overrides both."""
         if self.cfg.tap_mode != "centered":
             return self.cfg.tap_mode
-        return "centered"
-
-    def _coord_tap(self) -> str:
         return "ref_gpu" if self.flags.gpu else "ref_cpu"
 
     # ------------------------------------------------------------- main loop
