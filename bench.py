@@ -160,6 +160,42 @@ def main():
     results["modern_fft_step_b8_ms"] = dt * 1e3
     results["modern_fft_frames_per_sec"] = 8.0 / dt
 
+    # ---- spectral-vs-coord conv speedup across kernel sizes ----
+    # The reference's qualitative claim (README.md:5-6) quantified: one
+    # M=10 conv layer at 256², coordinate (lax conv) vs momentum space
+    # (rfft2 + pointwise complex conv + irfft2), batch 8.
+    from spectralae.ops import coord as coord_ops
+    from spectralae.ops import spectral as spectral_ops
+    for lk in (1, 5, 15):   # 5×5, 13×13, 33×33 kernels
+        nk = 2 * (lk + 1) + 1
+        ck = jax.device_put(
+            rng.normal(size=(10, 3, nk, nk)).astype(np.float32))
+        bb = jax.device_put(rng.normal(size=(10,)).astype(np.float32))
+
+        @jax.jit
+        def conv_coord(x, ck=ck, bb=bb):
+            return coord_ops.conv2d(x, ck, bb, tap_mode="centered")
+
+        @jax.jit
+        def conv_fftd(x, ck=ck, bb=bb):
+            X = spectral_ops.rfft2(x)
+            C = spectral_ops.kernel_rfft(ck, 256, 256)
+            return spectral_ops.irfft2(
+                spectral_ops.spectral_conv(X, C, bb, 256, 256), (256, 256))
+
+        def step_c(x):
+            out = conv_coord(x)
+            return out, x + out[:, :3] * 1e-9
+
+        def step_f(x):
+            out = conv_fftd(x)
+            return out, x + out[:, :3] * 1e-9
+        dtc = time_chained(step_c, frame(b=8), n=8)
+        dtf = time_chained(step_f, frame(b=8), n=8)
+        results[f"conv_coord_{nk}x{nk}_b8_ms"] = dtc * 1e3
+        results[f"conv_spectral_{nk}x{nk}_b8_ms"] = dtf * 1e3
+        results[f"spectral_speedup_{nk}x{nk}"] = dtc / dtf
+
     # ---- 512×512 deep config (BASELINE config 5), batch 4 ----
     cfg512 = Config(nx=512, ny=512, d=3,
                     layer=LayerParams(depth=10, lk=1, ll=1, scale=2,

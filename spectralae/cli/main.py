@@ -114,6 +114,12 @@ def cmd_train(args):
             break
         res = train_step(params, opt, batch, spec.scales, lr=args.lr,
                          alpha=args.alpha, domain=args.domain)
+        if not np.isfinite(float(res.loss)):
+            # failure detection (SURVEY.md §5.3): halt on divergence, keep
+            # the last good checkpoint instead of overwriting it
+            print(json.dumps({"step": step_i, "error": "non-finite loss",
+                              "loss": float(res.loss)}), flush=True)
+            break
         params, opt = res.params, res.opt
         if step_i % args.log_every == 0:
             rec = {"step": step_i, "loss": float(res.loss),

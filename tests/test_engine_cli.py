@@ -226,3 +226,52 @@ def test_direct_layer_selection_resets_opt_state():
     eng2.add_layer()
     eng2.select_layer(0)
     assert eng2._mom[0].shape == eng2.params.stages[0].c.shape
+
+
+def test_inner_layer_burst_trains_at_reduced_resolution():
+    """'z' to the inner pair, then an fft burst at that pair's resolution."""
+    eng = make_engine(nx=32)
+    eng.add_layer()                 # inner pair at 8x8
+    assert eng.flags.n_l == 1
+    eng.step(frame(32))
+    eng.toggle_training()
+    old = np.asarray(eng.params.stages[1].c).copy()
+    eng.step(frame(32))
+    assert np.isfinite(eng.last_mse)
+    assert not np.array_equal(np.asarray(eng.params.stages[1].c), old)
+    # outer pair untouched
+    eng2 = make_engine(nx=32)
+    eng2.add_layer()
+    np.testing.assert_array_equal(np.asarray(eng.params.stages[0].c),
+                                  np.asarray(eng2.params.stages[0].c))
+
+
+def test_cli_train_halts_on_divergence(tmp_path, capsys, monkeypatch):
+    import json as _json
+    from spectralae.cli import main as cli
+    calls = {"n": 0}
+    real = cli.__dict__
+    from spectralae.train import modern
+
+    class FakeRes:
+        def __init__(self, loss, params, opt):
+            self.loss = loss
+            self.params = params
+            self.opt = opt
+
+    orig = modern.train_step
+
+    def bad_step(params, opt, batch, scales, **kw):
+        calls["n"] += 1
+        import jax.numpy as jnp
+        r = orig(params, opt, batch, scales, **kw)
+        if calls["n"] >= 2:
+            return FakeRes(jnp.float32(float("nan")), r.params, r.opt)
+        return r
+
+    monkeypatch.setattr("spectralae.train.modern.train_step", bad_step)
+    cli.main(["train", "--nx", "16", "--steps", "10", "--batch", "2",
+              "--log-every", "1"])
+    out = capsys.readouterr().out
+    assert "non-finite loss" in out
+    assert calls["n"] == 2
