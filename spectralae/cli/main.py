@@ -87,6 +87,42 @@ def cmd_run(args):
                 print(f"key '{k}' -> {r}", flush=True)
 
 
+def _train_bursts(args):
+    """Headless reference-style training: per-batch frozen-input FFT bursts
+    with batch-averaged gradients (train/fft_dp)."""
+    import jax
+    import jax.numpy as jnp
+    from ..data import pipeline
+    from ..io import checkpoint as ckpt
+    from ..model import autoencoder as model
+    from ..train.fft_dp import fft_burst_dp
+    from ..core.types import ConvStage
+    eng = _make_engine(args)
+    params, spec = eng.params, eng.spec
+    fwd = jax.jit(lambda p, x: model.forward_fft(p, x, spec.scales))
+    pf = pipeline.DevicePrefetcher(_source(args), args.nx, args.ny,
+                                   batch=args.batch)
+    mom = None
+    for step_i, batch in enumerate(pf):
+        if step_i >= args.steps:
+            break
+        out0 = fwd(params, batch)
+        enc, dec = params.pair(0)
+        res = fft_burst_dp(batch, batch, out0, enc.c, dec.c, enc.b, dec.b,
+                           mom, lr=args.lr, alpha=args.alpha)
+        mom = res.mom
+        params = params.replace_pair(0, ConvStage(c=res.c, b=res.b),
+                                     ConvStage(c=res.f, b=res.p))
+        if step_i % args.log_every == 0:
+            print(json.dumps({"step": step_i,
+                              "mse0": float(res.mses[0]),
+                              "mseN": float(res.mses[-1])}), flush=True)
+    pf.close()
+    if args.ckpt:
+        ckpt.save(args.ckpt, params, spec, None, extra={"step": args.steps})
+        print(f"checkpoint written to {args.ckpt}", flush=True)
+
+
 def cmd_train(args):
     import jax
     import jax.numpy as jnp
@@ -94,6 +130,8 @@ def cmd_train(args):
     from ..data import pipeline
     from ..io import checkpoint as ckpt
     from ..train.modern import train_step
+    if args.mode == "burst":
+        return _train_bursts(args)
     start_step = 0
     if args.resume:
         params, spec, opt, extra = ckpt.load(args.resume)
@@ -112,8 +150,13 @@ def cmd_train(args):
     for step_i, batch in enumerate(pf, start=start_step):
         if step_i >= args.steps:
             break
+        import jax.numpy as _jnp
+        from ..ops.coord import leaky_relu as _lrelu
         res = train_step(params, opt, batch, spec.scales, lr=args.lr,
-                         alpha=args.alpha, domain=args.domain)
+                         alpha=args.alpha, domain=args.domain,
+                         compute_dtype=_jnp.bfloat16 if args.bf16 else None,
+                         act=_lrelu if args.activation == "leaky_relu"
+                         else None)
         if not np.isfinite(float(res.loss)):
             # failure detection (SURVEY.md §5.3): halt on divergence, keep
             # the last good checkpoint instead of overwriting it
@@ -175,6 +218,13 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=0.2)
     p.add_argument("--alpha", type=float, default=0.9)
     p.add_argument("--domain", choices=("fft", "coord"), default="fft")
+    p.add_argument("--mode", choices=("step", "burst"), default="step",
+                   help="step: batched autodiff training; burst: the "
+                        "reference's per-frame 100-iteration FFT bursts")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute in the coord domain")
+    p.add_argument("--activation", choices=("identity", "leaky_relu"),
+                   default="identity")
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--ckpt", default="")
     p.add_argument("--ckpt-every", type=int, default=100)

@@ -29,14 +29,28 @@ class TrainStepResult(NamedTuple):
 
 def reconstruction_loss(params: AEParams, x: jax.Array, scales, *,
                         domain: str = "fft", tap_mode: str = "centered",
-                        scale_by_dm: bool = True) -> jax.Array:
-    """½·mean squared reconstruction error over the batch."""
+                        scale_by_dm: bool = True, act=None,
+                        compute_dtype=None) -> jax.Array:
+    """½·mean squared reconstruction error over the batch.
+
+    ``compute_dtype=jnp.bfloat16`` runs the forward in bf16 (MXU-native)
+    with fp32 params/loss — the production mixed-precision path.  ``act``
+    applies only in the coordinate domain (the spectral forward is linear
+    by construction; the reference's activation is identity there too,
+    backproplib.cu:38-44).
+    """
     if domain == "fft":
+        # XLA's real FFT is fp32; reduced precision applies to the coord
+        # domain only (the spectral path's hot ops are already fused)
         out = model.forward_fft(params, x, scales, scale_by_dm=scale_by_dm)
     else:
+        if compute_dtype is not None:
+            params = jax.tree.map(lambda t: t.astype(compute_dtype), params)
+            x = x.astype(compute_dtype)
         out = model.forward_coord(params, x, scales, tap_mode=tap_mode,
-                                  scale_by_dm=scale_by_dm)[-1]
-    return 0.5 * jnp.mean((out - x) ** 2)
+                                  scale_by_dm=scale_by_dm, act=act)[-1]
+    x32 = x.astype(jnp.float32)
+    return 0.5 * jnp.mean((out.astype(jnp.float32) - x32) ** 2)
 
 
 def _mask_grads(grads: AEParams, params: AEParams, train_pair: int) -> AEParams:
@@ -54,12 +68,13 @@ def _mask_grads(grads: AEParams, params: AEParams, train_pair: int) -> AEParams:
 @functools.partial(
     jax.jit,
     static_argnames=("scales", "domain", "tap_mode", "scale_by_dm",
-                     "train_pair", "active"))
+                     "train_pair", "active", "act", "compute_dtype"))
 def train_step(params: AEParams, opt: OptState, x: jax.Array,
                scales: tuple, *, lr: float = 0.2, alpha: float = 0.9,
                domain: str = "fft", tap_mode: str = "centered",
                scale_by_dm: bool = True, train_pair: int = -1,
-               active: bool = False) -> TrainStepResult:
+               active: bool = False, act=None,
+               compute_dtype=None) -> TrainStepResult:
     """One batched train step.
 
     Args:
@@ -69,7 +84,8 @@ def train_step(params: AEParams, opt: OptState, x: jax.Array,
     """
     loss, grads = jax.value_and_grad(reconstruction_loss)(
         params, x, scales, domain=domain, tap_mode=tap_mode,
-        scale_by_dm=scale_by_dm)
+        scale_by_dm=scale_by_dm, act=act, compute_dtype=compute_dtype)
+    grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
     if train_pair >= 0:
         grads = _mask_grads(grads, params, train_pair)
     new_params, new_mom, new_pg = tree_update(

@@ -275,3 +275,15 @@ def test_cli_train_halts_on_divergence(tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "non-finite loss" in out
     assert calls["n"] == 2
+
+
+def test_cli_train_burst_mode(tmp_path, capsys):
+    from spectralae.cli.main import main
+    main(["train", "--nx", "16", "--steps", "2", "--batch", "2",
+          "--mode", "burst", "--log-every", "1",
+          "--ckpt", str(tmp_path / "ck")])
+    out = capsys.readouterr().out
+    assert '"mseN"' in out
+    from spectralae.io import checkpoint as ckpt
+    params, spec, opt, extra = ckpt.load(tmp_path / "ck")
+    assert extra["step"] == 2

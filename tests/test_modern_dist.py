@@ -91,3 +91,23 @@ def test_data_parallel_batch_is_sharded():
     x = np.ones((16, 3, 8, 8), np.float32)
     xb = dist.shard_batch(x, m)
     assert len(xb.sharding.device_set) == 8
+
+
+def test_bf16_compute_and_activation():
+    import jax.numpy as jnp
+    from spectralae.ops.coord import leaky_relu
+    cfg, spec, params = setup()
+    opt = init_opt_state(params)
+    x = jnp.asarray(np.random.default_rng(5).normal(
+        size=(4, cfg.d, cfg.nx, cfg.ny)).astype(np.float32)) * 20
+    losses = []
+    p, o = params, opt
+    for _ in range(60):
+        res = train_step(p, o, x, spec.scales, lr=0.5, domain="coord",
+                         compute_dtype=jnp.bfloat16, act=leaky_relu)
+        p, o = res.params, res.opt
+        losses.append(float(res.loss))
+    assert np.isfinite(losses).all()
+    # bf16 + nonlinearity trains more slowly; require monotone-ish progress
+    assert losses[-1] < losses[0] * 0.98
+    assert p.stages[0].c.dtype == jnp.float32   # params stay fp32
