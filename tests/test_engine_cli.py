@@ -287,3 +287,16 @@ def test_cli_train_burst_mode(tmp_path, capsys):
     from spectralae.io import checkpoint as ckpt
     params, spec, opt, extra = ckpt.load(tmp_path / "ck")
     assert extra["step"] == 2
+
+
+def test_train_demo_example(tmp_path):
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]
+                           / "examples"))
+    import train_demo
+    err0, err1 = train_demo.main(["--nx", "16", "--depth", "4",
+                                  "--bursts", "3", "--iters", "30",
+                                  "--outdir", str(tmp_path)])
+    assert err1 < err0
+    assert (tmp_path / "recon_after.png").exists()
+    assert (tmp_path / "mse.csv").exists()

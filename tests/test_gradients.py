@@ -71,3 +71,21 @@ def test_momentum_update_matches_oracle():
                                      0.2, 0.9)
     np.testing.assert_allclose(np.asarray(got.w), want_w, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(got.mom), want_mom, rtol=1e-6)
+
+
+def test_diversity_loss_grad_matches_explicit():
+    """-grad of the scalar log-distance loss == the repulsion direction of
+    gradient_diff for kernels and biases (restricted pair set)."""
+    import jax
+    from spectralae.losses.losses import diversity_loss
+    c = rand(4, 3, 3, 3)
+    b = rand(4)
+    gc, gb = jax.grad(lambda cc, bb: diversity_loss(cc, bb), argnums=(0, 1))(
+        jnp.asarray(c), jnp.asarray(b))
+    cd, _, bd, _ = diversity_gradients(jnp.asarray(c),
+                                       jnp.asarray(rand(3, 4, 3, 3)),
+                                       jnp.asarray(b), jnp.asarray(rand(3)))
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(cd),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(bd),
+                               rtol=1e-4, atol=1e-5)
