@@ -92,16 +92,28 @@ def _burst_dp_body(x, expout, out0, c, f, b, p, mom, *, lr, alpha, iters,
                           mses=out[-1])
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "scale_by_dm"))
+@functools.partial(jax.jit, static_argnames=("iters", "scale_by_dm",
+                                             "use_pallas"))
 def fft_burst_dp(x: jax.Array, expout: jax.Array, out0: jax.Array,
                  c: jax.Array, f: jax.Array, b: jax.Array, p: jax.Array,
                  mom: tuple | None = None, *, lr: float = 0.2,
                  alpha: float = 0.9, iters: int = 100,
-                 scale_by_dm: bool = True) -> FFTBurstResult:
-    """Single-device batched burst: ``x/expout/out0`` are ``[B, D, h, w]``."""
+                 scale_by_dm: bool = True,
+                 use_pallas: bool | None = None) -> FFTBurstResult:
+    """Single-device batched burst: ``x/expout/out0`` are ``[B, D, h, w]``.
+
+    Dispatches to the fused batched Pallas iteration on TPU (an order of
+    magnitude faster than the batched-einsum jnp body at B=8)."""
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform in ("tpu", "axon")
     if mom is None:
         mom = (jnp.zeros_like(c), jnp.zeros_like(f),
                jnp.zeros_like(b), jnp.zeros_like(p))
+    if use_pallas:
+        from .fft_pallas import fft_burst_pallas
+        return fft_burst_pallas(x, expout, out0, c, f, b, p, mom, lr=lr,
+                                alpha=alpha, iters=iters,
+                                scale_by_dm=scale_by_dm)
     return _burst_dp_body(x, expout, out0, c, f, b, p, mom, lr=lr,
                           alpha=alpha, iters=iters, scale_by_dm=scale_by_dm,
                           axis_name=None)

@@ -75,46 +75,56 @@ def _herm_weights(nx: int, ny: int, wpad: int):
     return out.reshape(1, wpad)
 
 
-def _grad_project_kernel(m, d, p, norm, n_norm,
+def _grad_project_kernel(nb, m, d, p, norm, n_norm,
                          xr_ref, xi_ref, yr_ref, yi_ref, or_ref, oi_ref,
                          cos_ref, sin_ref, wv_ref, c_ref, f_ref, b_ref,
                          gc_ref, gf_ref, db_ref, dp_ref):
+    """Gradient + projection sweep; ``nb`` frozen frames share the kernels
+    and their gradients are batch-averaged (fft_burst_dp semantics; nb=1
+    is the reference burst)."""
     i = pl.program_id(0)
     cos = cos_ref[:]                      # [P, TW]
     sin = sin_ref[:]
+    tw = cos.shape[-1]
     # kernel spectra tiles from compact kernels: real c ⇒ re=c@cos, im=−c@sin
     cfr = jnp.dot(c_ref[:], cos, preferred_element_type=jnp.float32)
     cfi = -jnp.dot(c_ref[:], sin, preferred_element_type=jnp.float32)
     ffr = jnp.dot(f_ref[:], cos, preferred_element_type=jnp.float32)
     ffi = -jnp.dot(f_ref[:], sin, preferred_element_type=jnp.float32)
-    cfr = cfr.reshape(m, d, cfr.shape[-1])   # rows m·D+d
-    cfi = cfi.reshape(m, d, cfi.shape[-1])
-    ffr = ffr.reshape(d, m, ffr.shape[-1])   # rows d·M+m
-    ffi = ffi.reshape(d, m, ffi.shape[-1])
-    er = or_ref[:] - yr_ref[:]               # [D, TW]
-    ei = oi_ref[:] - yi_ref[:]
-    xr = xr_ref[:]
-    xi = xi_ref[:]
-    # S_m = Σ_d E_d · conj(Ff_{d,m})
-    sr = jnp.sum(er[:, None] * ffr + ei[:, None] * ffi, axis=0)   # [M, TW]
-    si = jnp.sum(ei[:, None] * ffr - er[:, None] * ffi, axis=0)
-    # H_m = Σ_d Cf_{m,d} · X_d  (+ b·Nx·Ny at the DC bin — tile 0, lane 0;
-    # note: *no* /M scaling in the gradient's H, a reference quirk)
-    hr = jnp.sum(cfr * xr[None] - cfi * xi[None], axis=1)         # [M, TW]
-    hi = jnp.sum(cfr * xi[None] + cfi * xr[None], axis=1)
+    cfr = cfr.reshape(m, d, tw)              # rows m·D+d
+    cfi = cfi.reshape(m, d, tw)
+    ffr = ffr.reshape(d, m, tw)              # rows d·M+m
+    ffi = ffi.reshape(d, m, tw)
+    er = (or_ref[:] - yr_ref[:]).reshape(nb, d, tw)
+    ei = (oi_ref[:] - yi_ref[:]).reshape(nb, d, tw)
+    xr = xr_ref[:].reshape(nb, d, tw)
+    xi = xi_ref[:].reshape(nb, d, tw)
+    # S_{b,m} = Σ_d E_{b,d} · conj(Ff_{d,m})
+    sr = jnp.sum(er[:, :, None] * ffr[None] + ei[:, :, None] * ffi[None],
+                 axis=1)                                        # [B, M, TW]
+    si = jnp.sum(ei[:, :, None] * ffr[None] - er[:, :, None] * ffi[None],
+                 axis=1)
+    # H_{b,m} = Σ_d Cf_{m,d} · X_{b,d}  (+ b·Nx·Ny at the DC bin — tile 0,
+    # lane 0; note: *no* /M scaling in the gradient's H, a reference quirk)
+    hr = jnp.sum(cfr[None] * xr[:, None] - cfi[None] * xi[:, None], axis=2)
+    hi = jnp.sum(cfr[None] * xi[:, None] + cfi[None] * xr[:, None], axis=2)
     dc_mask = jnp.where(
-        (jax.lax.broadcasted_iota(jnp.int32, (1, hr.shape[-1]), 1) == 0)
+        (jax.lax.broadcasted_iota(jnp.int32, (1, tw), 1) == 0)
         & (i == 0), 1.0, 0.0)
-    hr = hr + b_ref[:] * norm * dc_mask
+    hr = hr + b_ref[:][None] * norm * dc_mask[None]
 
     wv = wv_ref[:]                             # [1, TW] Hermitian weights
-    # dc[m,d] = S_m·conj(X_d); df[d,m] = E_d·conj(H_m)
-    dcr = (sr[:, None] * xr[None] + si[:, None] * xi[None]) * wv  # [M,D,TW]
-    dci = (si[:, None] * xr[None] - sr[:, None] * xi[None]) * wv
-    dfr = (er[:, None] * hr[None] + ei[:, None] * hi[None]) * wv  # [D,M,TW]
-    dfi = (ei[:, None] * hr[None] - er[:, None] * hi[None]) * wv
-    tw = dcr.shape[-1]
+    # dc[m,d] = mean_b S_{b,m}·conj(X_{b,d}); df[d,m] = mean_b E_{b,d}·conj(H_{b,m})
+    dcr = jnp.sum(sr[:, :, None] * xr[:, None] + si[:, :, None] * xi[:, None],
+                  axis=0) * wv                                  # [M, D, TW]
+    dci = jnp.sum(si[:, :, None] * xr[:, None] - sr[:, :, None] * xi[:, None],
+                  axis=0) * wv
+    dfr = jnp.sum(er[:, :, None] * hr[:, None] + ei[:, :, None] * hi[:, None],
+                  axis=0) * wv                                  # [D, M, TW]
+    dfi = jnp.sum(ei[:, :, None] * hr[:, None] - er[:, :, None] * hi[:, None],
+                  axis=0) * wv
     contract = (((1,), (1,)), ((), ()))
+    scale = 1.0 / (n_norm * nb)
     gc_tile = (lax.dot_general(dcr.reshape(m * d, tw), cos, contract,
                                preferred_element_type=jnp.float32)
                - lax.dot_general(dci.reshape(m * d, tw), sin, contract,
@@ -128,15 +138,19 @@ def _grad_project_kernel(m, d, p, norm, n_norm,
     def _():
         gc_ref[:] = jnp.zeros_like(gc_ref)
         gf_ref[:] = jnp.zeros_like(gf_ref)
-        # DC-bin bias gradients (fft_backproplib.cu:463-473)
-        db_ref[:] = sr[:, 0:1] * norm / n_norm
-        dp_ref[:] = er[:, 0:1] * norm / n_norm
+        # DC-bin bias gradients (fft_backproplib.cu:463-473), batch-averaged;
+        # lane-0 values extracted via masked reduction (Mosaic-friendly)
+        lane0 = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, tw), 2) == 0)
+        db_ref[:] = jnp.sum(jnp.where(lane0, sr, 0.0),
+                            axis=(0, 2))[:, None] * norm * scale
+        dp_ref[:] = jnp.sum(jnp.where(lane0, er, 0.0),
+                            axis=(0, 2))[:, None] * norm * scale
 
-    gc_ref[:] += gc_tile / n_norm
-    gf_ref[:] += gf_tile / n_norm
+    gc_ref[:] += gc_tile * scale
+    gf_ref[:] += gf_tile * scale
 
 
-def _respectra_conv_kernel(m, d, norm, inv_m, inv_d,
+def _respectra_conv_kernel(nb, m, d, norm, inv_m, inv_d,
                            xr_ref, xi_ref, yr_ref, yi_ref,
                            cos_ref, sin_ref, wv_ref, c_ref, f_ref,
                            b_ref, p_ref,
@@ -144,37 +158,41 @@ def _respectra_conv_kernel(m, d, norm, inv_m, inv_d,
     i = pl.program_id(0)
     cos = cos_ref[:]
     sin = sin_ref[:]
+    tw = cos.shape[-1]
     cfr = jnp.dot(c_ref[:], cos, preferred_element_type=jnp.float32)
     cfi = -jnp.dot(c_ref[:], sin, preferred_element_type=jnp.float32)
     ffr = jnp.dot(f_ref[:], cos, preferred_element_type=jnp.float32)
     ffi = -jnp.dot(f_ref[:], sin, preferred_element_type=jnp.float32)
-    tw = cfr.shape[-1]
     cfr = cfr.reshape(m, d, tw)
     cfi = cfi.reshape(m, d, tw)
     ffr = ffr.reshape(d, m, tw)
     ffi = ffi.reshape(d, m, tw)
-    xr = xr_ref[:] * inv_m                     # conv_k's /M input scaling
-    xi = xi_ref[:] * inv_m
-    hr = jnp.sum(cfr * xr[None] - cfi * xi[None], axis=1)   # [M, TW]
-    hi = jnp.sum(cfr * xi[None] + cfi * xr[None], axis=1)
+    xr = xr_ref[:].reshape(nb, d, tw) * inv_m  # conv_k's /M input scaling
+    xi = xi_ref[:].reshape(nb, d, tw) * inv_m
+    hr = jnp.sum(cfr[None] * xr[:, None] - cfi[None] * xi[:, None], axis=2)
+    hi = jnp.sum(cfr[None] * xi[:, None] + cfi[None] * xr[:, None], axis=2)
     dc_mask = jnp.where(
         (jax.lax.broadcasted_iota(jnp.int32, (1, tw), 1) == 0) & (i == 0),
         1.0, 0.0)
-    hr = hr + b_ref[:] * norm * dc_mask
+    hr = hr + b_ref[:][None] * norm * dc_mask[None]
     hr2 = hr * inv_d                           # second conv's /D scaling
     hi2 = hi * inv_d
-    our = jnp.sum(ffr * hr2[None] - ffi * hi2[None], axis=1)  # [D, TW]
-    oui = jnp.sum(ffr * hi2[None] + ffi * hr2[None], axis=1)
-    our = our + p_ref[:] * norm * dc_mask
-    or_ref[:] = our
-    oi_ref[:] = oui
-    diff = (our - yr_ref[:]) ** 2 + (oui - yi_ref[:]) ** 2
+    our = jnp.sum(ffr[None] * hr2[:, None] - ffi[None] * hi2[:, None],
+                  axis=2)                                      # [B, D, TW]
+    oui = jnp.sum(ffr[None] * hi2[:, None] + ffi[None] * hr2[:, None],
+                  axis=2)
+    our = our + p_ref[:][None] * norm * dc_mask[None]
+    yr = yr_ref[:].reshape(nb, d, tw)
+    yi = yi_ref[:].reshape(nb, d, tw)
+    or_ref[:] = our.reshape(nb * d, tw)
+    oi_ref[:] = oui.reshape(nb * d, tw)
+    diff = (our - yr) ** 2 + (oui - yi) ** 2
 
     @pl.when(i == 0)
     def _():
         mse_ref[0, 0] = 0.0
 
-    mse_ref[0, 0] += jnp.sum(diff * wv_ref[:])
+    mse_ref[0, 0] += jnp.sum(diff * wv_ref[:][None]) / nb
 
 
 def _pad_flat(Z, w, wpad):
@@ -199,16 +217,25 @@ def fft_burst_pallas(x: jax.Array, expout: jax.Array, out0: jax.Array,
                      interpret: bool | None = None) -> FFTBurstResult:
     """Drop-in replacement for :func:`spectralae.train.fft.fft_burst`.
 
+    ``x/expout/out0`` may be unbatched ``[D, h, w]`` (the reference burst) or
+    batched ``[B, D, h, w]`` — batched inputs train the shared kernel pair
+    with batch-averaged gradients (``fft_burst_dp`` semantics).
+
     The multiobjective diversity term operates on the tiny compact kernels,
     so it stays in plain jnp between the two Pallas sweeps."""
     if interpret is None:
         interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    batched = x.ndim == 4
+    if not batched:
+        x, expout, out0 = x[None], expout[None], out0[None]
+    nb = x.shape[0]
     nx, ny = x.shape[-2], x.shape[-1]
     dM, dD, nk, nl = c.shape
     P = nk * nl
     nyr = ny // 2 + 1
     w = nx * nyr
-    tw = min(TW, w)
+    # keep per-tile [B, M, D, TW] temporaries within VMEM
+    tw = min(TW if nb <= 2 else (1024 if nb <= 8 else 512), w)
     wpad = -(-w // tw) * tw
     n_tiles = wpad // tw
     norm = float(nx * ny)
@@ -225,14 +252,16 @@ def fft_burst_pallas(x: jax.Array, expout: jax.Array, out0: jax.Array,
     X = spectral.rfft2(x)
     Y = spectral.rfft2(expout)
     O = spectral.rfft2(out0)
-    xr, xi = _split(X, w, wpad)
-    yr, yi = _split(Y, w, wpad)
-    orr, oii = _split(O, w, wpad)
+    flat = lambda Z: Z.reshape(nb * dD, nx, nyr)
+    xr, xi = _split(flat(X), w, wpad)
+    yr, yi = _split(flat(Y), w, wpad)
+    orr, oii = _split(flat(O), w, wpad)
     if mom is None:
         mom = (jnp.zeros_like(c), jnp.zeros_like(f),
                jnp.zeros_like(b), jnp.zeros_like(p))
     Dc, Df, Db, Dp = mom
-    mse0 = spectral.parseval_mse(Y, O, dD, dM, nx, ny)
+    mse0 = jnp.mean(jax.vmap(
+        lambda a, o: spectral.parseval_mse(a, o, dD, dM, nx, ny))(Y, O))
     mses = jnp.zeros((iters + 1,), x.dtype).at[0].set(mse0)
 
     tile = lambda r: pl.BlockSpec((r, tw), lambda i: (0, i),
@@ -241,11 +270,11 @@ def fft_burst_pallas(x: jax.Array, expout: jax.Array, out0: jax.Array,
                                          memory_space=pltpu.VMEM)
 
     k1 = pl.pallas_call(
-        functools.partial(_grad_project_kernel, dM, dD, P, norm, n_norm),
+        functools.partial(_grad_project_kernel, nb, dM, dD, P, norm, n_norm),
         grid=(n_tiles,),
-        in_specs=[tile(dD), tile(dD), tile(dD), tile(dD), tile(dD), tile(dD),
-                  tile(P), tile(P), tile(1),
-                  whole(dM * dD, P), whole(dD * dM, P), whole(dM, 1)],
+        in_specs=[tile(nb * dD)] * 6
+        + [tile(P), tile(P), tile(1),
+           whole(dM * dD, P), whole(dD * dM, P), whole(dM, 1)],
         out_specs=[whole(dM * dD, P), whole(dD * dM, P),
                    whole(dM, 1), whole(dD, 1)],
         out_shape=[jax.ShapeDtypeStruct((dM * dD, P), jnp.float32),
@@ -256,17 +285,18 @@ def fft_burst_pallas(x: jax.Array, expout: jax.Array, out0: jax.Array,
     )
 
     k2 = pl.pallas_call(
-        functools.partial(_respectra_conv_kernel, dM, dD, norm, inv_m, inv_d),
+        functools.partial(_respectra_conv_kernel, nb, dM, dD, norm,
+                          inv_m, inv_d),
         grid=(n_tiles,),
-        in_specs=[tile(dD), tile(dD), tile(dD), tile(dD),
-                  tile(P), tile(P), tile(1),
-                  whole(dM * dD, P), whole(dD * dM, P),
-                  whole(dM, 1), whole(dD, 1)],
-        out_specs=[tile(dD), tile(dD),
+        in_specs=[tile(nb * dD)] * 4
+        + [tile(P), tile(P), tile(1),
+           whole(dM * dD, P), whole(dD * dM, P),
+           whole(dM, 1), whole(dD, 1)],
+        out_specs=[tile(nb * dD), tile(nb * dD),
                    pl.BlockSpec((1, 1), lambda i: (0, 0),
                                 memory_space=pltpu.SMEM)],
-        out_shape=[jax.ShapeDtypeStruct((dD, wpad), jnp.float32),
-                   jax.ShapeDtypeStruct((dD, wpad), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((nb * dD, wpad), jnp.float32),
+                   jax.ShapeDtypeStruct((nb * dD, wpad), jnp.float32),
                    jax.ShapeDtypeStruct((1, 1), jnp.float32)],
         interpret=interpret,
     )

@@ -124,3 +124,28 @@ def test_mega_burst_momentum_and_nonaligned():
                      lr=0.2, iters=2, impl="dft")
     np.testing.assert_allclose(np.asarray(r2.c), np.asarray(ref2.c),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_burst_batched_matches_dp():
+    from spectralae.train.fft_dp import fft_burst_dp
+    import jax
+    from spectralae.core.config import Config, LayerParams
+    from spectralae.core.types import initial_spec, init_params
+    cfg = Config(nx=16, ny=16, d=2,
+                 layer=LayerParams(depth=4, lk=1, ll=1, scale=1, rmax=0.5))
+    spec = initial_spec(cfg)
+    params = init_params(jax.random.key(0), spec, 0.5)
+    xs = jnp.asarray(np.random.default_rng(0).normal(
+        size=(4, 2, 16, 16)).astype(np.float32)) * 50
+    out0 = model.forward_fft(params, xs, spec.scales)
+    enc, dec = params.pair(0)
+    ref = fft_burst_dp(xs, xs, out0, enc.c, dec.c, enc.b, dec.b,
+                       lr=0.2, iters=5)
+    got = fft_burst_pallas(xs, xs, out0, enc.c, dec.c, enc.b, dec.b,
+                           lr=0.2, iters=5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.mses), np.asarray(ref.mses),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.c), np.asarray(ref.c),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.b), np.asarray(ref.b),
+                               rtol=1e-3, atol=1e-4)
