@@ -120,15 +120,26 @@ def fft_burst_dp(x: jax.Array, expout: jax.Array, out0: jax.Array,
 
 
 def distributed_burst(mesh: Mesh, *, lr: float = 0.2, alpha: float = 0.9,
-                      iters: int = 100, scale_by_dm: bool = True):
+                      iters: int = 100, scale_by_dm: bool = True,
+                      use_pallas: bool | None = None):
     """Build a jitted multi-chip burst: batch sharded over 'data', params
-    replicated, per-iteration gradient pmean over ICI."""
+    replicated, per-iteration gradient pmean over ICI.
+
+    On TPU the per-device body is the fused batched Pallas iteration."""
     from jax import shard_map
 
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform in ("tpu", "axon")
     batch_spec = P("data", None, None, None)
     rep = P()
 
     def local(x, expout, out0, c, f, b, p, Dc, Df, Db, Dp):
+        if use_pallas:
+            from .fft_pallas import burst_pallas_body
+            return burst_pallas_body(x, expout, out0, c, f, b, p,
+                                     (Dc, Df, Db, Dp), lr=lr, alpha=alpha,
+                                     iters=iters, scale_by_dm=scale_by_dm,
+                                     axis_name="data")
         return _burst_dp_body(x, expout, out0, c, f, b, p,
                               (Dc, Df, Db, Dp), lr=lr, alpha=alpha,
                               iters=iters, scale_by_dm=scale_by_dm,
@@ -139,7 +150,8 @@ def distributed_burst(mesh: Mesh, *, lr: float = 0.2, alpha: float = 0.9,
         in_specs=(batch_spec, batch_spec, batch_spec,
                   rep, rep, rep, rep, rep, rep, rep, rep),
         out_specs=FFTBurstResult(c=rep, f=rep, b=rep, p=rep,
-                                 mom=(rep, rep, rep, rep), mses=rep))
+                                 mom=(rep, rep, rep, rep), mses=rep),
+        check_vma=False)  # pallas_call outputs carry no vma info
 
     @jax.jit
     def run(x, expout, out0, c, f, b, p, mom=None):

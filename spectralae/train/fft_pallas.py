@@ -206,15 +206,14 @@ def _split(Z, w, wpad):
     return _pad_flat(Z.real, w, wpad), _pad_flat(Z.imag, w, wpad)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("iters", "scale_by_dm", "maxdiff", "interpret"))
-def fft_burst_pallas(x: jax.Array, expout: jax.Array, out0: jax.Array,
-                     c: jax.Array, f: jax.Array, b: jax.Array, p: jax.Array,
-                     mom: tuple | None = None, *, lr: float = 0.2,
-                     alpha: float = 0.9, iters: int = 100,
-                     maxdiff: bool = False, w0: float = 1.0, w1: float = 10.0,
-                     scale_by_dm: bool = True,
-                     interpret: bool | None = None) -> FFTBurstResult:
+def burst_pallas_body(x: jax.Array, expout: jax.Array, out0: jax.Array,
+                      c: jax.Array, f: jax.Array, b: jax.Array, p: jax.Array,
+                      mom: tuple | None = None, *, lr: float = 0.2,
+                      alpha: float = 0.9, iters: int = 100,
+                      maxdiff: bool = False, w0: float = 1.0,
+                      w1: float = 10.0, scale_by_dm: bool = True,
+                      interpret: bool | None = None,
+                      axis_name: str | None = None) -> FFTBurstResult:
     """Drop-in replacement for :func:`spectralae.train.fft.fft_burst`.
 
     ``x/expout/out0`` may be unbatched ``[D, h, w]`` (the reference burst) or
@@ -262,6 +261,8 @@ def fft_burst_pallas(x: jax.Array, expout: jax.Array, out0: jax.Array,
     Dc, Df, Db, Dp = mom
     mse0 = jnp.mean(jax.vmap(
         lambda a, o: spectral.parseval_mse(a, o, dD, dM, nx, ny))(Y, O))
+    if axis_name is not None:
+        mse0 = lax.pmean(mse0, axis_name)
     mses = jnp.zeros((iters + 1,), x.dtype).at[0].set(mse0)
 
     tile = lambda r: pl.BlockSpec((r, tw), lambda i: (0, i),
@@ -314,6 +315,10 @@ def fft_burst_pallas(x: jax.Array, expout: jax.Array, out0: jax.Array,
         gc = gc.reshape(c.shape)
         gf = gf.reshape(f.shape)
         gb, gp = db[:, 0], dp[:, 0]
+        if axis_name is not None:
+            # multi-chip DP: average gradients over the mesh (ICI psum)
+            gc, gf, gb, gp = jax.tree.map(
+                lambda t: lax.pmean(t, axis_name), (gc, gf, gb, gp))
         if maxdiff:
             cd, fd, bd, pd = diversity_gradients(c, f, b, p)
             gc = w0 * gc - w1 * cd
@@ -328,6 +333,8 @@ def fft_burst_pallas(x: jax.Array, expout: jax.Array, out0: jax.Array,
                             c.reshape(dM * dD, P), f.reshape(dD * dM, P),
                             b[:, None], p[:, None])
         mse = msep[0, 0] / (dD * nx * ny) / (2 * dM * nx * ny)
+        if axis_name is not None:
+            mse = lax.pmean(mse, axis_name)
         mses = mses.at[i + 1].set(mse)
         return (c, f, b, p, Dc, Df, Db, Dp, orr, oii, mses)
 
@@ -336,6 +343,12 @@ def fft_burst_pallas(x: jax.Array, expout: jax.Array, out0: jax.Array,
     c, f, b, p, Dc, Df, Db, Dp = out[:8]
     return FFTBurstResult(c=c, f=f, b=b, p=p, mom=(Dc, Df, Db, Dp),
                           mses=out[-1])
+
+
+fft_burst_pallas = jax.jit(
+    burst_pallas_body,
+    static_argnames=("iters", "scale_by_dm", "maxdiff", "interpret",
+                     "axis_name"))
 
 
 def auto_burst(x, expout, out0, c, f, b, p, mom=None, *, lr=0.2, alpha=0.9,
