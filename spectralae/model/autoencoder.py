@@ -127,3 +127,32 @@ def forward_fft(params: AEParams, x: jax.Array, scales: Sequence[int], *,
 def reconstruction_mse(x: jax.Array, y: jax.Array) -> jax.Array:
     """Mean squared reconstruction error (per element)."""
     return jnp.mean((x - y) ** 2)
+
+
+def encode(params: AEParams, x: jax.Array, scales: Sequence[int], *,
+           domain: str = "fft", tap_mode: TapMode = "centered",
+           scale_by_dm: bool = True) -> jax.Array:
+    """Encoder-only inference: the bottleneck feature maps.
+
+    A serving-path capability on top of the reference (which only exposes
+    full reconstructions): runs the encoder half and returns the innermost
+    ``[B, M, nx', ny']`` activations.
+    """
+    n = params.n_stages
+    half = n // 2
+    if domain == "fft":
+        nx, ny = x.shape[-2], x.shape[-1]
+        X = spectral.rfft2(x)
+        cx, cy = nx, ny
+        for stage, sc in zip(params.stages[:half], scales[:half]):
+            X, cx, cy = spectral.spectral_pool(X, cx, cy, sc)
+            C = spectral.kernel_rfft(stage.c, cx, cy)
+            X = spectral.spectral_conv(X, C, stage.b, cx, cy,
+                                       scale_by_dm=scale_by_dm)
+        return spectral.irfft2(X, (cx, cy))
+    h = x
+    for stage, sc in zip(params.stages[:half], scales[:half]):
+        h = coord.pool(h, sc)
+        h = coord.conv2d(h, stage.c, stage.b, tap_mode=tap_mode,
+                         scale_by_dm=scale_by_dm)
+    return h

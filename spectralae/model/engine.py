@@ -306,6 +306,20 @@ class Engine:
         return ckpt.save_pair_conv(self.params, self.spec, self.flags.n_l,
                                    weights_dir)
 
+    def save_checkpoint(self, path):
+        """Full-network native checkpoint (beyond the reference's per-pair
+        .conv files): params + structure in one manifest'd directory."""
+        ckpt.save(path, self.params, self.spec,
+                  extra={"step": self.step_count})
+
+    def load_checkpoint(self, path):
+        params, spec, _, extra = ckpt.load(path)
+        self.params, self.spec = params, spec
+        self.flags.n_l = 0
+        self.step_count = int(extra.get("step", 0))
+        self._reset_pair_opt_state()
+        self.clear_freq_cache(quiet=True)
+
     def load_weights(self, weights_dir="./weights"):  # 'l'
         self.params = ckpt.load_pair_conv(self.params, self.spec,
                                           self.flags.n_l, weights_dir)

@@ -300,3 +300,34 @@ def test_train_demo_example(tmp_path):
     assert err1 < err0
     assert (tmp_path / "recon_after.png").exists()
     assert (tmp_path / "mse.csv").exists()
+
+
+def test_engine_full_checkpoint_roundtrip(tmp_path):
+    eng = make_engine(nx=32)
+    eng.add_layer()
+    eng.step(frame(32))
+    eng.save_checkpoint(tmp_path / "full")
+    want = np.asarray(eng.params.stages[1].c).copy()
+    eng2 = make_engine(nx=32)
+    eng2.load_checkpoint(tmp_path / "full")
+    assert eng2.spec.n_pairs == 2
+    np.testing.assert_array_equal(np.asarray(eng2.params.stages[1].c), want)
+    out = eng2.step(frame(32))
+    assert out.shape == (3, 32, 32)
+
+
+def test_encode_matches_forward_prefix():
+    import jax.numpy as jnp
+    from spectralae.model import autoencoder as model
+    eng = make_engine(nx=16)
+    x = jnp.asarray(frame())[None]
+    for domain in ("fft", "coord"):
+        z = model.encode(eng.params, x, eng.spec.scales, domain=domain,
+                         tap_mode="centered")
+        assert z.shape == (1, 4, 8, 8)
+    acts = model.forward_coord(eng.params, x, eng.spec.scales,
+                               tap_mode="centered")
+    z = model.encode(eng.params, x, eng.spec.scales, domain="coord",
+                     tap_mode="centered")
+    np.testing.assert_allclose(np.asarray(z), np.asarray(acts[2]),
+                               rtol=1e-5, atol=1e-5)
