@@ -75,10 +75,14 @@ def _herm_weights(nx: int, ny: int, wpad: int):
     return out.reshape(1, wpad)
 
 
-def _grad_project_kernel(nb, m, d, p, norm, n_norm,
+def _grad_project_kernel(nb, m, d, p, norm, n_norm, mxu_dtype,
                          xr_ref, xi_ref, yr_ref, yi_ref, or_ref, oi_ref,
                          cos_ref, sin_ref, wv_ref, c_ref, f_ref, b_ref,
                          gc_ref, gf_ref, db_ref, dp_ref):
+    def mdot(a, bb):
+        return jnp.dot(a.astype(mxu_dtype), bb.astype(mxu_dtype),
+                       preferred_element_type=jnp.float32)
+
     """Gradient + projection sweep; ``nb`` frozen frames share the kernels
     and their gradients are batch-averaged (fft_burst_dp semantics; nb=1
     is the reference burst)."""
@@ -87,10 +91,10 @@ def _grad_project_kernel(nb, m, d, p, norm, n_norm,
     sin = sin_ref[:]
     tw = cos.shape[-1]
     # kernel spectra tiles from compact kernels: real c ⇒ re=c@cos, im=−c@sin
-    cfr = jnp.dot(c_ref[:], cos, preferred_element_type=jnp.float32)
-    cfi = -jnp.dot(c_ref[:], sin, preferred_element_type=jnp.float32)
-    ffr = jnp.dot(f_ref[:], cos, preferred_element_type=jnp.float32)
-    ffi = -jnp.dot(f_ref[:], sin, preferred_element_type=jnp.float32)
+    cfr = mdot(c_ref[:], cos)
+    cfi = -mdot(c_ref[:], sin)
+    ffr = mdot(f_ref[:], cos)
+    ffi = -mdot(f_ref[:], sin)
     cfr = cfr.reshape(m, d, tw)              # rows m·D+d
     cfi = cfi.reshape(m, d, tw)
     ffr = ffr.reshape(d, m, tw)              # rows d·M+m
@@ -125,14 +129,15 @@ def _grad_project_kernel(nb, m, d, p, norm, n_norm,
                   axis=0) * wv
     contract = (((1,), (1,)), ((), ()))
     scale = 1.0 / (n_norm * nb)
-    gc_tile = (lax.dot_general(dcr.reshape(m * d, tw), cos, contract,
-                               preferred_element_type=jnp.float32)
-               - lax.dot_general(dci.reshape(m * d, tw), sin, contract,
-                                 preferred_element_type=jnp.float32))
-    gf_tile = (lax.dot_general(dfr.reshape(d * m, tw), cos, contract,
-                               preferred_element_type=jnp.float32)
-               - lax.dot_general(dfi.reshape(d * m, tw), sin, contract,
-                                 preferred_element_type=jnp.float32))
+
+    def pdot(a, bb):
+        return lax.dot_general(a.astype(mxu_dtype), bb.astype(mxu_dtype),
+                               contract, preferred_element_type=jnp.float32)
+
+    gc_tile = (pdot(dcr.reshape(m * d, tw), cos)
+               - pdot(dci.reshape(m * d, tw), sin))
+    gf_tile = (pdot(dfr.reshape(d * m, tw), cos)
+               - pdot(dfi.reshape(d * m, tw), sin))
 
     @pl.when(i == 0)
     def _():
@@ -150,19 +155,23 @@ def _grad_project_kernel(nb, m, d, p, norm, n_norm,
     gf_ref[:] += gf_tile * scale
 
 
-def _respectra_conv_kernel(nb, m, d, norm, inv_m, inv_d,
+def _respectra_conv_kernel(nb, m, d, norm, inv_m, inv_d, mxu_dtype,
                            xr_ref, xi_ref, yr_ref, yi_ref,
                            cos_ref, sin_ref, wv_ref, c_ref, f_ref,
                            b_ref, p_ref,
                            or_ref, oi_ref, mse_ref):
+    def mdot(a, bb):
+        return jnp.dot(a.astype(mxu_dtype), bb.astype(mxu_dtype),
+                       preferred_element_type=jnp.float32)
+
     i = pl.program_id(0)
     cos = cos_ref[:]
     sin = sin_ref[:]
     tw = cos.shape[-1]
-    cfr = jnp.dot(c_ref[:], cos, preferred_element_type=jnp.float32)
-    cfi = -jnp.dot(c_ref[:], sin, preferred_element_type=jnp.float32)
-    ffr = jnp.dot(f_ref[:], cos, preferred_element_type=jnp.float32)
-    ffi = -jnp.dot(f_ref[:], sin, preferred_element_type=jnp.float32)
+    cfr = mdot(c_ref[:], cos)
+    cfi = -mdot(c_ref[:], sin)
+    ffr = mdot(f_ref[:], cos)
+    ffi = -mdot(f_ref[:], sin)
     cfr = cfr.reshape(m, d, tw)
     cfi = cfi.reshape(m, d, tw)
     ffr = ffr.reshape(d, m, tw)
@@ -213,7 +222,8 @@ def burst_pallas_body(x: jax.Array, expout: jax.Array, out0: jax.Array,
                       maxdiff: bool = False, w0: float = 1.0,
                       w1: float = 10.0, scale_by_dm: bool = True,
                       interpret: bool | None = None,
-                      axis_name: str | None = None) -> FFTBurstResult:
+                      axis_name: str | None = None,
+                      mxu_dtype=jnp.float32) -> FFTBurstResult:
     """Drop-in replacement for :func:`spectralae.train.fft.fft_burst`.
 
     ``x/expout/out0`` may be unbatched ``[D, h, w]`` (the reference burst) or
@@ -271,7 +281,8 @@ def burst_pallas_body(x: jax.Array, expout: jax.Array, out0: jax.Array,
                                          memory_space=pltpu.VMEM)
 
     k1 = pl.pallas_call(
-        functools.partial(_grad_project_kernel, nb, dM, dD, P, norm, n_norm),
+        functools.partial(_grad_project_kernel, nb, dM, dD, P, norm, n_norm,
+                          mxu_dtype),
         grid=(n_tiles,),
         in_specs=[tile(nb * dD)] * 6
         + [tile(P), tile(P), tile(1),
@@ -287,7 +298,7 @@ def burst_pallas_body(x: jax.Array, expout: jax.Array, out0: jax.Array,
 
     k2 = pl.pallas_call(
         functools.partial(_respectra_conv_kernel, nb, dM, dD, norm,
-                          inv_m, inv_d),
+                          inv_m, inv_d, mxu_dtype),
         grid=(n_tiles,),
         in_specs=[tile(nb * dD)] * 4
         + [tile(P), tile(P), tile(1),
@@ -348,7 +359,7 @@ def burst_pallas_body(x: jax.Array, expout: jax.Array, out0: jax.Array,
 fft_burst_pallas = jax.jit(
     burst_pallas_body,
     static_argnames=("iters", "scale_by_dm", "maxdiff", "interpret",
-                     "axis_name"))
+                     "axis_name", "mxu_dtype"))
 
 
 def auto_burst(x, expout, out0, c, f, b, p, mom=None, *, lr=0.2, alpha=0.9,

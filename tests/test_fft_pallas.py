@@ -149,3 +149,15 @@ def test_pallas_burst_batched_matches_dp():
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(got.b), np.asarray(ref.b),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_bf16_mxu_burst_close_to_f32():
+    x, out0, enc, dec = setup()
+    f32 = fft_burst_pallas(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                           lr=0.2, iters=10, interpret=True)
+    bf16 = fft_burst_pallas(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                            lr=0.2, iters=10, interpret=True,
+                            mxu_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(bf16.mses), np.asarray(f32.mses),
+                               rtol=0.05)
+    assert bf16.c.dtype == jnp.float32
