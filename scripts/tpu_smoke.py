@@ -1,0 +1,120 @@
+"""On-device smoke suite: exercises every hot path on the real TPU.
+
+The pytest suite runs on CPU (8 virtual devices); this script verifies the
+same paths compile and agree on actual TPU hardware.  Run exclusively
+(no concurrent TPU processes — see bench.py methodology notes).
+
+    python scripts/tpu_smoke.py
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from spectralae.core.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
+from spectralae.core.config import Config, LayerParams
+from spectralae.core.types import initial_spec, init_params, init_opt_state
+from spectralae.model import autoencoder as model
+from spectralae.ops import spectral
+from spectralae.ops.pallas_kernels import spectral_conv_pallas
+from spectralae.train.fft import fft_burst
+from spectralae.train.fft_pallas import fft_burst_pallas
+from spectralae.train.fft_mega import fft_burst_mega
+from spectralae.train.fft_dp import fft_burst_dp
+from spectralae.train.coord import coord_step
+from spectralae.train.modern import train_step
+
+FAILURES = []
+
+
+def check(name, ok, detail=""):
+    status = "ok" if ok else "FAIL"
+    print(f"[{status}] {name} {detail}", flush=True)
+    if not ok:
+        FAILURES.append(name)
+
+
+def main():
+    print("device:", jax.devices()[0], flush=True)
+    rng = np.random.default_rng(0)
+    cfg = Config(nx=256, ny=256, d=3,
+                 layer=LayerParams(depth=10, lk=1, ll=1, scale=2, rmax=1.0))
+    spec = initial_spec(cfg)
+    params = init_params(jax.random.key(0), spec, 1.0)
+    enc, dec = params.pair(0)
+    x = jax.device_put(rng.normal(size=(3, 256, 256)).astype(np.float32) * 50)
+
+    fwd = jax.jit(lambda p, xx: model.forward_fft(p, xx, spec.scales))
+    out0 = fwd(params, x[None])[0]
+    check("forward_fft", np.isfinite(float(jnp.sum(out0))))
+
+    # pallas pointwise conv vs einsum, compiled
+    @jax.jit
+    def conv_check(xx, ck, bb):
+        X = spectral.rfft2(xx)
+        C = spectral.rfft2(ck)
+        want = spectral.spectral_conv(X[None], C, bb, 256, 256)[0]
+        got = spectral_conv_pallas(X, C, bb, 256, 256, interpret=False)
+        return jnp.max(jnp.abs(got - want)) / jnp.max(jnp.abs(want))
+
+    ck = jax.device_put(rng.normal(size=(10, 3, 256, 256)).astype(np.float32))
+    bb = jax.device_put(rng.normal(size=(10,)).astype(np.float32))
+    err = float(conv_check(x, ck, bb))
+    check("pallas conv_k", err < 1e-5, f"rel err {err:.2e}")
+
+    # burst implementations agree
+    kw = dict(lr=0.2, iters=5)
+    r_jnp = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                      impl="dft", **kw)
+    r_pal = fft_burst_pallas(x, x, out0, enc.c, dec.c, enc.b, dec.b, **kw)
+    r_meg = fft_burst_mega(x, x, out0, enc.c, dec.c, enc.b, dec.b, **kw)
+    m0 = np.asarray(r_jnp.mses)
+    for name, r in (("pallas", r_pal), ("mega", r_meg)):
+        d = float(np.max(np.abs(np.asarray(r.mses) - m0)
+                         / np.maximum(np.abs(m0), 1e-9)))
+        check(f"burst[{name}] vs jnp", d < 1e-3, f"max rel {d:.2e}")
+
+    # batched DP burst
+    xs = jax.device_put(rng.normal(size=(4, 3, 256, 256)).astype(np.float32)
+                        * 50)
+    out0s = fwd(params, xs)
+    r_dp = fft_burst_dp(xs, xs, out0s, enc.c, dec.c, enc.b, dec.b,
+                        lr=0.2, iters=5)
+    check("fft_burst_dp b4", np.isfinite(np.asarray(r_dp.mses)).all())
+
+    # coord train step
+    acts = jax.jit(lambda xx: model.forward_coord(
+        params, xx, spec.scales, tap_mode="ref_gpu"))(x[None])
+    mom = tuple(jnp.zeros_like(t) for t in (enc.c, dec.c, enc.b, dec.b))
+    r_c = coord_step(acts[1][0], acts[-2][0], acts[2][0],
+                     enc.c, dec.c, enc.b, dec.b, mom, mom, lr=0.2)
+    check("coord_step", np.isfinite(float(r_c.mse)))
+
+    # modern batched step
+    opt = init_opt_state(params)
+    r_m = train_step(params, opt, xs, spec.scales, lr=0.2, domain="fft")
+    check("modern train_step", np.isfinite(float(r_m.loss)))
+
+    # burst convergence end-to-end
+    t0 = time.perf_counter()
+    r100 = fft_burst_pallas(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                            lr=0.2, iters=100)
+    m = np.asarray(r100.mses)
+    check("burst converges", m[-1] < m[1],
+          f"mse {m[1]:.4g} -> {m[-1]:.4g} ({time.perf_counter()-t0:.1f}s)")
+
+    if FAILURES:
+        print("FAILED:", FAILURES)
+        sys.exit(1)
+    print("all TPU smoke checks passed")
+
+
+if __name__ == "__main__":
+    main()
