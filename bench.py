@@ -37,7 +37,8 @@ from spectralae.core.config import Config, LayerParams
 from spectralae.core.types import initial_spec, init_params, init_opt_state
 from spectralae.model import autoencoder as model
 from spectralae.train.fft import fft_burst
-from spectralae.train.fft_pallas import fft_burst_pallas
+from spectralae.train.fft_pallas import (fft_burst_pallas,
+                                          fft_burst_pallas_fused)
 from spectralae.train.coord import coord_step
 from spectralae.train.modern import train_step
 
@@ -99,6 +100,9 @@ def main():
     burst_iters = 100
 
     impls = {
+        "pallas-fused": lambda x: fft_burst_pallas_fused(
+            x, x, out0, enc.c, dec.c, enc.b, dec.b, lr=0.2,
+            iters=burst_iters),
         "pallas": lambda x: fft_burst_pallas(
             x, x, out0, enc.c, dec.c, enc.b, dec.b, lr=0.2,
             iters=burst_iters),
@@ -117,6 +121,7 @@ def main():
         results[f"fft_burst_100_ms[{impl}]"] = dt * 1e3
         results[f"fft_backprop_iters_per_sec_256[{impl}]"] = burst_iters / dt
     fft_steps_per_sec = max(
+        results["fft_backprop_iters_per_sec_256[pallas-fused]"],
         results["fft_backprop_iters_per_sec_256[pallas]"],
         results["fft_backprop_iters_per_sec_256[dft]"])
 

@@ -110,10 +110,10 @@ def fft_burst_dp(x: jax.Array, expout: jax.Array, out0: jax.Array,
         mom = (jnp.zeros_like(c), jnp.zeros_like(f),
                jnp.zeros_like(b), jnp.zeros_like(p))
     if use_pallas:
-        from .fft_pallas import fft_burst_pallas
-        return fft_burst_pallas(x, expout, out0, c, f, b, p, mom, lr=lr,
-                                alpha=alpha, iters=iters,
-                                scale_by_dm=scale_by_dm)
+        from .fft_pallas import fft_burst_pallas_fused
+        return fft_burst_pallas_fused(x, expout, out0, c, f, b, p, mom,
+                                      lr=lr, alpha=alpha, iters=iters,
+                                      scale_by_dm=scale_by_dm)
     return _burst_dp_body(x, expout, out0, c, f, b, p, mom, lr=lr,
                           alpha=alpha, iters=iters, scale_by_dm=scale_by_dm,
                           axis_name=None)
@@ -135,11 +135,11 @@ def distributed_burst(mesh: Mesh, *, lr: float = 0.2, alpha: float = 0.9,
 
     def local(x, expout, out0, c, f, b, p, Dc, Df, Db, Dp):
         if use_pallas:
-            from .fft_pallas import burst_pallas_body
-            return burst_pallas_body(x, expout, out0, c, f, b, p,
-                                     (Dc, Df, Db, Dp), lr=lr, alpha=alpha,
-                                     iters=iters, scale_by_dm=scale_by_dm,
-                                     axis_name="data")
+            from .fft_pallas import burst_pallas_fused
+            return burst_pallas_fused(x, expout, out0, c, f, b, p,
+                                      (Dc, Df, Db, Dp), lr=lr, alpha=alpha,
+                                      iters=iters, scale_by_dm=scale_by_dm,
+                                      axis_name="data")
         return _burst_dp_body(x, expout, out0, c, f, b, p,
                               (Dc, Df, Db, Dp), lr=lr, alpha=alpha,
                               iters=iters, scale_by_dm=scale_by_dm,

@@ -372,9 +372,256 @@ def auto_burst(x, expout, out0, c, f, b, p, mom=None, *, lr=0.2, alpha=0.9,
     from .fft import fft_burst
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     if on_tpu:
-        return fft_burst_pallas(x, expout, out0, c, f, b, p, mom, lr=lr,
-                                alpha=alpha, iters=iters, maxdiff=maxdiff,
-                                w0=w0, w1=w1, scale_by_dm=scale_by_dm)
+        return fft_burst_pallas_fused(
+            x, expout, out0, c, f, b, p, mom, lr=lr, alpha=alpha,
+            iters=iters, maxdiff=maxdiff, w0=w0, w1=w1,
+            scale_by_dm=scale_by_dm)
     return fft_burst(x, expout, out0, c, f, b, p, mom, lr=lr, alpha=alpha,
                      iters=iters, maxdiff=maxdiff, w0=w0, w1=w1,
                      scale_by_dm=scale_by_dm)
+
+
+# ---------------------------------------------------------------------------
+# Iteration-fused variant: one kernel per iteration.
+#
+# k2 of iteration n and k1 of iteration n+1 sweep the same ω-tiles with the
+# same (just-updated) kernel spectra, so they fuse: per tile, reconstruct
+# Cf/Ff once, run the two-stage conv producing the new O and MSE, and
+# immediately form the *next* iteration's gradients from that O — halving
+# kernel launches and basis reads per iteration.
+# ---------------------------------------------------------------------------
+
+def _fused_step_kernel(nb, m, d, p, norm, n_norm, inv_m, inv_d, mxu_dtype,
+                       xr_ref, xi_ref, yr_ref, yi_ref,
+                       cos_ref, sin_ref, wv_ref, c_ref, f_ref, b_ref, p_ref,
+                       or_ref, oi_ref, mse_ref,
+                       gc_ref, gf_ref, db_ref, dp_ref):
+    def mdot(a, bb):
+        return jnp.dot(a.astype(mxu_dtype), bb.astype(mxu_dtype),
+                       preferred_element_type=jnp.float32)
+
+    i = pl.program_id(0)
+    cos = cos_ref[:]
+    sin = sin_ref[:]
+    tw = cos.shape[-1]
+    cfr = mdot(c_ref[:], cos)
+    cfi = -mdot(c_ref[:], sin)
+    ffr = mdot(f_ref[:], cos)
+    ffi = -mdot(f_ref[:], sin)
+    cfr = cfr.reshape(m, d, tw)
+    cfi = cfi.reshape(m, d, tw)
+    ffr = ffr.reshape(d, m, tw)
+    ffi = ffi.reshape(d, m, tw)
+    xr = xr_ref[:].reshape(nb, d, tw)
+    xi = xi_ref[:].reshape(nb, d, tw)
+    yr = yr_ref[:].reshape(nb, d, tw)
+    yi = yi_ref[:].reshape(nb, d, tw)
+    dc_mask = jnp.where(
+        (jax.lax.broadcasted_iota(jnp.int32, (1, tw), 1) == 0) & (i == 0),
+        1.0, 0.0)
+
+    # unbiased contraction H₀ = Σ_d Cf·X, shared by forward and gradient
+    h0r = jnp.sum(cfr[None] * xr[:, None] - cfi[None] * xi[:, None], axis=2)
+    h0i = jnp.sum(cfr[None] * xi[:, None] + cfi[None] * xr[:, None], axis=2)
+    bias = b_ref[:][None] * norm * dc_mask[None]
+
+    # ---- forward (conv_k semantics): O and MSE ----
+    hfr = (h0r * inv_m + bias) * inv_d
+    hfi = h0i * inv_m * inv_d
+    our = jnp.sum(ffr[None] * hfr[:, None] - ffi[None] * hfi[:, None], axis=2)
+    oui = jnp.sum(ffr[None] * hfi[:, None] + ffi[None] * hfr[:, None], axis=2)
+    our = our + p_ref[:][None] * norm * dc_mask[None]
+    or_ref[:] = our.reshape(nb * d, tw)
+    oi_ref[:] = oui.reshape(nb * d, tw)
+    wv = wv_ref[:]
+    diff = (our - yr) ** 2 + (oui - yi) ** 2
+
+    @pl.when(i == 0)
+    def _():
+        mse_ref[0, 0] = 0.0
+
+    mse_ref[0, 0] += jnp.sum(diff * wv[None]) / nb
+
+    # ---- next iteration's gradients from the fresh O ----
+    er = our - yr
+    ei = oui - yi
+    sr = jnp.sum(er[:, :, None] * ffr[None] + ei[:, :, None] * ffi[None],
+                 axis=1)
+    si = jnp.sum(ei[:, :, None] * ffr[None] - er[:, :, None] * ffi[None],
+                 axis=1)
+    hgr = h0r + bias        # gradient's H: unscaled contraction + DC bias
+    hgi = h0i
+    dcr = jnp.sum(sr[:, :, None] * xr[:, None] + si[:, :, None] * xi[:, None],
+                  axis=0) * wv
+    dci = jnp.sum(si[:, :, None] * xr[:, None] - sr[:, :, None] * xi[:, None],
+                  axis=0) * wv
+    dfr = jnp.sum(er[:, :, None] * hgr[:, None] + ei[:, :, None] * hgi[:, None],
+                  axis=0) * wv
+    dfi = jnp.sum(ei[:, :, None] * hgr[:, None] - er[:, :, None] * hgi[:, None],
+                  axis=0) * wv
+    contract = (((1,), (1,)), ((), ()))
+
+    def pdot(a, bb):
+        return lax.dot_general(a.astype(mxu_dtype), bb.astype(mxu_dtype),
+                               contract, preferred_element_type=jnp.float32)
+
+    scale = 1.0 / (n_norm * nb)
+    gc_tile = pdot(dcr.reshape(m * d, tw), cos) - pdot(dci.reshape(m * d, tw),
+                                                       sin)
+    gf_tile = pdot(dfr.reshape(d * m, tw), cos) - pdot(dfi.reshape(d * m, tw),
+                                                       sin)
+
+    @pl.when(i == 0)
+    def _():
+        gc_ref[:] = jnp.zeros_like(gc_ref)
+        gf_ref[:] = jnp.zeros_like(gf_ref)
+        lane0 = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, tw), 2) == 0)
+        db_ref[:] = jnp.sum(jnp.where(lane0, sr, 0.0),
+                            axis=(0, 2))[:, None] * norm * scale
+        dp_ref[:] = jnp.sum(jnp.where(lane0, er, 0.0),
+                            axis=(0, 2))[:, None] * norm * scale
+
+    gc_ref[:] += gc_tile * scale
+    gf_ref[:] += gf_tile * scale
+
+
+def burst_pallas_fused(x, expout, out0, c, f, b, p, mom=None, *,
+                       lr=0.2, alpha=0.9, iters=100, maxdiff=False,
+                       w0=1.0, w1=10.0, scale_by_dm=True,
+                       interpret=None, axis_name=None,
+                       mxu_dtype=jnp.float32) -> FFTBurstResult:
+    """Iteration-fused burst: one Pallas sweep per iteration (plus one
+    initial gradient sweep).  Semantics identical to ``burst_pallas_body``."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    batched = x.ndim == 4
+    if not batched:
+        x, expout, out0 = x[None], expout[None], out0[None]
+    nb = x.shape[0]
+    nx, ny = x.shape[-2], x.shape[-1]
+    dM, dD, nk, nl = c.shape
+    P = nk * nl
+    nyr = ny // 2 + 1
+    w = nx * nyr
+    tw = min(TW if nb <= 2 else (1024 if nb <= 8 else 512), w)
+    wpad = -(-w // tw) * tw
+    n_tiles = wpad // tw
+    norm = float(nx * ny)
+    n_norm = norm * 2.0 * dM * dD * nx * ny
+    del_eff = 0.1 * lr
+    inv_m = (1.0 / dM) if scale_by_dm else 1.0
+    inv_d = (1.0 / dD) if scale_by_dm else 1.0
+    cos_np, sin_np = _basis(nk, nl, nx, ny, wpad)
+    cosB = jnp.asarray(cos_np)
+    sinB = jnp.asarray(sin_np)
+    wv = jnp.asarray(_herm_weights(nx, ny, wpad))
+    X = spectral.rfft2(x)
+    Y = spectral.rfft2(expout)
+    O = spectral.rfft2(out0)
+    flat = lambda Z: Z.reshape(nb * dD, nx, nyr)
+    xr, xi = _split(flat(X), w, wpad)
+    yr, yi = _split(flat(Y), w, wpad)
+    orr, oii = _split(flat(O), w, wpad)
+    if mom is None:
+        mom = (jnp.zeros_like(c), jnp.zeros_like(f),
+               jnp.zeros_like(b), jnp.zeros_like(p))
+    Dc, Df, Db, Dp = mom
+    mse0 = jnp.mean(jax.vmap(
+        lambda a, o: spectral.parseval_mse(a, o, dD, dM, nx, ny))(Y, O))
+    if axis_name is not None:
+        mse0 = lax.pmean(mse0, axis_name)
+    mses = jnp.zeros((iters + 1,), x.dtype).at[0].set(mse0)
+
+    tile = lambda r: pl.BlockSpec((r, tw), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM)
+    whole = lambda r, cdim: pl.BlockSpec((r, cdim), lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM)
+
+    k1 = pl.pallas_call(
+        functools.partial(_grad_project_kernel, nb, dM, dD, P, norm, n_norm,
+                          mxu_dtype),
+        grid=(n_tiles,),
+        in_specs=[tile(nb * dD)] * 6
+        + [tile(P), tile(P), tile(1),
+           whole(dM * dD, P), whole(dD * dM, P), whole(dM, 1)],
+        out_specs=[whole(dM * dD, P), whole(dD * dM, P),
+                   whole(dM, 1), whole(dD, 1)],
+        out_shape=[jax.ShapeDtypeStruct((dM * dD, P), jnp.float32),
+                   jax.ShapeDtypeStruct((dD * dM, P), jnp.float32),
+                   jax.ShapeDtypeStruct((dM, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((dD, 1), jnp.float32)],
+        interpret=interpret,
+    )
+
+    kstep = pl.pallas_call(
+        functools.partial(_fused_step_kernel, nb, dM, dD, P, norm, n_norm,
+                          inv_m, inv_d, mxu_dtype),
+        grid=(n_tiles,),
+        in_specs=[tile(nb * dD)] * 4
+        + [tile(P), tile(P), tile(1),
+           whole(dM * dD, P), whole(dD * dM, P),
+           whole(dM, 1), whole(dD, 1)],
+        out_specs=[tile(nb * dD), tile(nb * dD),
+                   pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM),
+                   whole(dM * dD, P), whole(dD * dM, P),
+                   whole(dM, 1), whole(dD, 1)],
+        out_shape=[jax.ShapeDtypeStruct((nb * dD, wpad), jnp.float32),
+                   jax.ShapeDtypeStruct((nb * dD, wpad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((dM * dD, P), jnp.float32),
+                   jax.ShapeDtypeStruct((dD * dM, P), jnp.float32),
+                   jax.ShapeDtypeStruct((dM, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((dD, 1), jnp.float32)],
+        interpret=interpret,
+    )
+
+    def inertia(wgt, g, mo):
+        dw = (1.0 - alpha) * del_eff * g / jnp.maximum(jnp.abs(g), GRAD_CLIP) \
+            + alpha * mo
+        return wgt - dw, dw
+
+    # initial gradients from O₀ (the k2k1 fusion covers every later one)
+    gc, gf, db, dp = k1(xr, xi, yr, yi, orr, oii, cosB, sinB, wv,
+                        c.reshape(dM * dD, P), f.reshape(dD * dM, P),
+                        b[:, None])
+
+    def body(i, carry):
+        c, f, b, p, Dc, Df, Db, Dp, gc, gf, db, dp, mses = carry
+        gcs = gc.reshape(c.shape)
+        gfs = gf.reshape(f.shape)
+        gb, gp = db[:, 0], dp[:, 0]
+        if axis_name is not None:
+            gcs, gfs, gb, gp = jax.tree.map(
+                lambda t: lax.pmean(t, axis_name), (gcs, gfs, gb, gp))
+        if maxdiff:
+            cd, fd, bd, pd = diversity_gradients(c, f, b, p)
+            gcs = w0 * gcs - w1 * cd
+            gfs = w0 * gfs - w1 * fd
+            gb = w0 * gb - w1 * bd
+            gp = w0 * gp - w1 * pd
+        c, Dc = inertia(c, gcs, Dc)
+        f, Df = inertia(f, gfs, Df)
+        b, Db = inertia(b, gb, Db)
+        p, Dp = inertia(p, gp, Dp)
+        _, _, msep, gc, gf, db, dp = kstep(
+            xr, xi, yr, yi, cosB, sinB, wv,
+            c.reshape(dM * dD, P), f.reshape(dD * dM, P),
+            b[:, None], p[:, None])
+        mse = msep[0, 0] / (dD * nx * ny) / (2 * dM * nx * ny)
+        if axis_name is not None:
+            mse = lax.pmean(mse, axis_name)
+        mses = mses.at[i + 1].set(mse)
+        return (c, f, b, p, Dc, Df, Db, Dp, gc, gf, db, dp, mses)
+
+    init = (c, f, b, p, Dc, Df, Db, Dp, gc, gf, db, dp, mses)
+    out = lax.fori_loop(0, iters, body, init)
+    c, f, b, p, Dc, Df, Db, Dp = out[:8]
+    return FFTBurstResult(c=c, f=f, b=b, p=p, mom=(Dc, Df, Db, Dp),
+                          mses=out[-1])
+
+
+fft_burst_pallas_fused = jax.jit(
+    burst_pallas_fused,
+    static_argnames=("iters", "maxdiff", "scale_by_dm", "interpret",
+                     "axis_name", "mxu_dtype"))

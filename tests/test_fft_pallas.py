@@ -161,3 +161,30 @@ def test_bf16_mxu_burst_close_to_f32():
     np.testing.assert_allclose(np.asarray(bf16.mses), np.asarray(f32.mses),
                                rtol=0.05)
     assert bf16.c.dtype == jnp.float32
+
+
+def test_fused_step_burst_matches_two_kernel():
+    from spectralae.train.fft_pallas import fft_burst_pallas_fused
+    x, out0, enc, dec = setup()
+    ref = fft_burst_pallas(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                           lr=0.2, iters=6, interpret=True)
+    got = fft_burst_pallas_fused(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                                 lr=0.2, iters=6, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.mses), np.asarray(ref.mses),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.c), np.asarray(ref.c),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.mom[0]), np.asarray(ref.mom[0]),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_fused_step_burst_maxdiff():
+    from spectralae.train.fft_pallas import fft_burst_pallas_fused
+    x, out0, enc, dec = setup()
+    ref = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                    lr=0.2, iters=4, impl="dft", maxdiff=True)
+    got = fft_burst_pallas_fused(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                                 lr=0.2, iters=4, maxdiff=True,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got.mses), np.asarray(ref.mses),
+                               rtol=1e-3, atol=1e-4)
