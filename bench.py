@@ -64,8 +64,10 @@ def time_chained(step, x0, n=10, warmup=1, trials=3):
         r, x = step(x)
     _fetch_scalar(x)
     best = float("inf")
-    for _ in range(trials):
-        x = x0
+    for trial in range(trials):
+        # distinct chain per trial — a repeated chain would be deduplicated
+        # by the relay and time ~0
+        x = x0 + (trial + 1) * 1e-5
         t0 = time.perf_counter()
         _fetch_scalar(x)
         fetch_rt = time.perf_counter() - t0
