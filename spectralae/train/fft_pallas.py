@@ -393,9 +393,12 @@ def auto_burst(x, expout, out0, c, f, b, p, mom=None, *, lr=0.2, alpha=0.9,
 
 def _fused_step_kernel(nb, m, d, p, norm, n_norm, inv_m, inv_d, mxu_dtype,
                        xr_ref, xi_ref, yr_ref, yi_ref,
-                       cos_ref, sin_ref, wv_ref, c_ref, f_ref, b_ref, p_ref,
+                       cos_ref, sin_ref, wv_ref, cf_ref, b_ref, p_ref,
                        or_ref, oi_ref, mse_ref,
-                       gc_ref, gf_ref, db_ref, dp_ref):
+                       g_ref, db_ref, dp_ref):
+    """cf_ref: c and f stacked [2·M·D, P] (rows m·D+d, then M·D + d·M+m);
+    g_ref: stacked projected gradients, same row layout — stacking halves
+    the MXU-padded dot count (30-row operands pad to 128 anyway)."""
     def mdot(a, bb):
         return jnp.dot(a.astype(mxu_dtype), bb.astype(mxu_dtype),
                        preferred_element_type=jnp.float32)
@@ -404,14 +407,13 @@ def _fused_step_kernel(nb, m, d, p, norm, n_norm, inv_m, inv_d, mxu_dtype,
     cos = cos_ref[:]
     sin = sin_ref[:]
     tw = cos.shape[-1]
-    cfr = mdot(c_ref[:], cos)
-    cfi = -mdot(c_ref[:], sin)
-    ffr = mdot(f_ref[:], cos)
-    ffi = -mdot(f_ref[:], sin)
-    cfr = cfr.reshape(m, d, tw)
-    cfi = cfi.reshape(m, d, tw)
-    ffr = ffr.reshape(d, m, tw)
-    ffi = ffi.reshape(d, m, tw)
+    md = m * d
+    allr = mdot(cf_ref[:], cos)          # [2·M·D, TW] spectra re
+    alli = -mdot(cf_ref[:], sin)         # spectra im
+    cfr = allr[:md].reshape(m, d, tw)
+    cfi = alli[:md].reshape(m, d, tw)
+    ffr = allr[md:].reshape(d, m, tw)
+    ffi = alli[md:].reshape(d, m, tw)
     xr = xr_ref[:].reshape(nb, d, tw)
     xi = xi_ref[:].reshape(nb, d, tw)
     yr = yr_ref[:].reshape(nb, d, tw)
@@ -466,23 +468,20 @@ def _fused_step_kernel(nb, m, d, p, norm, n_norm, inv_m, inv_d, mxu_dtype,
                                contract, preferred_element_type=jnp.float32)
 
     scale = 1.0 / (n_norm * nb)
-    gc_tile = pdot(dcr.reshape(m * d, tw), cos) - pdot(dci.reshape(m * d, tw),
-                                                       sin)
-    gf_tile = pdot(dfr.reshape(d * m, tw), cos) - pdot(dfi.reshape(d * m, tw),
-                                                       sin)
+    d_re = jnp.concatenate([dcr.reshape(md, tw), dfr.reshape(md, tw)], axis=0)
+    d_im = jnp.concatenate([dci.reshape(md, tw), dfi.reshape(md, tw)], axis=0)
+    g_tile = pdot(d_re, cos) - pdot(d_im, sin)      # [2·M·D, P]
 
     @pl.when(i == 0)
     def _():
-        gc_ref[:] = jnp.zeros_like(gc_ref)
-        gf_ref[:] = jnp.zeros_like(gf_ref)
+        g_ref[:] = jnp.zeros_like(g_ref)
         lane0 = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, tw), 2) == 0)
         db_ref[:] = jnp.sum(jnp.where(lane0, sr, 0.0),
                             axis=(0, 2))[:, None] * norm * scale
         dp_ref[:] = jnp.sum(jnp.where(lane0, er, 0.0),
                             axis=(0, 2))[:, None] * norm * scale
 
-    gc_ref[:] += gc_tile * scale
-    gf_ref[:] += gf_tile * scale
+    g_ref[:] += g_tile * scale
 
 
 def burst_pallas_fused(x, expout, out0, c, f, b, p, mom=None, *,
@@ -559,22 +558,22 @@ def burst_pallas_fused(x, expout, out0, c, f, b, p, mom=None, *,
         grid=(n_tiles,),
         in_specs=[tile(nb * dD)] * 4
         + [tile(P), tile(P), tile(1),
-           whole(dM * dD, P), whole(dD * dM, P),
+           whole(2 * dM * dD, P),
            whole(dM, 1), whole(dD, 1)],
         out_specs=[tile(nb * dD), tile(nb * dD),
                    pl.BlockSpec((1, 1), lambda i: (0, 0),
                                 memory_space=pltpu.SMEM),
-                   whole(dM * dD, P), whole(dD * dM, P),
+                   whole(2 * dM * dD, P),
                    whole(dM, 1), whole(dD, 1)],
         out_shape=[jax.ShapeDtypeStruct((nb * dD, wpad), jnp.float32),
                    jax.ShapeDtypeStruct((nb * dD, wpad), jnp.float32),
                    jax.ShapeDtypeStruct((1, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((dM * dD, P), jnp.float32),
-                   jax.ShapeDtypeStruct((dD * dM, P), jnp.float32),
+                   jax.ShapeDtypeStruct((2 * dM * dD, P), jnp.float32),
                    jax.ShapeDtypeStruct((dM, 1), jnp.float32),
                    jax.ShapeDtypeStruct((dD, 1), jnp.float32)],
         interpret=interpret,
     )
+    md = dM * dD
 
     def inertia(wgt, g, mo):
         dw = (1.0 - alpha) * del_eff * g / jnp.maximum(jnp.abs(g), GRAD_CLIP) \
@@ -604,10 +603,10 @@ def burst_pallas_fused(x, expout, out0, c, f, b, p, mom=None, *,
         f, Df = inertia(f, gfs, Df)
         b, Db = inertia(b, gb, Db)
         p, Dp = inertia(p, gp, Dp)
-        _, _, msep, gc, gf, db, dp = kstep(
-            xr, xi, yr, yi, cosB, sinB, wv,
-            c.reshape(dM * dD, P), f.reshape(dD * dM, P),
-            b[:, None], p[:, None])
+        cf = jnp.concatenate([c.reshape(md, P), f.reshape(md, P)], axis=0)
+        _, _, msep, g_all, db, dp = kstep(
+            xr, xi, yr, yi, cosB, sinB, wv, cf, b[:, None], p[:, None])
+        gc, gf = g_all[:md], g_all[md:]
         mse = msep[0, 0] / (dD * nx * ny) / (2 * dM * nx * ny)
         if axis_name is not None:
             mse = lax.pmean(mse, axis_name)
