@@ -127,6 +127,25 @@ def main():
         results["fft_backprop_iters_per_sec_256[pallas]"],
         results["fft_backprop_iters_per_sec_256[dft]"])
 
+    # ---- headline at 512² (scaling) ----
+    cfgB = Config(nx=512, ny=512, d=3,
+                  layer=LayerParams(depth=10, lk=1, ll=1, scale=2, rmax=3.0))
+    specB = initial_spec(cfgB)
+    paramsB = init_params(jax.random.key(0), specB, 1.0)
+    encB, decB = paramsB.pair(0)
+    fwdB = jax.jit(lambda p, x: model.forward_fft(p, x, specB.scales))
+    xb0 = jax.device_put(rng.normal(size=(3, 512, 512)).astype(np.float32)
+                         * 50)
+    outB = fwdB(paramsB, xb0[None])[0]
+
+    def burst512(x):
+        r = fft_burst_pallas_fused(x, x, outB, encB.c, decB.c, encB.b,
+                                   decB.b, lr=0.2, iters=burst_iters)
+        return r, x + r.mses[-1] * 0.0 + 1e-6
+    dt = time_chained(burst512, xb0, n=6)
+    results["fft_burst_100_ms_512"] = dt * 1e3
+    results["fft_backprop_iters_per_sec_512"] = burst_iters / dt
+
     # ---- forward passes, 3-layer net, batch 1 ----
     fwd_fft3 = jax.jit(lambda x: model.forward_fft(params3, x, spec3.scales))
 

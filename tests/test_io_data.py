@@ -137,3 +137,13 @@ def test_metrics_logger_and_timer(tmp_path):
         with t:
             pass
     assert t.median_ms >= 0 and t.steps_per_sec > 0
+
+
+def test_device_trace_smoke(tmp_path):
+    import jax.numpy as jnp
+    import jax
+    from spectralae.core.profiling import device_trace
+    with device_trace(tmp_path):
+        jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    import os
+    assert any(os.scandir(tmp_path))  # trace files written
