@@ -22,7 +22,8 @@ import numpy as np
 
 def _add_common(p):
     p.add_argument("--nx", type=int, default=256)
-    p.add_argument("--ny", type=int, default=256)
+    p.add_argument("--ny", type=int, default=None,
+                   help="frame cols; defaults to --nx (square)")
     p.add_argument("--depth", type=int, default=3,
                    help="input channels (D)")
     p.add_argument("--param-file", type=str, default=None,
@@ -35,6 +36,8 @@ def _add_common(p):
 def _make_engine(args):
     from ..core.config import Config
     from ..model.engine import Engine
+    if args.ny is None:
+        args.ny = args.nx
     cfg = Config(nx=args.nx, ny=args.ny, d=args.depth)
     eng = Engine(cfg, seed=args.seed, param_file=args.param_file)
     for _ in range(args.layers - 1):
@@ -45,6 +48,8 @@ def _make_engine(args):
 
 def _source(args):
     from ..data import pipeline
+    if args.ny is None:
+        args.ny = args.nx
     if args.source == "synthetic":
         return pipeline.synthetic_frames(args.nx, args.ny, seed=args.seed)
     if args.source == "camera":
@@ -74,17 +79,23 @@ def cmd_run(args):
         if args.dump_every and i % args.dump_every == 0:
             for name, img in eng.current_views().items():
                 write_png(outdir / f"{name}_{i:05d}.png", img)
+        def _dispatch(k):
+            # a failed command (e.g. 'l' with no saved weights) reports and
+            # keeps the loop alive, like the reference's interactive app
+            try:
+                r = dispatch_key(eng, k)
+                print(f"key '{k}' -> {r}", flush=True)
+            except (OSError, ValueError) as e:
+                print(f"key '{k}' failed: {e}", flush=True)
+
         if args.keys and i < len(args.keys):
-            k = args.keys[i]
-            r = dispatch_key(eng, k)
-            print(f"key '{k}' -> {r}", flush=True)
+            _dispatch(args.keys[i])
         elif args.interactive:
             line = sys.stdin.readline().strip()
             if line in ("\x1b", "Q"):
                 break
             for k in line:
-                r = dispatch_key(eng, k)
-                print(f"key '{k}' -> {r}", flush=True)
+                _dispatch(k)
 
 
 def _train_bursts(args):
