@@ -46,6 +46,16 @@ TW = int(_os.environ.get("SPECTRALAE_PALLAS_TW", "2048"))
 # v5e; override via SPECTRALAE_PALLAS_TW).
 
 
+def _tile_width(nb: int, m: int, d: int) -> int:
+    """ω-tile width keeping per-tile temporaries (the [B,M,D,TW] broadcast
+    products dominate) within a few MB of VMEM."""
+    budget_lanes = 6 * 1024 * 1024 // (4 * max(1, 10 * nb * m * d))
+    tw = 256
+    while tw * 2 <= min(TW, budget_lanes):
+        tw *= 2
+    return tw
+
+
 @functools.lru_cache(maxsize=None)
 def _basis(nk: int, nl: int, nx: int, ny: int, wpad: int):
     """Unweighted restricted-DFT basis, layout [P, Wpad] (see ops/dft.py)."""
@@ -243,8 +253,7 @@ def burst_pallas_body(x: jax.Array, expout: jax.Array, out0: jax.Array,
     P = nk * nl
     nyr = ny // 2 + 1
     w = nx * nyr
-    # keep per-tile [B, M, D, TW] temporaries within VMEM
-    tw = min(TW if nb <= 2 else (1024 if nb <= 8 else 512), w)
+    tw = min(_tile_width(nb, dM, dD), w)
     wpad = -(-w // tw) * tw
     n_tiles = wpad // tw
     norm = float(nx * ny)
@@ -502,7 +511,7 @@ def burst_pallas_fused(x, expout, out0, c, f, b, p, mom=None, *,
     P = nk * nl
     nyr = ny // 2 + 1
     w = nx * nyr
-    tw = min(TW if nb <= 2 else (1024 if nb <= 8 else 512), w)
+    tw = min(_tile_width(nb, dM, dD), w)
     wpad = -(-w // tw) * tw
     n_tiles = wpad // tw
     norm = float(nx * ny)
