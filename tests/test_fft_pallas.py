@@ -188,3 +188,16 @@ def test_fused_step_burst_maxdiff():
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(got.mses), np.asarray(ref.mses),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_fft_and_dft_impls_agree():
+    """The literal pad+rfft2 path and the DFT-matmul path are the same math."""
+    x, out0, enc, dec = setup()
+    a = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                  lr=0.2, iters=4, impl="fft")
+    b = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                  lr=0.2, iters=4, impl="dft")
+    np.testing.assert_allclose(np.asarray(a.mses), np.asarray(b.mses),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.c), np.asarray(b.c),
+                               rtol=1e-3, atol=1e-4)
