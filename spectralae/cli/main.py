@@ -63,6 +63,10 @@ def cmd_run(args):
     from ..viz.png import write_png
     eng = _make_engine(args)
     src = _source(args)
+    if args.tui:
+        from .tui import run_tui
+        return run_tui(eng, src, nx=args.nx, ny=args.ny,
+                       frames=args.frames or None)
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
     print("commands: same keys as the reference (1..9,0,f,g,q,w,m,z,x,e,c,"
@@ -217,6 +221,8 @@ def main(argv=None):
     p.add_argument("--outdir", default="./views")
     p.add_argument("--dump-every", type=int, default=0)
     p.add_argument("--interactive", action="store_true")
+    p.add_argument("--tui", action="store_true",
+                   help="live ANSI terminal UI with single-key commands")
     p.add_argument("--keys", default="",
                    help="scripted key sequence, one key per frame")
     p.set_defaults(fn=cmd_run)

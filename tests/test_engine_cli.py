@@ -331,3 +331,42 @@ def test_encode_matches_forward_prefix():
                      tap_mode="centered")
     np.testing.assert_allclose(np.asarray(z), np.asarray(acts[2]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_ansi_renderer():
+    from spectralae.viz.ansi import render_image, render_dashboard
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[0, 0] = [255, 0, 0]
+    s = render_image(img)
+    assert "\x1b[38;2;255;0;0m" in s and s.count("\n") == 3
+    gray = np.full((4, 4), 128, np.uint8)
+    s2 = render_image(gray)
+    assert "\x1b[38;2;128;128;128m" in s2
+    eng = make_engine()
+    eng.step(frame())
+    dash = render_dashboard(eng.current_views(), "status line")
+    assert dash.startswith("status line")
+    assert "input" in dash and "kernel" in dash
+
+
+def test_tui_loop_runs_and_quits(monkeypatch):
+    """Drive the TUI loop headlessly: fake termios/keys, capture frames."""
+    import io
+    import types
+    from spectralae.cli import tui
+    eng = make_engine()
+    src = pipeline.synthetic_frames(16, 16, seed=0)
+    keys = iter(["1", None, "\x1b"])
+    monkeypatch.setattr(tui, "_read_key", lambda timeout=0.0: next(keys))
+    fake_termios = types.SimpleNamespace(
+        tcgetattr=lambda fd: None,
+        tcsetattr=lambda fd, how, attrs: None, TCSADRAIN=0)
+    monkeypatch.setitem(__import__("sys").modules, "termios", fake_termios)
+    monkeypatch.setitem(__import__("sys").modules, "tty",
+                        types.SimpleNamespace(setcbreak=lambda fd: None))
+    out = io.StringIO()
+    tui.run_tui(eng, src, nx=16, ny=16, frames=10, out=out)
+    text = out.getvalue()
+    assert "frame 0" in text and "frame 2" in text
+    assert "frame 3" not in text          # Esc on the third frame quit
+    assert "TRAIN" in text                # key '1' armed training
