@@ -369,4 +369,7 @@ def test_tui_loop_runs_and_quits(monkeypatch):
     text = out.getvalue()
     assert "frame 0" in text and "frame 2" in text
     assert "frame 3" not in text          # Esc on the third frame quit
-    assert "TRAIN" in text                # key '1' armed training
+    # key '1' after frame 0 armed training; the fft burst ran during
+    # frame 1's step (and auto-disarmed), leaving a finite mse in status
+    assert "mse nan" in text.split("frame 1")[0]
+    assert "mse nan" not in text.split("frame 1")[1]
