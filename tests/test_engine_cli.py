@@ -373,3 +373,15 @@ def test_tui_loop_runs_and_quits(monkeypatch):
     # frame 1's step (and auto-disarmed), leaving a finite mse in status
     assert "mse nan" in text.split("frame 1")[0]
     assert "mse nan" not in text.split("frame 1")[1]
+
+
+def test_cli_train_bf16_leaky(tmp_path, capsys):
+    from spectralae.cli.main import main
+    main(["train", "--nx", "16", "--steps", "3", "--batch", "2",
+          "--domain", "coord", "--bf16", "--activation", "leaky_relu",
+          "--log-every", "1"])
+    out = capsys.readouterr().out
+    import json as _json
+    losses = [_json.loads(l)["loss"] for l in out.strip().splitlines()
+              if l.startswith("{")]
+    assert len(losses) == 3 and all(np.isfinite(losses))
