@@ -133,6 +133,7 @@ class NetSpec:
         nx_in = inner.nx  # innermost feature-map resolution
         ny_in = inner.ny
         sc = layer.scale
+        _check_divisible(nx_in, ny_in, sc)
         enc = StageSpec(m=layer.depth, d=d_in, nk=layer.nk, nl=layer.nl,
                         scale=sc, nx=nx_in // sc, ny=ny_in // sc)
         dec = StageSpec(m=d_in, d=layer.depth, nk=layer.nk, nl=layer.nl,
@@ -149,9 +150,18 @@ class NetSpec:
         return dataclasses.replace(self, stages=stages)
 
 
+def _check_divisible(nx: int, ny: int, scale: int) -> None:
+    if scale > 1 and (nx % scale or ny % scale):
+        raise ValueError(
+            f"pooling scale {scale} does not divide the activation size "
+            f"{nx}x{ny}; the reference silently truncates here — choose a "
+            f"resolution divisible by the product of all pooling scales")
+
+
 def initial_spec(cfg: Config) -> NetSpec:
     """The 1-pair net built at startup (source/autoencoder.cpp:109-120)."""
     s = cfg.layer.scale
+    _check_divisible(cfg.nx, cfg.ny, s)
     enc = StageSpec(m=cfg.layer.depth, d=cfg.d, nk=cfg.layer.nk, nl=cfg.layer.nl,
                     scale=s, nx=cfg.nx // s, ny=cfg.ny // s)
     dec = StageSpec(m=cfg.d, d=cfg.layer.depth, nk=cfg.layer.nk, nl=cfg.layer.nl,

@@ -385,3 +385,14 @@ def test_cli_train_bf16_leaky(tmp_path, capsys):
     losses = [_json.loads(l)["loss"] for l in out.strip().splitlines()
               if l.startswith("{")]
     assert len(losses) == 3 and all(np.isfinite(losses))
+
+
+def test_indivisible_pooling_rejected():
+    from spectralae.core.config import Config, LayerParams
+    from spectralae.core.types import initial_spec
+    cfg = Config(nx=30, ny=30, d=3,
+                 layer=LayerParams(depth=4, lk=0, ll=0, scale=4, rmax=1.0))
+    with pytest.raises(ValueError, match="does not divide"):
+        initial_spec(cfg)
+    eng = make_engine(nx=16)   # 16 -> 8; adding a x4 pair needs 8 % 4 == 0 ok,
+    eng.add_layer()            # but a third at 2x2 with scale 2 -> 1 ... ok
