@@ -580,6 +580,11 @@ def burst_pallas_fused(x, expout, out0, c, f, b, p, mom=None, *,
                    jax.ShapeDtypeStruct((2 * dM * dD, P), jnp.float32),
                    jax.ShapeDtypeStruct((dM, 1), jnp.float32),
                    jax.ShapeDtypeStruct((dD, 1), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            # 4 dots of [2MD, P]x[P/TW] per tile + ~40 elementwise passes
+            flops=int(wpad * (16 * dM * dD * P + 40 * nb * dM * dD)),
+            bytes_accessed=int(4 * wpad * (8 * nb * dD + 2 * P + 1)),
+            transcendentals=0),
         interpret=interpret,
     )
     md = dM * dD
