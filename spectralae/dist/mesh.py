@@ -32,7 +32,15 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
-    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    need = n_data * n_model
+    if len(devices) < need:
+        raise ValueError(
+            f"make_mesh needs {need} devices for a {n_data}x{n_model} "
+            f"(data, model) mesh but only {len(devices)} are available. "
+            "For a virtual multi-device run on CPU set JAX_PLATFORMS=cpu and "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={need} before "
+            "backend init (see tests/conftest.py).")
+    devs = np.asarray(devices[:need]).reshape(n_data, n_model)
     return Mesh(devs, axis_names=("data", "model"))
 
 
