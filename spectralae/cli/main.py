@@ -104,9 +104,14 @@ def cmd_run(args):
 
 def _train_bursts(args):
     """Headless reference-style training: per-batch frozen-input FFT bursts
-    with batch-averaged gradients (train/fft_dp)."""
+    with batch-averaged gradients (train/fft_dp).
+
+    The burst's internal model is the pool-free two-stage spectral conv, so
+    — as in ``Engine._train`` and the reference (autoencoder.cpp:158-197) —
+    the selected pair trains on its *pooled* input activation and the
+    pre-unpool decoder output, not the full-resolution frame/reconstruction.
+    """
     import jax
-    import jax.numpy as jnp
     from ..data import pipeline
     from ..io import checkpoint as ckpt
     from ..model import autoencoder as model
@@ -114,24 +119,41 @@ def _train_bursts(args):
     from ..core.types import ConvStage
     eng = _make_engine(args)
     params, spec = eng.params, eng.spec
-    fwd = jax.jit(lambda p, x: model.forward_fft(p, x, spec.scales))
+    n_l = args.train_pair
+    if not 0 <= n_l < spec.n_pairs:
+        raise SystemExit(f"--train-pair {n_l} out of range "
+                         f"(net has {spec.n_pairs} pairs)")
+    fwd = jax.jit(lambda p, x: model.forward_fft(p, x, spec.scales,
+                                                 return_layers=True))
     pf = pipeline.DevicePrefetcher(_source(args), args.nx, args.ny,
                                    batch=args.batch)
-    mom = None
+    metrics = Path(args.metrics) if args.metrics else None
+    mom = None  # zeroed per burst (reference semantics) unless --carry-momentum
     for step_i, batch in enumerate(pf):
         if step_i >= args.steps:
             break
-        out0 = fwd(params, batch)
-        enc, dec = params.pair(0)
-        res = fft_burst_dp(batch, batch, out0, enc.c, dec.c, enc.b, dec.b,
+        _, layers = fwd(params, batch)
+        in_b = layers[2 * n_l + 1]
+        out_b = layers[len(layers) - 2 - 2 * n_l]
+        enc, dec = params.pair(n_l)
+        res = fft_burst_dp(in_b, in_b, out_b, enc.c, dec.c, enc.b, dec.b,
                            mom, lr=args.lr, alpha=args.alpha)
-        mom = res.mom
-        params = params.replace_pair(0, ConvStage(c=res.c, b=res.b),
+        if args.carry_momentum:
+            mom = res.mom
+        params = params.replace_pair(n_l, ConvStage(c=res.c, b=res.b),
                                      ConvStage(c=res.f, b=res.p))
         if step_i % args.log_every == 0:
-            print(json.dumps({"step": step_i,
-                              "mse0": float(res.mses[0]),
-                              "mseN": float(res.mses[-1])}), flush=True)
+            # per-inner-iteration MSE trajectory, the reference's per-iter
+            # "n: ... mse: ..." stream (fft_backproplib.cu:1463-1464) —
+            # collected on-device, emitted once per burst
+            mses = np.asarray(res.mses, dtype=np.float64)
+            rec = {"step": step_i, "pair": n_l,
+                   "mse0": float(mses[0]), "mseN": float(mses[-1]),
+                   "mses": [float(v) for v in mses]}
+            print(json.dumps(rec), flush=True)
+            if metrics:
+                with metrics.open("a") as fh:
+                    fh.write(json.dumps(rec) + "\n")
     pf.close()
     if args.ckpt:
         ckpt.save(args.ckpt, params, spec, None, extra={"step": args.steps})
@@ -238,6 +260,12 @@ def main(argv=None):
     p.add_argument("--mode", choices=("step", "burst"), default="step",
                    help="step: batched autodiff training; burst: the "
                         "reference's per-frame 100-iteration FFT bursts")
+    p.add_argument("--train-pair", type=int, default=0,
+                   help="burst mode: stage pair to train (the 'z'/'x' focus)")
+    p.add_argument("--carry-momentum", action="store_true",
+                   help="burst mode: stream optimizer momentum across "
+                        "bursts instead of zeroing per burst (reference "
+                        "zeroes: fft_backproplib.cu:1420-1423)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute in the coord domain")
     p.add_argument("--activation", choices=("identity", "leaky_relu"),

@@ -278,15 +278,54 @@ def test_cli_train_halts_on_divergence(tmp_path, capsys, monkeypatch):
 
 
 def test_cli_train_burst_mode(tmp_path, capsys):
+    import json as _json
     from spectralae.cli.main import main
     main(["train", "--nx", "16", "--steps", "2", "--batch", "2",
           "--mode", "burst", "--log-every", "1",
           "--ckpt", str(tmp_path / "ck")])
     out = capsys.readouterr().out
     assert '"mseN"' in out
+    # per-inner-iteration MSE stream (ref fft_backproplib.cu:1463-1464)
+    rec = _json.loads(out.strip().splitlines()[0])
+    assert len(rec["mses"]) == 101  # iters+1 trajectory
+    assert rec["mses"][0] == rec["mse0"] and rec["mses"][-1] == rec["mseN"]
     from spectralae.io import checkpoint as ckpt
     params, spec, opt, extra = ckpt.load(tmp_path / "ck")
     assert extra["step"] == 2
+
+
+def test_cli_train_burst_trains_selected_pair_at_pooled_resolution(
+        tmp_path, capsys):
+    """--train-pair selects the pair; the burst consumes the pair's pooled
+    activations (the burst's two-stage model is pool-free), so only that
+    pair's params change and the run converges."""
+    import json as _json
+    from spectralae.cli.main import main
+    from spectralae.io import checkpoint as ckpt
+    main(["train", "--nx", "32", "--layers", "2", "--steps", "2",
+          "--batch", "2", "--mode", "burst", "--log-every", "1",
+          "--train-pair", "1", "--carry-momentum",
+          "--ckpt", str(tmp_path / "ck")])
+    out = capsys.readouterr().out
+    recs = [_json.loads(l) for l in out.strip().splitlines()
+            if l.startswith("{")]
+    assert recs[0]["pair"] == 1
+    assert all(np.isfinite(r["mseN"]) for r in recs)
+    params, spec, _, _ = ckpt.load(tmp_path / "ck")
+    # outer pair untouched: matches a freshly-built engine's init
+    from spectralae.cli.main import _make_engine
+    import argparse as _ap
+    args = _ap.Namespace(nx=32, ny=32, depth=3, param_file=None, seed=0,
+                         layers=2)
+    eng = _make_engine(args)
+    np.testing.assert_array_equal(np.asarray(params.stages[0].c),
+                                  np.asarray(eng.params.stages[0].c))
+    assert not np.array_equal(np.asarray(params.stages[1].c),
+                              np.asarray(eng.params.stages[1].c))
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["train", "--nx", "16", "--steps", "1", "--batch", "1",
+              "--mode", "burst", "--train-pair", "3"])
 
 
 def test_train_demo_example(tmp_path):

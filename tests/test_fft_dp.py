@@ -47,6 +47,42 @@ def test_dp_burst_converges_on_batch():
     assert mses[-1] < mses[0] * 0.9
 
 
+def test_carried_momentum_chains_bursts():
+    """Two k-iteration bursts with carried momentum and a refreshed out0
+    equal one 2k-iteration burst — the --carry-momentum streaming
+    semantics (the reference zeroes per burst: fft_backproplib.cu:1420)."""
+    from spectralae.core.config import Config, LayerParams
+    from spectralae.core.types import AEParams, ConvStage, initial_spec, \
+        init_params
+    cfg = Config(nx=16, ny=16, d=2,
+                 layer=LayerParams(depth=4, lk=1, ll=1, scale=1, rmax=0.5))
+    spec = initial_spec(cfg)
+    params = init_params(jax.random.key(5), spec, 0.5)
+    xs = jnp.asarray(np.random.default_rng(5).normal(
+        size=(2, 2, 16, 16)).astype(np.float32)) * 50
+    out0 = model.forward_fft(params, xs, spec.scales)
+    enc, dec = params.pair(0)
+    whole = fft_burst_dp(xs, xs, out0, enc.c, dec.c, enc.b, dec.b,
+                         lr=0.2, iters=8)
+    r1 = fft_burst_dp(xs, xs, out0, enc.c, dec.c, enc.b, dec.b,
+                      lr=0.2, iters=4)
+    p1 = AEParams(stages=(ConvStage(c=r1.c, b=r1.b),
+                          ConvStage(c=r1.f, b=r1.p)))
+    out1 = model.forward_fft(p1, xs, spec.scales)
+    r2 = fft_burst_dp(xs, xs, out1, r1.c, r1.f, r1.b, r1.p, r1.mom,
+                      lr=0.2, iters=4)
+    np.testing.assert_allclose(np.asarray(r2.c), np.asarray(whole.c),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r2.mses),
+                               np.asarray(whole.mses)[4:], rtol=1e-4,
+                               atol=1e-5)
+    # zeroed momentum (reference semantics) diverges from the chained run
+    r2z = fft_burst_dp(xs, xs, out1, r1.c, r1.f, r1.b, r1.p, None,
+                       lr=0.2, iters=4)
+    assert not np.allclose(np.asarray(r2z.c), np.asarray(whole.c),
+                           rtol=1e-4, atol=1e-5)
+
+
 def test_distributed_burst_matches_single_device():
     assert len(jax.devices()) == 8
     m = dist.make_mesh(n_data=8, n_model=1)
