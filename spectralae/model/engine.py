@@ -46,6 +46,14 @@ def _fwd_fft(params, x, scales, scale_by_dm, return_layers):
                              return_layers=return_layers)
 
 
+@jax.jit
+def _rfft2_mag_jit(x):
+    # |rfft2| computed on device: complex arrays can't cross some
+    # remote-TPU transports (axon tunnel), and viz only needs the magnitude
+    from ..ops import spectral
+    return jnp.abs(spectral.rfft2(x))
+
+
 @dataclasses.dataclass
 class EngineFlags:
     """The reference's keyboard-mutable runtime state
@@ -56,7 +64,11 @@ class EngineFlags:
     lr: float = 0.2            # '4'/'5' learning rate (del)
     dlr: float = 0.1           # log-scaled lr step (ddel)
     alpha: float = 0.9         # '6'/'7' inertia
-    active: bool = True        # '9' adaptive lr (no-op in ref coord path)
+    active: bool = False       # '9' adaptive lr — the reference flag is dead
+                               # code (del=delmax re-applied, backproplib.cu:34)
+                               # so its *effective* behavior is off; here the
+                               # intended |Δw/Δg| rule is real and reachable,
+                               # defaulting off to match effective parity
     feat: int = 0              # 'q'/'w' displayed feature map
     n_l: int = 0               # 'z'/'x' selected stage pair
     gpu: bool = True           # '0' gpu toggle → tap-window selection here
@@ -86,6 +98,7 @@ class Engine:
                                             self.cfg.layer.rmax)
         self._reset_pair_opt_state()
         self.layers: list | None = None  # activation tape of the last step
+        self._last_x = None              # last frame, for lazy view recompute
         self.freq_cache: list | None = None  # parity stub, see clear_freq_cache
         self.last_mse: float | None = None
         self.step_count = 0
@@ -124,10 +137,20 @@ class Engine:
         """
         x = jnp.asarray(frame)[None]
         f = self.flags
+        self._last_x = x
         if f.fft:
-            out, layers = _fwd_fft(self.params, x, self.spec.scales,
-                                   self.cfg.scale_by_dm, True)
-            self.layers = layers
+            # per-layer inverse FFTs cost an irfft2 per stage; only pay the
+            # tax when training needs the tape or 'g' viz is on (the
+            # reference gates the same work on fft_l,
+            # fft_backproplib.cu:1347-1361) — current_views recomputes lazily
+            if f.sel or f.fft_l:
+                out, layers = _fwd_fft(self.params, x, self.spec.scales,
+                                       self.cfg.scale_by_dm, True)
+                self.layers = layers
+            else:
+                out = _fwd_fft(self.params, x, self.spec.scales,
+                               self.cfg.scale_by_dm, False)
+                self.layers = None
         else:
             self.layers = _fwd_coord(self.params, x, self.spec.scales,
                                      self._coord_tap(), self.cfg.scale_by_dm)
@@ -158,9 +181,11 @@ class Engine:
         hin_s = coord_ops.center_crop(hin_full, f.q)
         out_s = coord_ops.center_crop(out_full, f.q)
         enc, dec = self.params.pair(n_l)
-        if f.fft:
+        if f.fft and f.gpu:
             # one 100-iteration burst per arm, then disarm
-            # (autoencoder.cpp:194-197)
+            # (autoencoder.cpp:194-197); like the reference, the fft burst
+            # requires gpu==1 — with gpu off training falls through to the
+            # CPU coordinate backprop and stays armed (autoencoder.cpp:182-200)
             res = auto_burst(in_s, in_s, out_s, enc.c, dec.c, enc.b, dec.b,
                              lr=f.lr, alpha=f.alpha,
                              iters=self.cfg.fft_iters, maxdiff=f.maxdiff,
@@ -175,7 +200,7 @@ class Engine:
             res = coord_step(in_s, out_s, hin_s, enc.c, dec.c, enc.b, dec.b,
                              self._mom, self._prev_grad, lr=f.lr,
                              alpha=alpha, tap_mode=self._coord_tap(),
-                             sym=f.sym, active=False)
+                             sym=f.sym, active=f.active)
             self._mom, self._prev_grad = res.mom, res.prev_grad
             self.last_mse = float(res.mse)
         self.params = self.params.replace_pair(
@@ -256,7 +281,11 @@ class Engine:
 
     def prev_feature(self):                          # 'w'
         m = self.params.stages[self.flags.n_l].m
-        self.flags.feat = (self.flags.feat - 1) % m
+        # reference quirk reproduced: `(feat-1)>0 ? feat-1 : M-1`
+        # (autoencoder.cpp:277) wraps feat==1 to M-1, so 0 is unreachable
+        # going down
+        f = self.flags.feat - 1
+        self.flags.feat = f if f > 0 else m - 1
         return self.flags.feat
 
     def toggle_maxdiff(self):                        # 'm'
@@ -390,11 +419,19 @@ class Engine:
 
     def current_views(self) -> dict[str, np.ndarray]:
         """The four reference windows as arrays: input, output, feature map,
-        kernel mosaic (autoencoder.cpp:211-242)."""
+        kernel mosaic (autoencoder.cpp:211-242).  With 'g' (fft_l) on in fft
+        mode, the per-layer inverse-FFT streams and the output spectrum are
+        added (fft_backproplib.cu:1344-1361)."""
         from ..data import pipeline
-        if self.layers is None:
-            raise RuntimeError("call step() first")
         f = self.flags
+        if self.layers is None:
+            # the fast step path skips the tape (no viz tax per frame);
+            # recompute it on demand for the displayed frame
+            if self._last_x is None:
+                raise RuntimeError("call step() first")
+            _, self.layers = _fwd_fft(self.params, self._last_x,
+                                      self.spec.scales, self.cfg.scale_by_dm,
+                                      True)
         n_l = f.n_l
         inp = np.asarray(self.layers[2 * n_l][0])
         outp = np.asarray(self.layers[len(self.layers) - 1 - 2 * n_l][0])
@@ -403,12 +440,23 @@ class Engine:
         kmos = np.concatenate(
             [pipeline.kernel_to_image(np.asarray(stage.c[f.feat, d]))
              for d in range(stage.d)], axis=1)
-        return {
+        views = {
             "input": pipeline.tensor_to_frame(inp),
             "output": pipeline.tensor_to_frame(outp),
             "feature_map": pipeline.feature_to_image(fmap),
             "kernel": kmos,
         }
+        if f.fft and f.fft_l:
+            from ..viz.spectrum import spectrum_image
+            for i, layer in enumerate(self.layers):
+                ch = np.asarray(layer[0])
+                views[f"layer_{i}"] = pipeline.feature_to_image(
+                    ch[min(f.feat, ch.shape[0] - 1)])
+            out_t = self.layers[-1]
+            mag = np.asarray(_rfft2_mag_jit(out_t)[0])
+            views["spectrum"] = spectrum_image(
+                mag[0], out_t.shape[-2], out_t.shape[-1])
+        return views
 
 
 KEYMAP = {

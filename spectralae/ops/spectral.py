@@ -172,16 +172,20 @@ def kernel_irfft(C: jax.Array, nk: int, nl: int, nx: int, ny: int) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=None)
-def _hermitian_weights(nx: int, nyr: int) -> np.ndarray:
+def _hermitian_weights(nx: int, ny: int) -> np.ndarray:
     """Per-column double-count weights for half-spectrum reductions.
 
     Interior columns represent two conjugate bins of the full spectrum;
     the reference halves their norm (``n/=2``, fft_backproplib.cu:495) which
-    doubles their weight.
+    doubles their weight.  The last column is self-conjugate (weight 1) only
+    for even ``ny`` — for odd ``ny`` it pairs like any interior column
+    (matching ops/dft.py and the Pallas herm weights).
     """
+    nyr = ny // 2 + 1
     w = np.full((nyr,), 2.0, np.float32)
     w[0] = 1.0
-    w[-1] = 1.0
+    if ny % 2 == 0:
+        w[-1] = 1.0
     return w
 
 
@@ -194,8 +198,7 @@ def parseval_mse(X: jax.Array, O: jax.Array, d_norm: int, m_norm: int,
     ``mse_fft`` norm (1178-1192).  By Parseval this equals
     ``Σ_pixels (x-o)² / (2·m·d·Nx·Ny)``.
     """
-    nyr = X.shape[-1]
-    w = jnp.asarray(_hermitian_weights(nx, nyr))
+    w = jnp.asarray(_hermitian_weights(nx, ny))
     diff = X - O
     per_bin = (diff.real**2 + diff.imag**2) * w
     return jnp.sum(per_bin) / (d_norm * nx * ny) / (2 * m_norm * nx * ny)

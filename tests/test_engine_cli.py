@@ -143,6 +143,71 @@ def test_all_keys_dispatch(tmp_path):
     eng.step(frame())
 
 
+def test_fft_layers_toggle_gates_tape_and_adds_views():
+    """'g' (fft_l) gates the per-layer irfft tax in step() and adds the
+    per-layer / spectrum streams to the views (fft_backproplib.cu:1344-1361)."""
+    eng = make_engine()
+    eng.step(frame())
+    assert eng.layers is None          # fast path: no viz tax per frame
+    v = eng.current_views()            # lazy tape recompute on demand
+    assert v["feature_map"].shape == (8, 8)
+    assert "layer_0" not in v and "spectrum" not in v
+    dispatch_key(eng, "g")
+    eng.step(frame())
+    assert eng.layers is not None      # 'g' computes the tape every frame
+    v = eng.current_views()
+    n_entries = 2 * eng.params.n_stages + 1
+    for i in range(n_entries):
+        assert f"layer_{i}" in v
+    assert v["spectrum"].shape == (16, 16)
+    dispatch_key(eng, "g")
+    eng.step(frame())
+    assert eng.layers is None
+
+
+def test_active_lr_toggle_changes_coord_training():
+    """'9' flows into coord_step: the intended |Δw/Δg| adaptive rule
+    produces different weights than the fixed lr (the reference's flag is
+    dead code — backproplib.cu:34 — so default stays off)."""
+    def run(active):
+        eng = make_engine()
+        eng.toggle_fft()               # coord mode
+        if active:
+            dispatch_key(eng, "9")
+        assert eng.flags.active is active
+        eng.toggle_training()
+        for i in range(3):
+            eng.step(frame(seed=i))
+        return np.asarray(eng.params.stages[0].c)
+    c_off, c_on = run(False), run(True)
+    assert not np.allclose(c_off, c_on)
+
+
+def test_fft_with_gpu_off_routes_to_cpu_coord_backprop():
+    """gpu==0 falls through to the CPU coordinate backprop even with fft on,
+    staying armed (autoencoder.cpp:182-200); the CPU path has no inertia."""
+    eng = make_engine()
+    dispatch_key(eng, "0")             # gpu off, fft still on
+    assert eng.flags.fft and not eng.flags.gpu
+    eng.toggle_training()
+    old = np.asarray(eng.params.stages[0].c).copy()
+    eng.step(frame())
+    assert eng.flags.sel               # stays armed (not the one-shot burst)
+    assert np.isfinite(eng.last_mse)
+    assert not np.array_equal(np.asarray(eng.params.stages[0].c), old)
+
+
+def test_prev_feature_reference_wrap_quirk():
+    """'w' wraps feat==1 to M-1 (never reaching 0 going down), reproducing
+    `(feat-1)>0 ? feat-1 : M-1` (autoencoder.cpp:277)."""
+    eng = make_engine(m=4)
+    eng.flags.feat = 1
+    assert dispatch_key(eng, "w") == 3
+    assert dispatch_key(eng, "w") == 2
+    assert dispatch_key(eng, "w") == 1
+    assert dispatch_key(eng, "w") == 3
+
+
 def test_info_structure():
     eng = make_engine(nx=32)
     eng.add_layer()

@@ -90,6 +90,17 @@ def test_parseval_mse_matches_oracle_and_spatial():
     np.testing.assert_allclose(float(got), spatial, rtol=1e-4)
 
 
+def test_parseval_mse_odd_ny():
+    """Odd Ny: the last rfft column is NOT self-conjugate and must carry
+    weight 2 for Parseval to hold (the dft-path weights agree)."""
+    D, M, nx, ny = 2, 3, 8, 9
+    a, o = rand(D, nx, ny), rand(D, nx, ny)
+    got = spectral.parseval_mse(jnp.asarray(np.fft.rfft2(a)),
+                                jnp.asarray(np.fft.rfft2(o)), D, M, nx, ny)
+    spatial = np.sum((a - o) ** 2) / (2 * M * D * nx * ny)
+    np.testing.assert_allclose(float(got), spatial, rtol=1e-4)
+
+
 def test_spectral_conv_equals_circular_conv():
     """FFT pointwise conv == centered circular convolution in pixel space."""
     D, M, nx, ny = 2, 3, 16, 16
