@@ -37,6 +37,8 @@ from spectralae.core.config import Config, LayerParams
 from spectralae.core.types import initial_spec, init_params, init_opt_state
 from spectralae.model import autoencoder as model
 from spectralae.train.fft import fft_burst
+from spectralae.train.fft_corr import fft_burst_corr
+from spectralae.train.fft_iter import fft_burst_itergrid
 from spectralae.train.fft_pallas import (fft_burst_pallas,
                                           fft_burst_pallas_fused)
 from spectralae.train.coord import coord_step
@@ -51,7 +53,7 @@ def _fetch_scalar(arr) -> float:
     return float(jnp.sum(arr))
 
 
-def time_chained(step, x0, n=10, warmup=1, trials=3):
+def time_chained(step, x0, n=20, warmup=1, trials=5):
     """Seconds/call for ``step(x) -> (result, next_x)`` chains of length n.
 
     The chain's data dependency forces sequential execution; the final value
@@ -102,10 +104,16 @@ def main():
     burst_iters = 100
 
     impls = {
+        "corr": lambda x: fft_burst_corr(
+            x, x, out0, enc.c, dec.c, enc.b, dec.b, lr=0.2,
+            iters=burst_iters),
         "pallas-fused": lambda x: fft_burst_pallas_fused(
             x, x, out0, enc.c, dec.c, enc.b, dec.b, lr=0.2,
             iters=burst_iters),
         "pallas": lambda x: fft_burst_pallas(
+            x, x, out0, enc.c, dec.c, enc.b, dec.b, lr=0.2,
+            iters=burst_iters),
+        "itergrid": lambda x: fft_burst_itergrid(
             x, x, out0, enc.c, dec.c, enc.b, dec.b, lr=0.2,
             iters=burst_iters),
         "dft": lambda x: fft_burst(
@@ -123,28 +131,44 @@ def main():
         results[f"fft_burst_100_ms[{impl}]"] = dt * 1e3
         results[f"fft_backprop_iters_per_sec_256[{impl}]"] = burst_iters / dt
     fft_steps_per_sec = max(
+        results["fft_backprop_iters_per_sec_256[corr]"],
         results["fft_backprop_iters_per_sec_256[pallas-fused]"],
         results["fft_backprop_iters_per_sec_256[pallas]"],
         results["fft_backprop_iters_per_sec_256[dft]"])
 
-    # ---- headline at 512² (scaling) ----
-    cfgB = Config(nx=512, ny=512, d=3,
-                  layer=LayerParams(depth=10, lk=1, ll=1, scale=2, rmax=3.0))
-    specB = initial_spec(cfgB)
-    paramsB = init_params(jax.random.key(0), specB, 1.0)
-    encB, decB = paramsB.pair(0)
-    fwdB = jax.jit(lambda p, x: model.forward_fft(p, x, specB.scales))
-    xb0 = jax.device_put(rng.normal(size=(3, 512, 512)).astype(np.float32)
-                         * 50)
-    outB = fwdB(paramsB, xb0[None])[0]
-
-    def burst512(x):
-        r = fft_burst_pallas_fused(x, x, outB, encB.c, decB.c, encB.b,
-                                   decB.b, lr=0.2, iters=burst_iters)
+    # ---- 400-iteration burst: amortizes the one-time correlation
+    # precompute (the corr burst's per-iteration cost is resolution- and
+    # batch-independent) ----
+    def burst400(x):
+        r = fft_burst_corr(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                           lr=0.2, iters=400)
         return r, x + r.mses[-1] * 0.0 + 1e-6
-    dt = time_chained(burst512, xb0, n=6)
-    results["fft_burst_100_ms_512"] = dt * 1e3
-    results["fft_backprop_iters_per_sec_512"] = burst_iters / dt
+    dt = time_chained(burst400, x0, n=10)
+    results["fft_burst_400_ms[corr]"] = dt * 1e3
+    results["fft_backprop_iters_per_sec_256_x400"] = 400 / dt
+
+    # ---- headline at 512² and 1024² (scaling) ----
+    for nxy, iters_n, nlinks in ((512, burst_iters, 10),
+                                 (1024, burst_iters, 8)):
+        cfgB = Config(nx=nxy, ny=nxy, d=3,
+                      layer=LayerParams(depth=10, lk=1, ll=1, scale=2,
+                                        rmax=3.0))
+        specB = initial_spec(cfgB)
+        paramsB = init_params(jax.random.key(0), specB, 1.0)
+        encB, decB = paramsB.pair(0)
+        fwdB = jax.jit(lambda p, x, s=specB.scales:
+                       model.forward_fft(p, x, s))
+        xb0 = jax.device_put(
+            rng.normal(size=(3, nxy, nxy)).astype(np.float32) * 50)
+        outB = fwdB(paramsB, xb0[None])[0]
+
+        def burst_big(x, o=outB, e=encB, d_=decB, it=iters_n):
+            r = fft_burst_corr(x, x, o, e.c, d_.c, e.b, d_.b, lr=0.2,
+                               iters=it)
+            return r, x + r.mses[-1] * 0.0 + 1e-6
+        dt = time_chained(burst_big, xb0, n=nlinks)
+        results[f"fft_burst_100_ms_{nxy}"] = dt * 1e3
+        results[f"fft_backprop_iters_per_sec_{nxy}"] = iters_n / dt
 
     # ---- forward passes, 3-layer net, batch 1 ----
     fwd_fft3 = jax.jit(lambda x: model.forward_fft(params3, x, spec3.scales))

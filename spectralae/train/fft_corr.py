@@ -129,32 +129,20 @@ def _lag_maps(nk: int, nl: int, nx: int, ny: int):
         n2=n2, n3=n3, n4=n4)
 
 
-def burst_corr(x, expout, out0, c, f, b, p, mom=None, *,
-               lr=0.2, alpha=0.9, iters=100, maxdiff=False,
-               w0=1.0, w1=10.0, scale_by_dm=True,
-               axis_name=None) -> FFTBurstResult:
-    """Correlation-space burst; semantics of ``fft_burst``/``fft_burst_dp``.
+def corr_precompute(x, expout, out0, nk, nl, *, axis_name=None,
+                    model_axis=None):
+    """One-time correlation precompute for a frozen-input burst.
 
-    ``x/expout/out0``: ``[D, h, w]`` or batched ``[B, D, h, w]`` (gradients
-    batch-averaged).  With ``axis_name`` inside shard_map, the correlation
-    tensors are pmean'd once and the iterations run replicated.
+    Returns the batch-averaged lag tensors + DC scalars consumed by
+    :func:`corr_iterate`.  Inside shard_map: ``axis_name`` (data axis)
+    pmeans the tensors over the batch shards; ``model_axis`` splits the
+    resolution-dependent irfft2 planes across model shards (tensor
+    parallelism over the only stage whose cost scales with Nx·Ny) and
+    all-gathers the per-plane correlations.
     """
-    batched = x.ndim == 4
-    if not batched:
-        x, expout, out0 = x[None], expout[None], out0[None]
-    nb = x.shape[0]
     nx, ny = x.shape[-2], x.shape[-1]
-    dM, dD, nk, nl = c.shape
-    P = nk * nl
-    norm = float(nx * ny)
-    n_norm = norm * 2.0 * dM * dD * nx * ny
-    mse_norm = 1.0 / (dD * nx * ny) / (2 * dM * nx * ny)
-    del_eff = 0.1 * lr
-    s1 = (1.0 / (dM * dD)) if scale_by_dm else 1.0
-    s2 = (1.0 / dD) if scale_by_dm else 1.0
+    dD = x.shape[-3]
     maps = _lag_maps(nk, nl, nx, ny)
-
-    # ---------------- one-time FFT precompute (per burst) ----------------
     X = spectral.rfft2(x)                          # [B, D, nx, nyr]
     Y = spectral.rfft2(expout)
     O0 = spectral.rfft2(out0)
@@ -171,7 +159,20 @@ def burst_corr(x, expout, out0, c, f, b, p, mom=None, *,
         jnp.mean(Xc[:, :, None] * E0[:, None], axis=0).reshape(-1, nx,
                                                                X.shape[-1]),
     ], axis=0)
-    corr = jnp.fft.irfft2(prods, s=(nx, ny)) * (nx * ny)
+    if model_axis is not None:
+        # TP: each model shard transforms its slice of the plane stack
+        nm = lax.axis_size(model_axis)
+        nplanes = prods.shape[0]
+        chunk = -(-nplanes // nm)
+        prods_p = jnp.pad(prods, ((0, chunk * nm - nplanes),
+                                  (0, 0), (0, 0)))
+        mine = lax.dynamic_slice_in_dim(
+            prods_p, lax.axis_index(model_axis) * chunk, chunk)
+        corr_mine = jnp.fft.irfft2(mine, s=(nx, ny)) * (nx * ny)
+        corr = lax.all_gather(corr_mine, model_axis, axis=0
+                              ).reshape(-1, nx, ny)[:nplanes]
+    else:
+        corr = jnp.fft.irfft2(prods, s=(nx, ny)) * (nx * ny)
     dd = dD * dD
 
     def centered_lags(rows, ext):
@@ -199,14 +200,45 @@ def burst_corr(x, expout, out0, c, f, b, p, mom=None, *,
     X0 = jnp.mean(X[:, :, 0, 0].real, axis=0)                # [D]
     Y0 = jnp.mean(Y[:, :, 0, 0].real, axis=0)
     E00 = jnp.mean(E0[:, :, 0, 0].real, axis=0)              # [D]
+    out = dict(XX=XX, XY=XY, XE0=XE0, YY=YY, E0E0=E0E0,
+               X0=X0, Y0=Y0, E00=E00)
     if axis_name is not None:
-        XX, XY, XE0, YY, E0E0, X0, Y0, E00 = jax.tree.map(
-            lambda t: lax.pmean(t, axis_name),
-            (XX, XY, XE0, YY, E0E0, X0, Y0, E00))
+        out = jax.tree.map(lambda t: lax.pmean(t, axis_name), out)
+    return out
+
+
+def corr_iterate(T, c, f, b, p, mom=None, *, nx, ny,
+                 lr=0.2, alpha=0.9, iters=100, maxdiff=False,
+                 w0=1.0, w1=10.0, scale_by_dm=True,
+                 vary_axes=()) -> FFTBurstResult:
+    """Run the burst's inner loop on precomputed correlation tensors.
+
+    ``vary_axes``: inside shard_map with a sharded precompute, the tensor
+    inputs carry varying-axis marks from the all_gather; the replicated
+    weight/momentum carry must be pvaried over the same axes to keep the
+    fori_loop carry types consistent.
+    """
+    if vary_axes:
+        c, f, b, p = (lax.pvary(t, tuple(vary_axes))
+                      for t in (c, f, b, p))
+        if mom is not None:
+            mom = tuple(lax.pvary(t, tuple(vary_axes)) for t in mom)
+    dM, dD, nk, nl = c.shape
+    P = nk * nl
+    dd = dD * dD
+    norm = float(nx * ny)
+    n_norm = norm * 2.0 * dM * dD * nx * ny
+    mse_norm = 1.0 / (dD * nx * ny) / (2 * dM * nx * ny)
+    del_eff = 0.1 * lr
+    s1 = (1.0 / (dM * dD)) if scale_by_dm else 1.0
+    s2 = (1.0 / dD) if scale_by_dm else 1.0
+    maps = _lag_maps(nk, nl, nx, ny)
+    YY, E0E0 = T["YY"], T["E0E0"]
+    X0, Y0, E00 = T["X0"], T["Y0"], T["E00"]
     n2, n3, n4 = maps["n2"], maps["n3"], maps["n4"]
-    XXf = XX.reshape(dD, dD, n4)
-    XYf = XY.reshape(dD, dD, n2)
-    XE0f = XE0.reshape(dD, dD, n2)
+    XXf = T["XX"].reshape(dD, dD, n4)
+    XYf = T["XY"].reshape(dD, dD, n2)
+    XE0f = T["XE0"].reshape(dD, dD, n2)
     g_scatter = jnp.asarray(maps["g_scatter_pair"])       # [P², n2]
     g_pair = jnp.asarray(maps["g_pair"])                  # [n2, P²]
     g_diff = jnp.asarray(maps["g_diff"])                  # [n2, P²]
@@ -295,7 +327,9 @@ def burst_corr(x, expout, out0, c, f, b, p, mom=None, *,
                 mses)
 
     # ---- iteration 0: gradients from the caller-provided O₀ ----
-    mses = jnp.zeros((iters + 1,), x.dtype)
+    mses = jnp.zeros((iters + 1,), jnp.float32)
+    if vary_axes:
+        mses = lax.pvary(mses, tuple(vary_axes))
     mses = mses.at[0].set(E0E0 * mse_norm)
     gc0 = jnp.einsum("emq,edpq->mdp",
                      f, jnp.transpose(XE0pair, (1, 0, 2, 3)))
@@ -344,6 +378,30 @@ def _herm_w(nx: int, ny: int):
     return w[None, :] * np.ones((nx, 1), np.float32)
 
 
+def burst_corr(x, expout, out0, c, f, b, p, mom=None, *,
+               lr=0.2, alpha=0.9, iters=100, maxdiff=False,
+               w0=1.0, w1=10.0, scale_by_dm=True,
+               axis_name=None, model_axis=None) -> FFTBurstResult:
+    """Correlation-space burst; semantics of ``fft_burst``/``fft_burst_dp``.
+
+    ``x/expout/out0``: ``[D, h, w]`` or batched ``[B, D, h, w]`` (gradients
+    batch-averaged).  Inside shard_map, ``axis_name`` pmeans the
+    correlation tensors over the data axis and ``model_axis`` shards the
+    precompute's irfft2 planes; the iterations then run replicated and
+    collective-free.
+    """
+    if x.ndim == 3:
+        x, expout, out0 = x[None], expout[None], out0[None]
+    nx, ny = x.shape[-2], x.shape[-1]
+    T = corr_precompute(x, expout, out0, c.shape[-2], c.shape[-1],
+                        axis_name=axis_name, model_axis=model_axis)
+    return corr_iterate(T, c, f, b, p, mom, nx=nx, ny=ny, lr=lr,
+                        alpha=alpha, iters=iters, maxdiff=maxdiff,
+                        w0=w0, w1=w1, scale_by_dm=scale_by_dm,
+                        vary_axes=(model_axis,) if model_axis else ())
+
+
 fft_burst_corr = jax.jit(
     burst_corr,
-    static_argnames=("iters", "maxdiff", "scale_by_dm", "axis_name"))
+    static_argnames=("iters", "maxdiff", "scale_by_dm", "axis_name",
+                     "model_axis"))

@@ -102,18 +102,19 @@ def fft_burst_dp(x: jax.Array, expout: jax.Array, out0: jax.Array,
                  use_pallas: bool | None = None) -> FFTBurstResult:
     """Single-device batched burst: ``x/expout/out0`` are ``[B, D, h, w]``.
 
-    Dispatches to the fused batched Pallas iteration on TPU (an order of
-    magnitude faster than the batched-einsum jnp body at B=8)."""
+    Dispatches to the correlation-space burst on TPU (iteration cost
+    independent of B and resolution — the batch only enters the one-time
+    correlation precompute)."""
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform in ("tpu", "axon")
     if mom is None:
         mom = (jnp.zeros_like(c), jnp.zeros_like(f),
                jnp.zeros_like(b), jnp.zeros_like(p))
     if use_pallas:
-        from .fft_pallas import fft_burst_pallas_fused
-        return fft_burst_pallas_fused(x, expout, out0, c, f, b, p, mom,
-                                      lr=lr, alpha=alpha, iters=iters,
-                                      scale_by_dm=scale_by_dm)
+        from .fft_corr import fft_burst_corr
+        return fft_burst_corr(x, expout, out0, c, f, b, p, mom,
+                              lr=lr, alpha=alpha, iters=iters,
+                              scale_by_dm=scale_by_dm)
     return _burst_dp_body(x, expout, out0, c, f, b, p, mom, lr=lr,
                           alpha=alpha, iters=iters, scale_by_dm=scale_by_dm,
                           axis_name=None)
@@ -123,17 +124,30 @@ def distributed_burst(mesh: Mesh, *, lr: float = 0.2, alpha: float = 0.9,
                       iters: int = 100, scale_by_dm: bool = True,
                       use_pallas: bool | None = None):
     """Build a jitted multi-chip burst: batch sharded over 'data', params
-    replicated, per-iteration gradient pmean over ICI.
+    replicated.
 
-    On TPU the per-device body is the fused batched Pallas iteration."""
+    Default body is the correlation-space burst (train/fft_corr): ONE
+    pmean of the lag tensors over 'data' replaces the per-iteration
+    gradient collectives, and a >1-sized 'model' axis tensor-shards the
+    resolution-dependent irfft2 precompute (all_gather of tiny
+    correlation planes over ICI) — iterations run replicated and
+    collective-free.  ``use_pallas`` selects the per-iteration ω-space
+    bodies (True: fused Pallas; False: jnp einsum) for cross-validation.
+    """
     from jax import shard_map
 
-    if use_pallas is None:
-        use_pallas = jax.devices()[0].platform in ("tpu", "axon")
     batch_spec = P("data", None, None, None)
     rep = P()
+    n_model = mesh.shape.get("model", 1)
 
     def local(x, expout, out0, c, f, b, p, Dc, Df, Db, Dp):
+        if use_pallas is None:
+            from .fft_corr import burst_corr
+            return burst_corr(x, expout, out0, c, f, b, p,
+                              (Dc, Df, Db, Dp), lr=lr, alpha=alpha,
+                              iters=iters, scale_by_dm=scale_by_dm,
+                              axis_name="data",
+                              model_axis="model" if n_model > 1 else None)
         if use_pallas:
             from .fft_pallas import burst_pallas_fused
             return burst_pallas_fused(x, expout, out0, c, f, b, p,

@@ -375,13 +375,14 @@ def auto_burst(x, expout, out0, c, f, b, p, mom=None, *, lr=0.2, alpha=0.9,
                iters=100, maxdiff=False, w0=1.0, w1=10.0, scale_by_dm=True):
     """Pick the fastest correct burst implementation.
 
-    The fused Pallas path (this module) when compiled TPU execution is
-    available; otherwise the jnp path.
+    The correlation-space burst (:mod:`spectralae.train.fft_corr`) on TPU —
+    O(1) per iteration in resolution; the jnp ω-space path elsewhere.
     """
     from .fft import fft_burst
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     if on_tpu:
-        return fft_burst_pallas_fused(
+        from .fft_corr import fft_burst_corr
+        return fft_burst_corr(
             x, expout, out0, c, f, b, p, mom, lr=lr, alpha=alpha,
             iters=iters, maxdiff=maxdiff, w0=w0, w1=w1,
             scale_by_dm=scale_by_dm)

@@ -1,0 +1,172 @@
+"""Correlation-space burst vs the ω-space bursts (CPU, 8 virtual devices).
+
+The corr burst reorganizes the reference's frozen-input inner loop
+(source/fft_backproplib.cu:1446-1464) into precomputed cross-correlation
+tensors + per-iteration small tensor algebra; these tests pin its
+semantics to the jnp ω-space burst across kernels shapes, aliasing grids,
+batching, momentum chains, multiobjective, and the DP×TP shard_map path.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from spectralae.core.config import Config, LayerParams
+from spectralae.core.types import initial_spec, init_params
+from spectralae.dist import mesh as dist
+from spectralae.model import autoencoder as model
+from spectralae.train.fft import fft_burst, FFTBurstResult
+from spectralae.train.fft_dp import fft_burst_dp, distributed_burst
+from spectralae.train.fft_corr import fft_burst_corr, burst_corr
+
+
+def setup(nx=16, d=2, m=4, lk=1, ll=None, seed=0, b=None):
+    ll = lk if ll is None else ll
+    cfg = Config(nx=nx, ny=nx, d=d,
+                 layer=LayerParams(depth=m, lk=lk, ll=ll, scale=1, rmax=0.5))
+    spec = initial_spec(cfg)
+    params = init_params(jax.random.key(seed), spec, 0.5)
+    shape = (d, nx, nx) if b is None else (b, d, nx, nx)
+    x = jnp.asarray(np.random.default_rng(seed).normal(
+        size=shape).astype(np.float32)) * 50
+    out0 = model.forward_fft(params, x if b else x[None], spec.scales)
+    out0 = out0 if b else out0[0]
+    enc, dec = params.pair(0)
+    return x, out0, enc, dec
+
+
+def assert_matches(got, ref, rtol=1e-3, atol=1e-4):
+    for name in ("mses", "c", "f", "b", "p"):
+        np.testing.assert_allclose(np.asarray(getattr(got, name)),
+                                   np.asarray(getattr(ref, name)),
+                                   rtol=rtol, atol=atol, err_msg=name)
+
+
+@pytest.mark.parametrize("nx,lk,ll,d,m", [
+    (16, 1, 1, 2, 4),    # lag window (17²) wider than the grid: aliasing
+    (24, 1, 2, 2, 3),    # non-square kernel 5×7
+    (32, 2, 2, 3, 5),    # 7×7
+])
+def test_corr_burst_matches_jnp(nx, lk, ll, d, m):
+    x, out0, enc, dec = setup(nx=nx, d=d, m=m, lk=lk, ll=ll)
+    ref = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                    lr=0.2, iters=6, impl="dft")
+    got = fft_burst_corr(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                         lr=0.2, iters=6)
+    assert_matches(got, ref)
+
+
+def test_corr_burst_momentum_carry():
+    x, out0, enc, dec = setup()
+    r1 = fft_burst_corr(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                        lr=0.2, iters=3)
+    r2 = fft_burst_corr(x, x, out0, r1.c, r1.f, r1.b, r1.p, mom=r1.mom,
+                        lr=0.2, iters=3)
+    a1 = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                   lr=0.2, iters=3, impl="dft")
+    a2 = fft_burst(x, x, out0, a1.c, a1.f, a1.b, a1.p, mom=a1.mom,
+                   lr=0.2, iters=3, impl="dft")
+    assert_matches(r2, a2)
+
+
+def test_corr_burst_maxdiff():
+    x, out0, enc, dec = setup()
+    got = fft_burst_corr(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                         lr=0.2, iters=4, maxdiff=True)
+    ref = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                    lr=0.2, iters=4, impl="dft", maxdiff=True)
+    assert_matches(got, ref)
+
+
+def test_corr_burst_no_dm_scaling():
+    x, out0, enc, dec = setup()
+    got = fft_burst_corr(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                         lr=0.2, iters=4, scale_by_dm=False)
+    ref = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                    lr=0.2, iters=4, impl="dft", scale_by_dm=False)
+    assert_matches(got, ref)
+
+
+def test_corr_burst_batched_matches_dp():
+    xb, ob, enc, dec = setup(b=4, seed=3)
+    got = fft_burst_corr(xb, xb, ob, enc.c, dec.c, enc.b, dec.b,
+                         lr=0.2, iters=5)
+    ref = fft_burst_dp(xb, xb, ob, enc.c, dec.c, enc.b, dec.b,
+                       lr=0.2, iters=5, use_pallas=False)
+    assert_matches(got, ref)
+
+
+def test_corr_burst_long_run_tracks_convergence():
+    """100 iterations: the correlation algebra tracks the ω-space burst
+    through a ~350× MSE reduction (fp32 cancellation floor is far below)."""
+    x, out0, enc, dec = setup()
+    got = fft_burst_corr(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                         lr=0.2, iters=100)
+    ref = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                    lr=0.2, iters=100, impl="dft")
+    m_got, m_ref = np.asarray(got.mses), np.asarray(ref.mses)
+    assert m_got[-1] < m_got[0] * 0.01
+    np.testing.assert_allclose(m_got, m_ref, rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.c), np.asarray(ref.c),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_corr_burst_dp_tp_shard_map():
+    """DP×TP (data=4, model=2): tensors pmean over data, irfft2 planes
+    sharded over model — numerically equal to the single-device burst
+    (SURVEY.md §2.9 TP extension)."""
+    assert len(jax.devices()) == 8
+    m = dist.make_mesh(n_data=4, n_model=2)
+    xs, out8, enc, dec = setup(b=8, seed=1)
+
+    def local(xb, eb, ob, c, f, b, p):
+        return burst_corr(xb, eb, ob, c, f, b, p, lr=0.2, iters=5,
+                          axis_name="data", model_axis="model")
+
+    bspec = P("data", None, None, None)
+    rep = P()
+    run = jax.jit(shard_map(
+        local, mesh=m,
+        in_specs=(bspec, bspec, bspec, rep, rep, rep, rep),
+        out_specs=FFTBurstResult(c=rep, f=rep, b=rep, p=rep,
+                                 mom=(rep, rep, rep, rep), mses=rep),
+        check_vma=False))
+    got = run(dist.shard_batch(np.asarray(xs), m),
+              dist.shard_batch(np.asarray(xs), m),
+              dist.shard_batch(np.asarray(out8), m),
+              enc.c, dec.c, enc.b, dec.b)
+    want = fft_burst_dp(xs, xs, out8, enc.c, dec.c, enc.b, dec.b,
+                        lr=0.2, iters=5, use_pallas=False)
+    assert_matches(got, want)
+
+
+def test_distributed_burst_default_is_corr_and_matches():
+    """distributed_burst's default body (corr) on an 8-way data mesh."""
+    m = dist.make_mesh(n_data=8, n_model=1)
+    xs, out8, enc, dec = setup(b=8, seed=2)
+    run = distributed_burst(m, lr=0.2, iters=10)
+    got = run(dist.shard_batch(np.asarray(xs), m),
+              dist.shard_batch(np.asarray(xs), m),
+              dist.shard_batch(np.asarray(out8), m),
+              enc.c, dec.c, enc.b, dec.b)
+    want = fft_burst_dp(xs, xs, out8, enc.c, dec.c, enc.b, dec.b,
+                        lr=0.2, iters=10, use_pallas=False)
+    assert_matches(got, want)
+
+
+def test_distributed_burst_dp_tp_mesh():
+    """distributed_burst on a data×model mesh engages the TP precompute."""
+    m = dist.make_mesh(n_data=2, n_model=4)
+    xs, out8, enc, dec = setup(b=4, seed=5)
+    run = distributed_burst(m, lr=0.2, iters=4)
+    got = run(dist.shard_batch(np.asarray(xs), m),
+              dist.shard_batch(np.asarray(xs), m),
+              dist.shard_batch(np.asarray(out8), m),
+              enc.c, dec.c, enc.b, dec.b)
+    want = fft_burst_dp(xs, xs, out8, enc.c, dec.c, enc.b, dec.b,
+                        lr=0.2, iters=4, use_pallas=False)
+    assert_matches(got, want)

@@ -190,6 +190,37 @@ def test_fused_step_burst_maxdiff():
                                rtol=1e-3, atol=1e-4)
 
 
+def test_itergrid_burst_matches_jnp():
+    """The whole-burst iteration-grid kernel (train/fft_iter)."""
+    from spectralae.train.fft_iter import fft_burst_itergrid
+    x, out0, enc, dec = setup()
+    ref = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                    lr=0.2, iters=5, impl="dft")
+    got = fft_burst_itergrid(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                             lr=0.2, iters=5, interpret=True)
+    for name in ("mses", "c", "f", "b", "p"):
+        np.testing.assert_allclose(np.asarray(getattr(got, name)),
+                                   np.asarray(getattr(ref, name)),
+                                   rtol=1e-3, atol=1e-4, err_msg=name)
+
+
+def test_itergrid_burst_momentum_and_nonaligned():
+    from spectralae.train.fft_iter import fft_burst_itergrid
+    x, out0, enc, dec = setup(nx=32, d=2, m=3)  # W=544 pads to tiles
+    r1 = fft_burst_itergrid(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                            lr=0.2, iters=3, interpret=True)
+    r2 = fft_burst_itergrid(x, x, out0, r1.c, r1.f, r1.b, r1.p, mom=r1.mom,
+                            lr=0.2, iters=2, interpret=True)
+    a1 = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                   lr=0.2, iters=3, impl="dft")
+    a2 = fft_burst(x, x, out0, a1.c, a1.f, a1.b, a1.p, mom=a1.mom,
+                   lr=0.2, iters=2, impl="dft")
+    np.testing.assert_allclose(np.asarray(r2.c), np.asarray(a2.c),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r2.mses), np.asarray(a2.mses),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_fft_and_dft_impls_agree():
     """The literal pad+rfft2 path and the DFT-matmul path are the same math."""
     x, out0, enc, dec = setup()
