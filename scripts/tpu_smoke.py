@@ -26,7 +26,8 @@ from spectralae.ops import spectral
 from spectralae.ops.pallas_kernels import spectral_conv_pallas
 from spectralae.train.fft import fft_burst
 from spectralae.train.fft_pallas import fft_burst_pallas
-from spectralae.train.fft_mega import fft_burst_mega
+from spectralae.train.fft_corr import fft_burst_corr
+from spectralae.train.fft_iter import fft_burst_itergrid
 from spectralae.train.fft_dp import fft_burst_dp
 from spectralae.train.coord import coord_step
 from spectralae.train.modern import train_step
@@ -74,9 +75,10 @@ def main():
     r_jnp = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
                       impl="dft", **kw)
     r_pal = fft_burst_pallas(x, x, out0, enc.c, dec.c, enc.b, dec.b, **kw)
-    r_meg = fft_burst_mega(x, x, out0, enc.c, dec.c, enc.b, dec.b, **kw)
+    r_cor = fft_burst_corr(x, x, out0, enc.c, dec.c, enc.b, dec.b, **kw)
+    r_itg = fft_burst_itergrid(x, x, out0, enc.c, dec.c, enc.b, dec.b, **kw)
     m0 = np.asarray(r_jnp.mses)
-    for name, r in (("pallas", r_pal), ("mega", r_meg)):
+    for name, r in (("pallas", r_pal), ("corr", r_cor), ("itergrid", r_itg)):
         d = float(np.max(np.abs(np.asarray(r.mses) - m0)
                          / np.maximum(np.abs(m0), 1e-9)))
         check(f"burst[{name}] vs jnp", d < 1e-3, f"max rel {d:.2e}")

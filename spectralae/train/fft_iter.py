@@ -11,8 +11,9 @@ Pallas grid:
 
 - ω-tiles of the restricted-DFT basis (cos/sin) and the frozen spectra
   X/Y stream HBM→VMEM through Pallas's automatic pipeline — double-buffered
-  fetches overlap the previous tile's compute (the streaming the mega-kernel
-  experiment lacked; see fft_mega.py's measured 20% loss).
+  fetches overlap the previous tile's compute (the streaming the round-1 all-VMEM mega-kernel experiment lacked;
+  that kernel measured 20% slower than the two-kernel path and was
+  removed once this one and the correlation burst strictly beat it).
 - Weights, biases, momenta, and the projected-gradient accumulator live in
   VMEM for the whole burst (constant-index-map outputs / scratch); the
   output spectrum O persists in a VMEM scratch, never touching HBM.
@@ -32,9 +33,11 @@ multiplies) instead of weighting the four [M·D, TW] gradient products;
 ``diff·w = E·(E·w)`` recovers the weighted MSE exactly.
 
 Semantics are identical to ``fft_burst``/``burst_pallas_fused`` (equality-
-tested in tests/test_fft_pallas.py); multiobjective (maxdiff) and multi-chip
-(axis_name) bursts need per-iteration host-side glue / collectives and keep
-the two-kernel path — ``auto_burst`` dispatches.
+tested in tests/test_fft_pallas.py).  This is the fastest *ω-space* burst;
+the default TPU burst is the correlation-space one (train/fft_corr.py),
+which sidesteps ω entirely.  Kept as the numerically-conservative
+alternative: it accumulates per-bin like the reference, with no
+large-term cancellation at convergence.
 """
 
 from __future__ import annotations

@@ -90,42 +90,6 @@ def test_pallas_burst_momentum_carry():
                                rtol=1e-3, atol=1e-4)
 
 
-def test_mega_burst_matches_jnp():
-    from spectralae.train.fft_mega import fft_burst_mega
-    x, out0, enc, dec = setup()
-    ref = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
-                    lr=0.2, iters=5, impl="dft")
-    got = fft_burst_mega(x, x, out0, enc.c, dec.c, enc.b, dec.b,
-                         lr=0.2, iters=5, interpret=True)
-    np.testing.assert_allclose(np.asarray(got.mses), np.asarray(ref.mses),
-                               rtol=1e-3, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(got.c), np.asarray(ref.c),
-                               rtol=1e-3, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f),
-                               rtol=1e-3, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(got.b), np.asarray(ref.b),
-                               rtol=1e-3, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(got.p), np.asarray(ref.p),
-                               rtol=1e-3, atol=1e-4)
-
-
-def test_mega_burst_momentum_and_nonaligned():
-    from spectralae.train.fft_mega import fft_burst_mega
-    x, out0, enc, dec = setup(nx=32, d=2, m=3)   # W=544, pads to CW
-    ref = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
-                    lr=0.2, iters=3, impl="dft")
-    r1 = fft_burst_mega(x, x, out0, enc.c, dec.c, enc.b, dec.b,
-                        lr=0.2, iters=3, interpret=True)
-    np.testing.assert_allclose(np.asarray(r1.mses), np.asarray(ref.mses),
-                               rtol=1e-3, atol=1e-4)
-    r2 = fft_burst_mega(x, x, out0, r1.c, r1.f, r1.b, r1.p, mom=r1.mom,
-                        lr=0.2, iters=2, interpret=True)
-    ref2 = fft_burst(x, x, out0, ref.c, ref.f, ref.b, ref.p, mom=ref.mom,
-                     lr=0.2, iters=2, impl="dft")
-    np.testing.assert_allclose(np.asarray(r2.c), np.asarray(ref2.c),
-                               rtol=1e-3, atol=1e-4)
-
-
 def test_pallas_burst_batched_matches_dp():
     from spectralae.train.fft_dp import fft_burst_dp
     import jax
