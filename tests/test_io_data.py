@@ -147,3 +147,57 @@ def test_device_trace_smoke(tmp_path):
         jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
     import os
     assert any(os.scandir(tmp_path))  # trace files written
+
+
+def test_camera_frames_with_stubbed_videocapture(monkeypatch):
+    """A2 camera input (autoencoder.cpp:54, 123-125): cv2 is absent in this
+    image, so stub the module — camera_frames must pull frames until the
+    capture reports failure, and the frames must flow through the
+    resize/tensor pipeline like the reference's per-frame loop."""
+    import sys
+    import types
+    import numpy as np
+    from spectralae.data import pipeline
+
+    frames = [np.full((6, 8, 3), i, np.uint8) for i in range(3)]
+
+    class FakeCapture:
+        def __init__(self, index):
+            assert index == 0
+            self._i = 0
+
+        def read(self):
+            if self._i >= len(frames):
+                return False, None
+            self._i += 1
+            return True, frames[self._i - 1]
+
+    fake_cv2 = types.ModuleType("cv2")
+    fake_cv2.VideoCapture = FakeCapture
+    monkeypatch.setitem(sys.modules, "cv2", fake_cv2)
+
+    got = list(pipeline.camera_frames())
+    assert len(got) == 3
+    np.testing.assert_array_equal(got[1], frames[1])
+    # the frame feeds the same path the engine consumes
+    x = pipeline.frame_to_tensor(pipeline.resize_nn(got[2], 4, 4))
+    assert x.shape == (3, 4, 4)
+    assert float(x.max()) == 2.0
+
+
+def test_camera_frames_errors_without_cv2(monkeypatch):
+    import builtins
+    import sys
+    import pytest
+    from spectralae.data import pipeline
+    monkeypatch.delitem(sys.modules, "cv2", raising=False)
+    real_import = builtins.__import__
+
+    def no_cv2(name, *a, **k):
+        if name == "cv2":
+            raise ImportError("No module named cv2")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_cv2)
+    with pytest.raises(RuntimeError, match="synthetic_frames"):
+        next(pipeline.camera_frames())
