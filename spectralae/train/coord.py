@@ -3,9 +3,10 @@
 The reference launches one CUDA grid + two device→host Thrust reductions *per
 weight element* — M·D·Nk·Nl sequential launches per step
 (``backprop_gpu``, source/backproplib.cu:363-417).  The gradients themselves
-are linear functionals of the activations, so here each full gradient tensor
-is produced by ``jax.grad`` through two reference-semantics convolutions —
-a handful of fused XLA convs on the MXU replacing the launch storm.
+are linear functionals of the activations, so here the full gradient set
+is three transposed reference-semantics convolutions (``jax.linear_transpose``
+— no primal forwards) replacing the launch storm; a patch-matmul
+formulation is available via ``impl='patches'``.
 
 Identity derivation: with E = out−in and the reference conv ``∗`` (tap-window
 semantics of :mod:`spectralae.ops.coord`, no /dM, no bias, identity act),
@@ -31,6 +32,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..core.config import TapMode
 from ..ops import coord
@@ -44,9 +46,26 @@ class CoordGrads(NamedTuple):
     dp: jax.Array   # [D]
 
 
+def _transpose_patches(E: jax.Array, nk: int, nl: int,
+                       tap_mode: TapMode) -> jax.Array:
+    """Patches ``P[c, (k,l), a, b] = E_padded[c, a+ik0+k, b+il0+l]``.
+
+    The transpose of the reference tap window ``out[i] = Σ c[k]·in[i−ik0−k]``
+    — its padding is the forward padding reversed.
+    """
+    from ..core.config import tap_anchor
+    ik0, il0 = tap_anchor(nk, tap_mode), tap_anchor(nl, tap_mode)
+    pad = ((-ik0, nk - 1 + ik0), (-il0, nl - 1 + il0))
+    p = lax.conv_general_dilated_patches(
+        E[None], filter_shape=(nk, nl), window_strides=(1, 1), padding=pad,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0]
+    return p.reshape(E.shape[0], nk * nl, E.shape[1], E.shape[2])
+
+
 def coord_ref_gradients(in_s: jax.Array, out_s: jax.Array, hin_s: jax.Array,
                         f: jax.Array, nk: int, nl: int, *,
-                        tap_mode: TapMode = "ref_gpu") -> CoordGrads:
+                        tap_mode: TapMode = "ref_gpu",
+                        impl: str = "transpose") -> CoordGrads:
     """Reference-exact coordinate gradients for one stage pair.
 
     Args:
@@ -55,32 +74,56 @@ def coord_ref_gradients(in_s: jax.Array, out_s: jax.Array, hin_s: jax.Array,
         mismatched crop boundaries by design, autoencoder.cpp:169).
       hin_s: ``[M, h, w]`` cropped hidden feature maps.
       f: ``[D, M, Nk, Nl]`` decoder kernels.
+      impl: 'transpose' (default) — three transposed convs via
+        jax.linear_transpose, 77 MFLOP / ~5 MB at 128² (measured: the old
+        3×jax.grad closures compile to the SAME 3-conv HLO after DCE, so
+        this is a clarity win, not a speed win — the step is
+        dispatch-bound, not compute-bound, on this rig).  'patches'
+        materializes tap-window patches and forms the gradients as
+        long-contraction matmuls; it moves ~16× more HBM bytes and
+        measured slower — kept as a tested alternative formulation.
     """
     D, Nx, Ny = in_s.shape
     M = hin_s.shape[0]
     Norm = float(D * M * nk * nl * Nx * Ny)
     E = out_s - in_s
 
-    def through_c(c):
-        u = coord.conv2d(in_s[None], c, None, tap_mode=tap_mode,
-                         scale_by_dm=False)
-        v = coord.conv2d(u, f, None, tap_mode=tap_mode, scale_by_dm=False)
-        return jnp.vdot(E, v[0])
-
-    def through_f(fv):
-        v = coord.conv2d(hin_s[None], fv, None, tap_mode=tap_mode,
-                         scale_by_dm=False)
-        return jnp.vdot(E, v[0])
-
-    def through_h(h):
-        v = coord.conv2d(h[None], f, None, tap_mode=tap_mode,
-                         scale_by_dm=False)
-        return jnp.vdot(E, v[0])
-
-    dc = jax.grad(through_c)(jnp.zeros((M, D, nk, nl), in_s.dtype)) / Norm
-    df = jax.grad(through_f)(f) / Norm
-    delta_h = jax.grad(through_h)(hin_s) / Norm
-    db = jnp.sum(delta_h, axis=(-2, -1))
+    if impl == "patches":
+        # δh[m] = Σ_{d',k,l} f[d',m,k,l]·E[d', ·+ik0+k, ·+il0+l]
+        # df[d',m,k,l] = Σ_ab hin[m,ab]·E[d', a+ik0+k, b+il0+l]
+        # dc[m,d,k,l]  = Σ_ab in[d,ab]·δh[m, a+ik0+k, b+il0+l]
+        if tap_mode == "ref_cpu":
+            # the strict `i-ik > 0` bound (netlib.cpp:344) masks the conv
+            # *inputs*' row/col 0; transposes inherit the diagonal mask
+            in_s = in_s.at[:, 0, :].set(0.0).at[:, :, 0].set(0.0)
+            hin_s = hin_s.at[:, 0, :].set(0.0).at[:, :, 0].set(0.0)
+        PE = _transpose_patches(E, nk, nl, tap_mode)         # [D,P,Nx,Ny]
+        fp = f.reshape(D, M, nk * nl)
+        delta_h = jnp.einsum("dmp,dpab->mab", fp, PE)
+        if tap_mode == "ref_cpu":
+            delta_h = delta_h.at[:, 0, :].set(0.0).at[:, :, 0].set(0.0)
+        Pd = _transpose_patches(delta_h, nk, nl, tap_mode)   # [M,P,Nx,Ny]
+        dc = jnp.einsum("dab,mpab->mdp", in_s, Pd).reshape(M, D, nk, nl)
+        df = jnp.einsum("mab,dpab->dmp", hin_s, PE).reshape(D, M, nk, nl)
+    else:
+        # three transposed convs via jax.linear_transpose (no primal
+        # forwards — the maps are linear)
+        conv_h = lambda h: coord.conv2d(h[None], f, None, tap_mode=tap_mode,
+                                        scale_by_dm=False)[0]
+        conv_cw = lambda cc: coord.conv2d(in_s[None], cc, None,
+                                          tap_mode=tap_mode,
+                                          scale_by_dm=False)[0]
+        conv_fw = lambda ff: coord.conv2d(hin_s[None], ff, None,
+                                          tap_mode=tap_mode,
+                                          scale_by_dm=False)[0]
+        (delta_h,) = jax.linear_transpose(conv_h, hin_s)(E)
+        (dc,) = jax.linear_transpose(
+            conv_cw,
+            jax.ShapeDtypeStruct((M, D, nk, nl), in_s.dtype))(delta_h)
+        (df,) = jax.linear_transpose(conv_fw, f)(E)
+    dc = dc / Norm
+    df = df / Norm
+    db = jnp.sum(delta_h, axis=(-2, -1)) / Norm
     dp = jnp.sum(E, axis=(-2, -1)) / Norm
     return CoordGrads(dc=dc, df=df, db=db, dp=dp)
 

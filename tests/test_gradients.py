@@ -89,3 +89,24 @@ def test_diversity_loss_grad_matches_explicit():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(bd),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_coord_gradient_impls_agree():
+    """'patches' (tap-window patch matmuls) == 'transpose' (3 transposed
+    convs) for every reference tap window."""
+    import jax
+    import jax.numpy as jnp
+    from spectralae.train.coord import coord_ref_gradients
+    rng = np.random.default_rng(7)
+    in_s = jnp.asarray(rng.normal(size=(2, 12, 12)).astype(np.float32))
+    out_s = jnp.asarray(rng.normal(size=(2, 12, 12)).astype(np.float32))
+    hin_s = jnp.asarray(rng.normal(size=(3, 12, 12)).astype(np.float32))
+    f = jnp.asarray(rng.normal(size=(2, 3, 3, 3)).astype(np.float32))
+    for mode in ("centered", "ref_gpu", "ref_cpu"):
+        a = coord_ref_gradients(in_s, out_s, hin_s, f, 3, 3,
+                                tap_mode=mode, impl="transpose")
+        b = coord_ref_gradients(in_s, out_s, hin_s, f, 3, 3,
+                                tap_mode=mode, impl="patches")
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-4, atol=1e-6, err_msg=mode)
