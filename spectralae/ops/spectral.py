@@ -124,6 +124,13 @@ def spectral_conv(X: jax.Array, C: jax.Array, b: jax.Array, nx: int, ny: int,
       b: ``[M]`` real biases.
     """
     m = C.shape[0]
+    from .pallas_kernels import _on_tpu
+    if X.ndim == 4 and _on_tpu():
+        # the tiny-d contraction at every bin lowers terribly through
+        # XLA einsum (huge broadcast temporaries); the fused Pallas kernel
+        # is ~7× faster at 512² and carries a custom VJP for autodiff
+        from .pallas_kernels import spectral_conv_fused
+        return spectral_conv_fused(X, C, b, nx, ny, scale_by_dm)
     scale = (1.0 / m) if scale_by_dm else 1.0
     out = jnp.einsum("mdxy,bdxy->bmxy", C, X * scale)
     return out.at[..., 0, 0].add(b.astype(out.dtype) * (nx * ny))
@@ -159,9 +166,20 @@ def kernel_rfft(c: jax.Array, nx: int, ny: int) -> jax.Array:
     """Compact kernel → full half-spectrum: the lazily-cached ``net_cfreq``
     entry of the reference (``StoreLoad_cfreq`` fft_backproplib.cu:1146-1161).
 
-    Under jit this is recomputed per step; it is cheap on TPU and removes the
-    reference's per-frame host↔device cache traffic.
+    Under jit this is recomputed per step — as a rank-P restricted-DFT
+    matmul on the MXU (:func:`spectralae.ops.dft.kernel_spectrum`), not a
+    pad-to-full-grid FFT: at 512² the padded route materializes
+    ``M·D·Nx·Ny`` zeros and runs M·D full-size transforms per stage, which
+    dominated the measured forward (9 ms → ~2 ms at 512² b4).  Bit-equal to
+    ``rfft2(kernel_pad(c))`` (tests/test_dft_ops.py).
+
+    For large supports the [P, W] basis stops being "restricted" (at 33×33
+    and 256² it is a 287 MB program constant) and the FFT route wins —
+    crossover at P=256 taps.
     """
+    if c.shape[-2] * c.shape[-1] <= 256:
+        from . import dft
+        return dft.kernel_spectrum(c, nx, ny)
     return rfft2(kernel_pad(c, nx, ny))
 
 

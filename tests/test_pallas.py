@@ -37,3 +37,43 @@ def test_spectral_conv_pallas_no_dm_scale():
         jnp.asarray(X), jnp.asarray(C), jnp.asarray(b), nx, ny,
         scale_by_dm=False, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_spectral_conv_fused_fwd_and_vjp_match_einsum():
+    """Batched fused conv (custom VJP) == einsum path, values AND grads.
+
+    JAX's cotangent convention for complex-linear ops is the plain
+    transpose (no conjugation) — this pins the bwd rule.
+    """
+    import jax
+    import jax.numpy as jnp
+    from spectralae.ops import dft
+    from spectralae.ops.pallas_kernels import spectral_conv_fused
+    rng = np.random.default_rng(3)
+    nx = ny = 16
+    xsp = jnp.asarray(rng.normal(size=(2, 3, nx, ny)).astype(np.float32))
+    ck = jnp.asarray(rng.normal(size=(5, 3, 3, 3)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(5,)).astype(np.float32))
+
+    def ein(X, C, bb):
+        out = jnp.einsum("mdxy,bdxy->bmxy", C, X / 5.0)
+        return out.at[..., 0, 0].add(bb.astype(out.dtype) * (nx * ny))
+
+    def loss(fn, xs, c, bb):
+        X = jnp.fft.rfft2(xs)
+        C = dft.kernel_spectrum(c, nx, ny)
+        y = jnp.fft.irfft2(fn(X, C, bb), s=(nx, ny))
+        return jnp.mean((y - xs[:, :1].repeat(5, 1)) ** 2)
+
+    X = jnp.fft.rfft2(xsp)
+    C = dft.kernel_spectrum(ck, nx, ny)
+    np.testing.assert_allclose(
+        np.asarray(spectral_conv_fused(X, C, b, nx, ny, True)),
+        np.asarray(ein(X, C, b)), rtol=1e-5, atol=1e-5)
+    g1 = jax.grad(lambda *a: loss(ein, *a), argnums=(0, 1, 2))(xsp, ck, b)
+    g2 = jax.grad(lambda *a: loss(
+        lambda Xv, Cv, bb: spectral_conv_fused(Xv, Cv, bb, nx, ny, True),
+        *a), argnums=(0, 1, 2))(xsp, ck, b)
+    for a, c2 in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c2),
+                                   rtol=1e-4, atol=1e-6)
