@@ -4,43 +4,52 @@ The reference burst (source/fft_backproplib.cu:1381-1511) freezes the input
 spectrum for all 100 inner iterations.  Every per-iteration ω-space sum —
 the analytic gradients (gradient_k_io, 395-475), their compact-support
 projection (shrink_k, 535-565), and the Parseval MSE (calc_mse, 480-498) —
-is therefore a fixed bilinear/bi-quadratic form in the *compact* kernels
-``c, f`` whose ω-dependence collapses onto a handful of cross-correlation
-tensors of the frozen signals:
+is therefore a fixed form in the *compact* kernels ``c, f`` whose
+ω-dependence collapses onto a handful of cross-correlation tensors of the
+frozen signals:
 
     XX[d,d'][v] = Σ_ω w(ω)·conj(X[d])·X[d']·e^{iθ_v(ω)}
                 = Nx·Ny · irfft2(conj(X[d])·X[d'])[v mod N]
 
-with lags ``v`` ranging over sums/differences of up to four kernel-tap
-offsets — a [D, D, 4h+1, 4h+1] tensor (17×17 at 5×5 kernels).  Likewise
-XY (X vs expected output) and XE0 (X vs the caller-provided first output,
-which seeds iteration 0's gradient and mses[0], cu:1430-1441).
+with lags ``v`` ranging over sums/differences of kernel-tap offsets — a
+[D, D, 4h+1, 4h+1] tensor (17×17 at 5×5 kernels).  After a one-time FFT
+precompute, each inner iteration is ~2 MFLOP of small einsums over
+[M, D, P]-sized operands — independent of resolution AND batch (batched
+bursts average the correlation tensors up front, giving ``fft_burst_dp``
+semantics for free; a multi-chip DP burst needs ONE pmean of the tensors,
+then every iteration is collective-free).
 
-After the one-time FFT precompute, each inner iteration is ~3 MFLOP of
-small einsums over [M, D, P]-sized operands — independent of resolution
-AND batch (batched bursts average the correlation tensors up front, giving
-``fft_burst_dp`` semantics for free; a multi-chip DP burst needs ONE pmean
-of the tensors, then every iteration is collective-free).
+**Anchored decomposition (precision).**  Gradients and MSE vanish at
+convergence, so any correlation-space evaluation is a cancellation; done
+naively (O vs Y energies) it cancels at *signal-energy* scale and fp32
+dies once MSE drops ~1e-6 of Σw|Y|² — measured as negative MSEs on
+pixel-scale images.  Instead, with K the composed kernel (f ∗ c summed
+over m, [D,D,(2h+1)²] taps) and K₀ its value at burst entry, the
+continuum error splits exactly as
 
-Derivation sketch (b_p(ω) = e^{-iθ_p}; s1 = 1/(M·D), s2 = 1/D when
-scale_by_dm; ΔE/Δhg are the DC-bin bias injections, cu:183-184):
+    E = (O₀ − Y)  +  (s1·K̂₀X − O₀)  +  s1·ΔK̂X ,   ΔK = K − K₀
 
-  O_cont[d'] = s1·Σ_u K̂[d',d,u]·X[d],   K[d',d,u] = Σ_{m, q+r=u} f·c
-  gc[m,d,p]  = Σ_{d',q̄} f[d',m,q̄]·(s1·R − XY)[d',d][tap_p+tap_q̄] + DC
-  R[d',d][L] = Σ_{d'',u} K[d',d'',u]·XX[d,d''][L−u]
-  gf[d',m,q] = s1·Σ_{m',q'} f[d',m',q']·B[m,m'][tap_q−tap_q']
-               − Σ_{d,r} c[m,d,r]·XY[d,d'][tap_q+tap_r] + DC
-  B[m,m'][h] = Σ_{d'',r'} c[m',d'',r']·C1[m,d''][h−tap_r']
-  C1[m,d''][σ] = Σ_{d,r} c[m,d,r]·XX[d,d''][σ+tap_r]
-  mse = s1²·⟨K,R⟩ − 2·s1·⟨K,XY⟩ + ⟨Y,Y⟩ + DC
+whose first two parts are precomputed **bin-wise** (tiny per-bin
+differences — no cancellation) as lag tensors XE0 and XG0, leaving
 
-All lag gathers have static index maps (precomputed, mod-N so aliasing at
-small grids is exact — the DFT only sees v mod N).
+    T[d',d][L] = XE0ᵀ + XG0ᵀ + s1·R(ΔK),
+    R(ΔK)[d',d][L] = Σ_{d'',u} ΔK[d',d'',u]·XX[d,d''][L−u]
+    gc[m,d,p]  = Σ_{d',q̄} f[d',m,q̄]·T[d',d][tap_p+tap_q̄] + DC
+    gf[d',m,q] = Σ_{d,r}  c[m,d,r] ·T[d',d][tap_q+tap_r] + DC
+    mse = Σw|E₀|² + 2Σw Re Ē₀G₀ + Σw|G₀|²
+          + 2·s1·⟨ΔK, XE0+XG0⟩ + s1²·⟨ΔK, R(ΔK)⟩ + DC
 
-Precision note: gradients/MSE are differences of large correlation terms,
-so their fp32 floor is ~1e-6 of the initial error energy — equality with
-the ω-space kernels holds to the tested tolerances, and convergence
-tracks until MSE drops ~6 orders of magnitude below its start.
+— every cancellation now happens at *initial-error* scale, so gradients
+and MSE stay accurate until the error drops ~1e6× below its start (same
+invariant as the ω-space kernels' per-bin accumulation, tested through a
+350× MSE reduction and on pixel-scale engine bursts).  A pleasant side
+effect: gc and gf share one T tensor, so no quadratic-in-c machinery.
+
+All lag gathers/scatters have static index maps lowered as dense one-hot
+MXU matmuls (XLA gathers are scalar-slow on TPU); centered lags come from
+roll+slice with periodic tiling, so sub-window grids alias exactly (the
+DFT only sees v mod N).  DC-bin bias injections (conv_k, cu:183-184) are
+handled as exact scalar corrections.
 """
 
 from __future__ import annotations
@@ -62,32 +71,24 @@ from .fft import FFTBurstResult
 def _lag_maps(nk: int, nl: int, nx: int, ny: int):
     """Static index maps between tap-offset lags and gathered tensors.
 
-    Taps: a ∈ [−hx, hx] × [−hy, hy].  Lag grids (per axis, side in steps
-    of h): L2 = ±2h (pair sums), S3 = ±3h, V4 = ±4h.  All stored mod-N at
-    gather time; the maps below index the *gathered* grids directly.
+    Taps: a ∈ [−hx, hx] × [−hy, hy].  Lag grids per axis: L2 = ±2h (pair
+    sums and the composed-kernel support), V4 = ±4h (L2 differences).
     """
     hx, hy = nk // 2, nl // 2
-    tx = np.arange(nk) - hx                       # tap offsets, x
+    tx = np.arange(nk) - hx
     ty = np.arange(nl) - hy
-
     # flat tap list, P = nk*nl, order (kx, ky) row-major like kernels
-    tpx = np.repeat(tx, nl)                       # [P]
+    tpx = np.repeat(tx, nl)
     tpy = np.tile(ty, nk)
-
-    def centered(hax, hay):
-        """(sx, sy) lag coordinate grids of a centered rectangle."""
-        return (2 * hax + 1), (2 * hay + 1)
-
-    w2x, w2y = centered(2 * hx, 2 * hy)           # L2 grid
-    w3x, w3y = centered(3 * hx, 3 * hy)           # S3 grid
-    w4x, w4y = centered(4 * hx, 4 * hy)           # V4 grid
+    w2x, w2y = 4 * hx + 1, 4 * hy + 1
+    w4x, w4y = 8 * hx + 1, 8 * hy + 1
 
     def flat(ax, ay, hax, hay, wy):
         return (ax + hax) * wy + (ay + hay)
 
     def onehot(idx, n):
         """Gather/scatter as dense one-hot (XLA gathers are scalar-slow on
-        TPU; these all become MXU matmuls).  [len(idx), n]."""
+        TPU; these all become MXU matmuls)."""
         m = np.zeros((idx.size, n), np.float32)
         m[np.arange(idx.size), idx.reshape(-1)] = 1.0
         return m
@@ -96,68 +97,76 @@ def _lag_maps(nk: int, nl: int, nx: int, ny: int):
     pair2lag = flat(tpx[:, None] + tpx[None, :],
                     tpy[:, None] + tpy[None, :],
                     2 * hx, 2 * hy, w2y).reshape(-1)
-    # (q, q') -> L2 lag of tap_q − tap_q'          [P·P]
-    diff2lag = flat(tpx[:, None] - tpx[None, :],
-                    tpy[:, None] - tpy[None, :],
-                    2 * hx, 2 * hy, w2y).reshape(-1)
     # (L2, u) -> V4 index of L2 − u                [L2·L2]
     l2x = np.repeat(np.arange(w2x) - 2 * hx, w2y)
     l2y = np.tile(np.arange(w2y) - 2 * hy, w2x)
     xxd = flat(l2x[:, None] - l2x[None, :],
                l2y[:, None] - l2y[None, :], 4 * hx, 4 * hy, w4y)
-    # (L2, r') -> S3 index of L2 − tap_r'          [L2·P]
-    c1g = flat(l2x[:, None] - tpx[None, :],
-               l2y[:, None] - tpy[None, :], 3 * hx, 3 * hy, w3y)
-    # (σ, r) -> V4 index of σ + tap_r              [S3·P]
-    s3x = np.repeat(np.arange(w3x) - 3 * hx, w3y)
-    s3y = np.tile(np.arange(w3y) - 3 * hy, w3x)
-    xxg2 = flat(s3x[:, None] + tpx[None, :],
-                s3y[:, None] + tpy[None, :], 4 * hx, 4 * hy, w4y)
 
-    n2, n3, n4 = w2x * w2y, w3x * w3y, w4x * w4y
+    n2, n4 = w2x * w2y, w4x * w4y
     return dict(
-        # scatter: [P², n2] — K[u] += K2[(q,r)]
-        g_scatter_pair=onehot(pair2lag, n2),
-        # gathers: [n_src, n_dst] so that dst = src_flat @ G
-        g_pair=onehot(pair2lag, n2).T,          # [n2, P²]
-        g_diff=onehot(diff2lag, n2).T,          # [n2, P²]
+        g_scatter_pair=onehot(pair2lag, n2),    # [P², n2] scatter-sum
+        g_pair=onehot(pair2lag, n2).T,          # [n2, P²] gather
         g_xxd=onehot(xxd, n4).T,                # [n4, n2·n2]
-        g_c1=onehot(c1g, n3).T,                 # [n3, n2·P]
-        g_xxg2=onehot(xxg2, n4).T,              # [n4, n3·P]
-        # centered-lag extraction extents (roll+slice from irfft2 output)
         v4ext=(4 * hx, 4 * hy), l2ext=(2 * hx, 2 * hy),
-        n2=n2, n3=n3, n4=n4)
+        n2=n2, n4=n4)
 
 
-def corr_precompute(x, expout, out0, nk, nl, *, axis_name=None,
-                    model_axis=None):
+@functools.lru_cache(maxsize=None)
+def _herm_w(nx: int, ny: int):
+    nyr = ny // 2 + 1
+    w = np.full((nyr,), 2.0, np.float32)
+    w[0] = 1.0
+    if ny % 2 == 0:
+        w[-1] = 1.0
+    return w[None, :] * np.ones((nx, 1), np.float32)
+
+
+def corr_precompute(x, expout, out0, c0, f0, *, scale_by_dm=True,
+                    axis_name=None, model_axis=None):
     """One-time correlation precompute for a frozen-input burst.
 
-    Returns the batch-averaged lag tensors + DC scalars consumed by
-    :func:`corr_iterate`.  Inside shard_map: ``axis_name`` (data axis)
-    pmeans the tensors over the batch shards; ``model_axis`` splits the
-    resolution-dependent irfft2 planes across model shards (tensor
-    parallelism over the only stage whose cost scales with Nx·Ny) and
-    all-gathers the per-plane correlations.
+    Returns the batch-averaged lag tensors + scalars consumed by
+    :func:`corr_iterate`: XX (input autocorrelation, V4 lags), XE0 and XG0
+    (input vs initial-error / vs forward-anchor mismatch, L2 lags), the
+    error-energy scalars, and the DC-bin scalars.  ``c0/f0`` must be the
+    kernels the burst starts from (they define the anchor K₀).
+
+    Inside shard_map: ``axis_name`` (data axis) pmeans the tensors over
+    the batch shards; ``model_axis`` splits the resolution-dependent
+    irfft2 planes across model shards (tensor parallelism over the only
+    stage whose cost scales with Nx·Ny).
     """
     nx, ny = x.shape[-2], x.shape[-1]
     dD = x.shape[-3]
+    dM = c0.shape[0]
+    nk, nl = c0.shape[-2], c0.shape[-1]
     maps = _lag_maps(nk, nl, nx, ny)
     X = spectral.rfft2(x)                          # [B, D, nx, nyr]
     Y = spectral.rfft2(expout)
     O0 = spectral.rfft2(out0)
     Xc = jnp.conj(X)
     E0 = O0 - Y
+    # anchor mismatch G₀ = s1·K̂₀X − O₀ (continuum two-stage conv of the
+    # initial kernels, no DC bias injections — biases are exact scalar
+    # corrections in the iterate)
+    from ..ops import dft
+    Cf0 = dft.kernel_spectrum(c0, nx, ny)
+    Ff0 = dft.kernel_spectrum(f0, nx, ny)
+    zM = jnp.zeros((dM,), x.dtype)
+    zD = jnp.zeros((dD,), x.dtype)
+    H0 = spectral.spectral_conv(X, Cf0, zM, nx, ny, scale_by_dm=scale_by_dm)
+    O0fwd = spectral.spectral_conv(H0, Ff0, zD, nx, ny,
+                                   scale_by_dm=scale_by_dm)
+    G0 = O0fwd - O0
     # batch-averaged correlation tensors (Hermitian products ⇒ real);
     # the mean over B commutes with the irfft2, so average the bin-wise
     # products first and run ONE batched transform of 3·D² planes
+    nyr = X.shape[-1]
     prods = jnp.concatenate([
-        jnp.mean(Xc[:, :, None] * X[:, None], axis=0).reshape(-1, nx,
-                                                              X.shape[-1]),
-        jnp.mean(Xc[:, :, None] * Y[:, None], axis=0).reshape(-1, nx,
-                                                              X.shape[-1]),
-        jnp.mean(Xc[:, :, None] * E0[:, None], axis=0).reshape(-1, nx,
-                                                               X.shape[-1]),
+        jnp.mean(Xc[:, :, None] * X[:, None], axis=0).reshape(-1, nx, nyr),
+        jnp.mean(Xc[:, :, None] * E0[:, None], axis=0).reshape(-1, nx, nyr),
+        jnp.mean(Xc[:, :, None] * G0[:, None], axis=0).reshape(-1, nx, nyr),
     ], axis=0)
     if model_axis is not None:
         # TP: each model shard transforms its slice of the plane stack
@@ -177,9 +186,8 @@ def corr_precompute(x, expout, out0, nk, nl, *, axis_name=None,
 
     def centered_lags(rows, ext):
         """roll+slice (not gather — XLA gathers are scalar-slow on TPU):
-        centered [−hx..hx]×[−hy..hy] lags of circular correlations.  Lag
-        windows wider than the grid alias periodically (exact: the DFT
-        only sees v mod N), so tile before slicing."""
+        centered lags of circular correlations; windows wider than the
+        grid tile periodically (exact — the DFT only sees v mod N)."""
         hx_, hy_ = ext
         rolled = jnp.roll(rows, (hx_, hy_), axis=(-2, -1))
         tx = -(-(2 * hx_ + 1) // nx)
@@ -189,18 +197,21 @@ def corr_precompute(x, expout, out0, nk, nl, *, axis_name=None,
         return rolled[..., : 2 * hx_ + 1, : 2 * hy_ + 1]
 
     XX = centered_lags(corr[:dd], maps["v4ext"]).reshape(dD, dD, -1)
-    XY = centered_lags(corr[dd:2 * dd], maps["l2ext"]).reshape(dD, dD, -1)
-    XE0 = centered_lags(corr[2 * dd:], maps["l2ext"]).reshape(dD, dD, -1)
+    XE0 = centered_lags(corr[dd:2 * dd], maps["l2ext"]).reshape(dD, dD, -1)
+    XG0 = centered_lags(corr[2 * dd:], maps["l2ext"]).reshape(dD, dD, -1)
     wv = jnp.asarray(_herm_w(nx, ny))
-    YY = jnp.mean(jnp.sum((Y.real**2 + Y.imag**2) * wv, axis=(-2, -1, -3)))
-    E0E0 = jnp.mean(jnp.sum((E0.real**2 + E0.imag**2) * wv,
+    E0E0 = jnp.mean(jnp.sum((E0.real ** 2 + E0.imag ** 2) * wv,
                             axis=(-2, -1, -3)))
+    GG0 = jnp.mean(jnp.sum((G0.real ** 2 + G0.imag ** 2) * wv,
+                           axis=(-2, -1, -3)))
+    EG0 = jnp.mean(jnp.sum((E0.real * G0.real + E0.imag * G0.imag) * wv,
+                           axis=(-2, -1, -3)))
     # DC scalars (bin 0 of real-signal spectra is real); batch-averaged —
     # every DC correction below is linear in the per-frame scalars
     X0 = jnp.mean(X[:, :, 0, 0].real, axis=0)                # [D]
     Y0 = jnp.mean(Y[:, :, 0, 0].real, axis=0)
     E00 = jnp.mean(E0[:, :, 0, 0].real, axis=0)              # [D]
-    out = dict(XX=XX, XY=XY, XE0=XE0, YY=YY, E0E0=E0E0,
+    out = dict(XX=XX, XE0=XE0, XG0=XG0, E0E0=E0E0, GG0=GG0, EG0=EG0,
                X0=X0, Y0=Y0, E00=E00)
     if axis_name is not None:
         out = jax.tree.map(lambda t: lax.pmean(t, axis_name), out)
@@ -213,10 +224,11 @@ def corr_iterate(T, c, f, b, p, mom=None, *, nx, ny,
                  vary_axes=()) -> FFTBurstResult:
     """Run the burst's inner loop on precomputed correlation tensors.
 
-    ``vary_axes``: inside shard_map with a sharded precompute, the tensor
-    inputs carry varying-axis marks from the all_gather; the replicated
-    weight/momentum carry must be pvaried over the same axes to keep the
-    fori_loop carry types consistent.
+    ``c/f/b/p`` must be the same initial weights given to
+    :func:`corr_precompute` (they are the anchor).  ``vary_axes``: inside
+    shard_map with a model-sharded precompute, the tensor inputs carry
+    varying-axis marks from the all_gather; the replicated carry must be
+    pvaried over the same axes to keep fori_loop carry types consistent.
     """
     if vary_axes:
         c, f, b, p = (lax.pvary(t, tuple(vary_axes))
@@ -233,25 +245,20 @@ def corr_iterate(T, c, f, b, p, mom=None, *, nx, ny,
     s1 = (1.0 / (dM * dD)) if scale_by_dm else 1.0
     s2 = (1.0 / dD) if scale_by_dm else 1.0
     maps = _lag_maps(nk, nl, nx, ny)
-    YY, E0E0 = T["YY"], T["E0E0"]
-    X0, Y0, E00 = T["X0"], T["Y0"], T["E00"]
-    n2, n3, n4 = maps["n2"], maps["n3"], maps["n4"]
+    n2, n4 = maps["n2"], maps["n4"]
     XXf = T["XX"].reshape(dD, dD, n4)
-    XYf = T["XY"].reshape(dD, dD, n2)
-    XE0f = T["XE0"].reshape(dD, dD, n2)
+    XE0f = T["XE0"].reshape(dD, dD, n2)          # [d (X̄), d' (E₀), L2]
+    XG0f = T["XG0"].reshape(dD, dD, n2)
+    E0E0, GG0, EG0 = T["E0E0"], T["GG0"], T["EG0"]
+    X0, Y0, E00 = T["X0"], T["Y0"], T["E00"]
     g_scatter = jnp.asarray(maps["g_scatter_pair"])       # [P², n2]
     g_pair = jnp.asarray(maps["g_pair"])                  # [n2, P²]
-    g_diff = jnp.asarray(maps["g_diff"])                  # [n2, P²]
-    g_c1 = jnp.asarray(maps["g_c1"])                      # [n3, n2·P]
-    # per-burst constants (one-hot matmuls, not XLA gathers)
     XXd = (XXf.reshape(dd, n4) @ jnp.asarray(maps["g_xxd"])
            ).reshape(dD, dD, n2, n2)
-    XXg2 = (XXf.reshape(dd, n4) @ jnp.asarray(maps["g_xxg2"])
-            ).reshape(dD, dD, n3, P)
-    XYpair = (XYf.reshape(dd, n2) @ g_pair).reshape(dD, dD, P, P)
+    # the static part of T, both orientations ([d',d] for gc, [d,d'] for gf)
+    EGf = XE0f + XG0f                                      # [d, d', L2]
+    EGt = jnp.transpose(EGf, (1, 0, 2))                    # [d', d, L2]
     XE0pair = (XE0f.reshape(dd, n2) @ g_pair).reshape(dD, dD, P, P)
-    XYfT = jnp.transpose(XYf, (1, 0, 2))                  # [d', d, n2]
-    XYpairT = (XYfT.reshape(dd, n2) @ g_pair).reshape(dD, dD, P, P)
 
     if mom is None:
         mom = (jnp.zeros_like(c), jnp.zeros_like(f),
@@ -262,40 +269,41 @@ def corr_iterate(T, c, f, b, p, mom=None, *, nx, ny,
     mom = (mom[0].reshape(dM, dD, P), mom[1].reshape(dD, dM, P),
            mom[2], mom[3])
 
+    def composed_kernel(cc, ff):
+        """K[d',d][L2] = Σ_m Σ_{q+r=u} f·c (f ∗ c); the (q,r)→u
+        scatter-sum is a one-hot matmul."""
+        K2 = jnp.einsum("emq,mdr->edqr", ff, cc).reshape(dd, P * P)
+        return (K2 @ g_scatter).reshape(dD, dD, n2)
+
+    K0 = composed_kernel(c, f)                             # the anchor
+
     def body(i, carry):
         cc, ff, bb, pp, Dc, Df, Db, Dp, mses = carry
-        # composed kernel K[d',d][L2] = Σ_m Σ_{q+r=u} f·c (f ∗ c);
-        # the (q,r)→u scatter-sum is a one-hot matmul
-        K2 = jnp.einsum("emq,mdr->edqr", ff, cc).reshape(dd, P * P)
-        K = (K2 @ g_scatter).reshape(dD, dD, n2)            # [D,D,L2²]
-        # R[d',d][L2] = Σ_{d'',u} K[d',d'',u]·XX[d,d''][L2−u]
-        R = jnp.einsum("ecu,dcLu->edL", K, XXd)             # [D,D,L2²]
-        GCTg = (R.reshape(dd, n2) @ g_pair).reshape(dD, dD, P, P)
-        gc = s1 * jnp.einsum("emq,edpq->mdp", ff, GCTg) \
-            - jnp.einsum("emq,edpq->mdp", ff, XYpairT)      # [M,D,P]
-        # gf: quadratic-in-c B tensor + the −Y part
-        C1 = jnp.einsum("mdr,dcsr->mcs", cc, XXg2)          # [M,D,S3²]
-        C1g = (C1.reshape(dM * dD, n3) @ g_c1).reshape(dM, dD, n2, P)
-        B = jnp.einsum("ncr,mchr->mnh", cc, C1g)            # [M,M,L2²]
-        Bg = (B.reshape(dM * dM, n2) @ g_diff).reshape(dM, dM, P, P)
-        gf = s1 * jnp.einsum("enp,mnqp->emq", ff, Bg) \
-            - jnp.einsum("mdr,deqr->emq", cc, XYpair)       # [D,M,P]
+        dK = composed_kernel(cc, ff) - K0
+        # R(ΔK)[d',d][L2] = Σ_{d'',u} ΔK[d',d'',u]·XX[d,d''][L2−u]
+        R = jnp.einsum("ecu,dcLu->edL", dK, XXd)           # [d',d,L2²]
+        Tt = s1 * R + EGt                                  # [d',d,L2²]
+        Tg = (Tt.reshape(dd, n2) @ g_pair).reshape(dD, dD, P, P)
+        gc = jnp.einsum("emq,edpq->mdp", ff, Tg)           # [M,D,P]
+        # gf contracts the SAME tensor in [d, d'] orientation
+        Tg2 = jnp.transpose(Tg, (1, 0, 2, 3))
+        gf = jnp.einsum("mdr,deqr->emq", cc, Tg2)          # [D,M,P]
         # DC corrections (bias injections at the zero bin, cu:183-184)
-        fs = jnp.sum(ff, axis=-1)                           # [D, M]
-        csX0 = jnp.sum(cc, axis=-1) @ X0                    # [M]
-        dE = norm * (s2 * (fs @ bb) + pp)                   # ΔE[d']
-        E_cont0 = s1 * (fs @ csX0) - Y0                     # [D]
+        fs = jnp.sum(ff, axis=-1)                          # [D, M]
+        csX0 = jnp.sum(cc, axis=-1) @ X0                   # [M]
+        dE = norm * (s2 * (fs @ bb) + pp)                  # ΔE[d']
+        E_cont0 = s1 * (fs @ csX0) - Y0                    # [D]
         E_act0 = E_cont0 + dE
         gc = gc + (X0[None] * (fs.T @ dE)[:, None])[:, :, None]
         gf = gf + (dE[:, None] * csX0[None]
                    + E_act0[:, None] * (norm * bb)[None])[:, :, None]
-        db = norm * (fs.T @ E_act0)                         # [M]
-        dp = norm * E_act0                                  # [D]
+        db = norm * (fs.T @ E_act0)                        # [M]
+        dp = norm * E_act0                                 # [D]
         # Parseval MSE of the post-update-i weights' output — the value
         # the reference logs for inner iteration i (cu:1463-1464)
-        Q = jnp.sum(K * R)
-        L = jnp.sum(K2.reshape(dD, dD, P, P) * XYpairT)
-        mse_raw = s1 * s1 * Q - 2.0 * s1 * L + YY \
+        mse_raw = E0E0 + 2.0 * EG0 + GG0 \
+            + 2.0 * s1 * jnp.einsum("ecu,ceu->", dK, EGf) \
+            + s1 * s1 * jnp.einsum("edu,edu->", dK, R) \
             + jnp.sum(2.0 * E_cont0 * dE + dE * dE)
         mses = mses.at[i].set(mse_raw * mse_norm)
 
@@ -327,6 +335,8 @@ def corr_iterate(T, c, f, b, p, mom=None, *, nx, ny,
                 mses)
 
     # ---- iteration 0: gradients from the caller-provided O₀ ----
+    # (the burst trains against the frozen first output, cu:1430-1441;
+    # at i=0 there is no recomputed forward, so E = O₀−Y exactly)
     mses = jnp.zeros((iters + 1,), jnp.float32)
     if vary_axes:
         mses = lax.pvary(mses, tuple(vary_axes))
@@ -358,7 +368,7 @@ def corr_iterate(T, c, f, b, p, mom=None, *, nx, ny,
     p1_, Dp = inertia0(p, dp0, mom[3])
 
     # iterations 1..iters: body(i) records mse_i (post-update forward) and
-    # produces the update for iteration i+1
+    # produces the update for iteration i+1 (discarded at i == iters)
     init = (c1_, f1_, b1_, p1_, Dc, Df, Db, Dp, mses)
     out = lax.fori_loop(1, iters + 1, body, init)
     cc, ff, bb, pp, Dc, Df, Db, Dp, mses = out
@@ -366,16 +376,6 @@ def corr_iterate(T, c, f, b, p, mom=None, *, nx, ny,
         c=cc.reshape(kshape_c), f=ff.reshape(kshape_f), b=bb, p=pp,
         mom=(Dc.reshape(kshape_c), Df.reshape(kshape_f), Db, Dp),
         mses=mses)
-
-
-@functools.lru_cache(maxsize=None)
-def _herm_w(nx: int, ny: int):
-    nyr = ny // 2 + 1
-    w = np.full((nyr,), 2.0, np.float32)
-    w[0] = 1.0
-    if ny % 2 == 0:
-        w[-1] = 1.0
-    return w[None, :] * np.ones((nx, 1), np.float32)
 
 
 def burst_corr(x, expout, out0, c, f, b, p, mom=None, *,
@@ -393,7 +393,7 @@ def burst_corr(x, expout, out0, c, f, b, p, mom=None, *,
     if x.ndim == 3:
         x, expout, out0 = x[None], expout[None], out0[None]
     nx, ny = x.shape[-2], x.shape[-1]
-    T = corr_precompute(x, expout, out0, c.shape[-2], c.shape[-1],
+    T = corr_precompute(x, expout, out0, c, f, scale_by_dm=scale_by_dm,
                         axis_name=axis_name, model_axis=model_axis)
     return corr_iterate(T, c, f, b, p, mom, nx=nx, ny=ny, lr=lr,
                         alpha=alpha, iters=iters, maxdiff=maxdiff,

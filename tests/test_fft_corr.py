@@ -170,3 +170,27 @@ def test_distributed_burst_dp_tp_mesh():
     want = fft_burst_dp(xs, xs, out8, enc.c, dec.c, enc.b, dec.b,
                         lr=0.2, iters=4, use_pallas=False)
     assert_matches(got, want)
+
+
+def test_corr_burst_pixel_scale_precision():
+    """Regression: at pixel scale (values ~1e3) the naive correlation
+    algebra cancels at signal-energy scale and fp32 produced NEGATIVE
+    MSEs and diverging weights; the anchored decomposition (E₀/G₀/ΔK)
+    keeps cancellation at initial-error scale."""
+    cfg = Config(nx=32, ny=32, d=3,
+                 layer=LayerParams(depth=10, lk=1, ll=1, scale=1, rmax=1.0))
+    spec = initial_spec(cfg)
+    params = init_params(jax.random.key(0), spec, 1.0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((rng.random((3, 32, 32)) * 1000).astype(np.float32))
+    out0 = model.forward_fft(params, x[None], spec.scales)[0]
+    enc, dec = params.pair(0)
+    got = fft_burst_corr(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                         lr=0.2, iters=100)
+    ref = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                    lr=0.2, iters=100, impl="dft")
+    m_got, m_ref = np.asarray(got.mses), np.asarray(ref.mses)
+    assert np.all(m_got > 0), "MSE went negative (cancellation regression)"
+    assert m_got[-1] < m_got[0] * 0.05
+    # trajectories track exactly while far from the fp32 floor
+    np.testing.assert_allclose(m_got[:20], m_ref[:20], rtol=5e-3)
