@@ -123,7 +123,6 @@ def spectral_conv(X: jax.Array, C: jax.Array, b: jax.Array, nx: int, ny: int,
       C: ``[M, D, Nx, Nyr]`` complex kernel spectra.
       b: ``[M]`` real biases.
     """
-    m = C.shape[0]
     from .pallas_kernels import _on_tpu
     if X.ndim == 4 and _on_tpu():
         # the tiny-d contraction at every bin lowers terribly through
@@ -131,6 +130,16 @@ def spectral_conv(X: jax.Array, C: jax.Array, b: jax.Array, nx: int, ny: int,
         # is ~7× faster at 512² and carries a custom VJP for autodiff
         from .pallas_kernels import spectral_conv_fused
         return spectral_conv_fused(X, C, b, nx, ny, scale_by_dm)
+    return spectral_conv_einsum(X, C, b, nx, ny, scale_by_dm=scale_by_dm)
+
+
+def spectral_conv_einsum(X: jax.Array, C: jax.Array, b: jax.Array,
+                         nx: int, ny: int, *,
+                         scale_by_dm: bool = True) -> jax.Array:
+    """The plain-jnp pointwise conv (no Pallas dispatch) — used by the
+    reference-path burst bodies, whose per-iteration loops are hurt by
+    per-call kernel launches (200 launches/burst measured 3× slower)."""
+    m = C.shape[0]
     scale = (1.0 / m) if scale_by_dm else 1.0
     out = jnp.einsum("mdxy,bdxy->bmxy", C, X * scale)
     return out.at[..., 0, 0].add(b.astype(out.dtype) * (nx * ny))

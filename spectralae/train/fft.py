@@ -96,10 +96,12 @@ def _two_stage_output(X, c, f, b, p, nx, ny, scale_by_dm=True, impl="fft"):
     """Recompute the output spectrum O = F·(C·X) (fft_backproplib.cu:1460-1461)."""
     Cf = _kernel_spectrum(c, nx, ny, impl)
     Ff = _kernel_spectrum(f, nx, ny, impl)
-    H = spectral.spectral_conv(X[None], Cf, b, nx, ny,
-                               scale_by_dm=scale_by_dm)[0]
-    O = spectral.spectral_conv(H[None], Ff, p, nx, ny,
-                               scale_by_dm=scale_by_dm)[0]
+    # einsum variant: a Pallas launch per inner iteration would dominate
+    # this reference-path loop (measured 3× slower)
+    H = spectral.spectral_conv_einsum(X[None], Cf, b, nx, ny,
+                                      scale_by_dm=scale_by_dm)[0]
+    O = spectral.spectral_conv_einsum(H[None], Ff, p, nx, ny,
+                                      scale_by_dm=scale_by_dm)[0]
     return O, Cf, Ff
 
 
