@@ -378,10 +378,26 @@ def corr_iterate(T, c, f, b, p, mom=None, *, nx, ny,
         mses=mses)
 
 
+def _true_forward(x, c, f, b, p, scale_by_dm):
+    """The biased two-stage forward of the burst's internal model, in
+    pixel space — the reference's output recompute (cu:1460-1461) followed
+    by its inverse transform.  Used as the next segment's O₀ when
+    re-anchoring."""
+    from ..ops import dft
+    nx, ny = x.shape[-2], x.shape[-1]
+    X = spectral.rfft2(x)
+    Cf = dft.kernel_spectrum(c, nx, ny)
+    Ff = dft.kernel_spectrum(f, nx, ny)
+    H = spectral.spectral_conv(X, Cf, b, nx, ny, scale_by_dm=scale_by_dm)
+    O = spectral.spectral_conv(H, Ff, p, nx, ny, scale_by_dm=scale_by_dm)
+    return spectral.irfft2(O, (nx, ny))
+
+
 def burst_corr(x, expout, out0, c, f, b, p, mom=None, *,
                lr=0.2, alpha=0.9, iters=100, maxdiff=False,
                w0=1.0, w1=10.0, scale_by_dm=True,
-               axis_name=None, model_axis=None) -> FFTBurstResult:
+               axis_name=None, model_axis=None,
+               reanchor_every=None) -> FFTBurstResult:
     """Correlation-space burst; semantics of ``fft_burst``/``fft_burst_dp``.
 
     ``x/expout/out0``: ``[D, h, w]`` or batched ``[B, D, h, w]`` (gradients
@@ -389,19 +405,50 @@ def burst_corr(x, expout, out0, c, f, b, p, mom=None, *,
     correlation tensors over the data axis and ``model_axis`` shards the
     precompute's irfft2 planes; the iterations then run replicated and
     collective-free.
+
+    ``reanchor_every``: re-anchor the decomposition every R iterations by
+    recomputing the true forward and fresh XE0/XG0 tensors — resets the
+    fp32 cancellation floor to the *current* error scale, so arbitrarily
+    long/converged bursts stay accurate (each segment runs the identical
+    reference recursion, so the segmented burst equals the unsegmented
+    one in exact arithmetic).  Costs one precompute per segment.
     """
     if x.ndim == 3:
         x, expout, out0 = x[None], expout[None], out0[None]
     nx, ny = x.shape[-2], x.shape[-1]
-    T = corr_precompute(x, expout, out0, c, f, scale_by_dm=scale_by_dm,
-                        axis_name=axis_name, model_axis=model_axis)
-    return corr_iterate(T, c, f, b, p, mom, nx=nx, ny=ny, lr=lr,
-                        alpha=alpha, iters=iters, maxdiff=maxdiff,
-                        w0=w0, w1=w1, scale_by_dm=scale_by_dm,
-                        vary_axes=(model_axis,) if model_axis else ())
+    vary = (model_axis,) if model_axis else ()
+
+    def segment(out_cur, c, f, b, p, mom, seg_iters):
+        T = corr_precompute(x, expout, out_cur, c, f,
+                            scale_by_dm=scale_by_dm,
+                            axis_name=axis_name, model_axis=model_axis)
+        return corr_iterate(T, c, f, b, p, mom, nx=nx, ny=ny, lr=lr,
+                            alpha=alpha, iters=seg_iters, maxdiff=maxdiff,
+                            w0=w0, w1=w1, scale_by_dm=scale_by_dm,
+                            vary_axes=vary)
+
+    if not reanchor_every or reanchor_every >= iters:
+        return segment(out0, c, f, b, p, mom, iters)
+
+    out_cur = out0
+    mses_parts = []
+    left = iters
+    r = None
+    while left > 0:
+        seg = min(reanchor_every, left)
+        r = segment(out_cur, c, f, b, p, mom, seg)
+        c, f, b, p, mom = r.c, r.f, r.b, r.p, r.mom
+        # the next segment's mses[0] re-measures the boundary forward —
+        # drop the duplicate
+        mses_parts.append(r.mses if not mses_parts else r.mses[1:])
+        left -= seg
+        if left > 0:
+            out_cur = _true_forward(x, c, f, b, p, scale_by_dm)
+    return FFTBurstResult(c=c, f=f, b=b, p=p, mom=mom,
+                          mses=jnp.concatenate(mses_parts))
 
 
 fft_burst_corr = jax.jit(
     burst_corr,
     static_argnames=("iters", "maxdiff", "scale_by_dm", "axis_name",
-                     "model_axis"))
+                     "model_axis", "reanchor_every"))
