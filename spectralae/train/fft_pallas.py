@@ -382,10 +382,13 @@ def auto_burst(x, expout, out0, c, f, b, p, mom=None, *, lr=0.2, alpha=0.9,
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     if on_tpu:
         from .fft_corr import fft_burst_corr
+        # beyond the reference's 100 inner iterations, re-anchor each 100
+        # so the correlation algebra's precision floor follows the error
         return fft_burst_corr(
             x, expout, out0, c, f, b, p, mom, lr=lr, alpha=alpha,
             iters=iters, maxdiff=maxdiff, w0=w0, w1=w1,
-            scale_by_dm=scale_by_dm)
+            scale_by_dm=scale_by_dm,
+            reanchor_every=100 if iters > 100 else None)
     return fft_burst(x, expout, out0, c, f, b, p, mom, lr=lr, alpha=alpha,
                      iters=iters, maxdiff=maxdiff, w0=w0, w1=w1,
                      scale_by_dm=scale_by_dm)
