@@ -231,10 +231,10 @@ def corr_iterate(T, c, f, b, p, mom=None, *, nx, ny,
     pvaried over the same axes to keep fori_loop carry types consistent.
     """
     if vary_axes:
-        c, f, b, p = (lax.pvary(t, tuple(vary_axes))
-                      for t in (c, f, b, p))
+        pv = lambda t: lax.pcast(t, tuple(vary_axes), to="varying")
+        c, f, b, p = (pv(t) for t in (c, f, b, p))
         if mom is not None:
-            mom = tuple(lax.pvary(t, tuple(vary_axes)) for t in mom)
+            mom = tuple(pv(t) for t in mom)
     dM, dD, nk, nl = c.shape
     P = nk * nl
     dd = dD * dD
@@ -339,7 +339,7 @@ def corr_iterate(T, c, f, b, p, mom=None, *, nx, ny,
     # at i=0 there is no recomputed forward, so E = O₀−Y exactly)
     mses = jnp.zeros((iters + 1,), jnp.float32)
     if vary_axes:
-        mses = lax.pvary(mses, tuple(vary_axes))
+        mses = lax.pcast(mses, tuple(vary_axes), to="varying")
     mses = mses.at[0].set(E0E0 * mse_norm)
     gc0 = jnp.einsum("emq,edpq->mdp",
                      f, jnp.transpose(XE0pair, (1, 0, 2, 3)))
