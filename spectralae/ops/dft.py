@@ -5,14 +5,17 @@ churn.  Because conv kernels live on a tiny Nk×Nl support (25 taps for 5×5),
 their full Nx×Ny spectra are rank-P DFT projections:
 
   forward  (pad+rfft2,      fft_backproplib.cu:1276-1282):
-      C(ω) = Σ_{k,l} c[k,l] · e^{-2πi ω·r_kl}          — a [P]×[P,W] matmul
+      C(ω) = Σ_{k,l} c[k,l] · e^{-2πi ω·r_kl}
   inverse  (unnormalized C2R + shrink, fft_backproplib.cu:1219-1226):
-      g[k,l] = Σ_ω w_ω · Re(D(ω) · e^{+2πi ω·r_kl})    — a [W]×[W,P] matmul
+      g[k,l] = Σ_ω w_ω · Re(D(ω) · e^{+2πi ω·r_kl})
 
 with r_kl the corner-quadrant (circular) kernel positions and w_ω the
-Hermitian double-count weights of the half-spectrum.  Both map onto the MXU
-as dense matmuls over a precomputed basis instead of lane-hostile FFT
-butterflies — and the inverse needs no separate shrink gather.
+Hermitian double-count weights of the half-spectrum.  The phases are
+**separable** — θ(ω) = θx_k(ωx) + θy_l(ωy) — so both transforms factor
+into two per-axis matmuls against tiny [Nk, Nx] / [Nl, Nyr] bases
+(~8 k floats at 1024²) instead of one [P, W] basis (a 105 MB program
+constant at 1024² that also bloats compile payloads), with ~10× fewer
+FLOPs.  The inverse needs no separate shrink gather.
 
 Exactness: both equal the FFT path bit-for-float (the gradient spectra are
 Hermitian, so the C2R's Hermitian assumption holds); validated in
@@ -29,56 +32,80 @@ import jax.numpy as jnp
 
 
 @functools.lru_cache(maxsize=None)
-def _bases(nk: int, nl: int, nx: int, ny: int):
-    """Precompute cos/sin bases, shape [P, W] (P=nk·nl, W=nx·nyr)."""
+def _axis_bases(nk: int, nl: int, nx: int, ny: int):
+    """Per-axis cos/sin bases + Hermitian column weights.
+
+    Returns cx/sx [nk, nx], cy/sy [nl, nyr], hermy [nyr].
+    """
     nyr = ny // 2 + 1
-    k = np.arange(nk)
-    l = np.arange(nl)
-    rx = (k - nk // 2) % nx                       # circular kernel rows
-    ry = (l - nl // 2) % ny                       # circular kernel cols
-    wx = np.arange(nx)
-    wy = np.arange(nyr)
-    # θ[kl, ω] = 2π(wx·rx/nx + wy·ry/ny)
-    phase_x = 2 * np.pi * np.outer(rx, wx) / nx   # [nk, nx]
-    phase_y = 2 * np.pi * np.outer(ry, wy) / ny   # [nl, nyr]
-    theta = (phase_x[:, None, :, None] + phase_y[None, :, None, :])
-    theta = theta.reshape(nk * nl, nx * nyr)
-    cos = np.cos(theta).astype(np.float32)
-    sin = np.sin(theta).astype(np.float32)
-    herm = np.full((nyr,), 2.0, np.float32)       # Hermitian column weights
+    rx = (np.arange(nk) - nk // 2) % nx           # circular kernel rows
+    ry = (np.arange(nl) - nl // 2) % ny           # circular kernel cols
+    px = 2 * np.pi * np.outer(rx, np.arange(nx)) / nx     # [nk, nx]
+    py = 2 * np.pi * np.outer(ry, np.arange(nyr)) / ny    # [nl, nyr]
+    herm = np.full((nyr,), 2.0, np.float32)
     herm[0] = 1.0
     if ny % 2 == 0:
         herm[-1] = 1.0
-    wcol = np.tile(herm, nx)                      # [W]
-    return cos, sin, wcol
+    return (np.cos(px).astype(np.float32), np.sin(px).astype(np.float32),
+            np.cos(py).astype(np.float32), np.sin(py).astype(np.float32),
+            herm)
 
 
 def kernel_spectrum(c: jax.Array, nx: int, ny: int) -> jax.Array:
-    """``rfft2(kernel_pad(c))`` as two matmuls.
+    """``rfft2(kernel_pad(c))`` as two per-axis matmuls.
 
     c: ``[..., Nk, Nl]`` real → ``[..., Nx, Ny//2+1]`` complex.
     """
     nk, nl = c.shape[-2], c.shape[-1]
-    nyr = ny // 2 + 1
-    cos, sin, _ = _bases(nk, nl, nx, ny)
-    flat = c.reshape(c.shape[:-2] + (nk * nl,))
-    re = jnp.matmul(flat, cos, preferred_element_type=jnp.float32)
-    im = jnp.matmul(flat, -sin, preferred_element_type=jnp.float32)
-    return jax.lax.complex(re, im).reshape(c.shape[:-2] + (nx, nyr))
+    cx, sx, cy, sy = map(jnp.asarray, _axis_bases(nk, nl, nx, ny)[:4])
+    # columns first: T = c · e^{-iθy}   [..., Nk, Nyr]
+    tr = jnp.einsum("...kl,ly->...ky", c, cy,
+                    preferred_element_type=jnp.float32)
+    ti = -jnp.einsum("...kl,ly->...ky", c, sy,
+                     preferred_element_type=jnp.float32)
+    # rows: C = e^{-iθx} · T            [..., Nx, Nyr]
+    re = (jnp.einsum("kx,...ky->...xy", cx, tr,
+                     preferred_element_type=jnp.float32)
+          + jnp.einsum("kx,...ky->...xy", sx, ti,
+                       preferred_element_type=jnp.float32))
+    im = (jnp.einsum("kx,...ky->...xy", cx, ti,
+                     preferred_element_type=jnp.float32)
+          - jnp.einsum("kx,...ky->...xy", sx, tr,
+                       preferred_element_type=jnp.float32))
+    return jax.lax.complex(re, im)
 
 
 def kernel_project(D: jax.Array, nk: int, nl: int, nx: int, ny: int) -> jax.Array:
-    """``kernel_shrink(irfft2_unnormalized(D))`` as two matmuls.
+    """``kernel_shrink(irfft2_unnormalized(D))`` as two per-axis matmuls.
 
     D: ``[..., Nx, Ny//2+1]`` complex (Hermitian-consistent) →
     ``[..., Nk, Nl]`` real — the spatial gradient restricted to the compact
     support, with cuFFT's unnormalized C2R scaling.
+
+    g[k,l] = Σ_ω w(ωy)·[Dr·cos(θx+θy) − Di·sin(θx+θy)], expanded over the
+    separable angle sum into four (rows ∘ cols) contractions.
     """
-    nyr = ny // 2 + 1
-    cos, sin, wcol = _bases(nk, nl, nx, ny)
-    flat = D.reshape(D.shape[:-2] + (nx * nyr,))
-    re = (flat.real * wcol)
-    im = (flat.imag * wcol)
-    g = (jnp.matmul(re, cos.T, preferred_element_type=jnp.float32)
-         - jnp.matmul(im, sin.T, preferred_element_type=jnp.float32))
-    return g.reshape(D.shape[:-2] + (nk, nl))
+    cx, sx, cy, sy, hermy = _axis_bases(nk, nl, nx, ny)
+    cx, sx, cy, sy = map(jnp.asarray, (cx, sx, cy, sy))
+    w = jnp.asarray(hermy)
+    Dr = D.real * w
+    Di = D.imag * w
+    # columns: A·e^{±iθy} partials        [..., Nx, Nl]
+    rc = jnp.einsum("...xy,ly->...xl", Dr, cy,
+                    preferred_element_type=jnp.float32)
+    rs = jnp.einsum("...xy,ly->...xl", Dr, sy,
+                    preferred_element_type=jnp.float32)
+    ic = jnp.einsum("...xy,ly->...xl", Di, cy,
+                    preferred_element_type=jnp.float32)
+    is_ = jnp.einsum("...xy,ly->...xl", Di, sy,
+                     preferred_element_type=jnp.float32)
+    # rows: contract ωx                   [..., Nk, Nl]
+    g = (jnp.einsum("kx,...xl->...kl", cx, rc,
+                    preferred_element_type=jnp.float32)
+         - jnp.einsum("kx,...xl->...kl", sx, rs,
+                      preferred_element_type=jnp.float32)
+         - jnp.einsum("kx,...xl->...kl", sx, ic,
+                      preferred_element_type=jnp.float32)
+         - jnp.einsum("kx,...xl->...kl", cx, is_,
+                      preferred_element_type=jnp.float32))
+    return g
