@@ -137,7 +137,8 @@ def _train_bursts(args):
         out_b = layers[len(layers) - 2 - 2 * n_l]
         enc, dec = params.pair(n_l)
         res = fft_burst_dp(in_b, in_b, out_b, enc.c, dec.c, enc.b, dec.b,
-                           mom, lr=args.lr, alpha=args.alpha)
+                           mom, lr=args.lr, alpha=args.alpha,
+                           iters=args.iters)
         if args.carry_momentum:
             mom = res.mom
         params = params.replace_pair(n_l, ConvStage(c=res.c, b=res.b),
@@ -262,6 +263,9 @@ def main(argv=None):
                         "reference's per-frame 100-iteration FFT bursts")
     p.add_argument("--train-pair", type=int, default=0,
                    help="burst mode: stage pair to train (the 'z'/'x' focus)")
+    p.add_argument("--iters", type=int, default=100,
+                   help="burst mode: inner iterations per burst (the "
+                        "reference hard-codes 100, fft_backproplib.cu:1446)")
     p.add_argument("--carry-momentum", action="store_true",
                    help="burst mode: stream optimizer momentum across "
                         "bursts instead of zeroing per burst (reference "

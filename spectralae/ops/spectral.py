@@ -182,9 +182,10 @@ def kernel_rfft(c: jax.Array, nx: int, ny: int) -> jax.Array:
     dominated the measured forward (9 ms → ~2 ms at 512² b4).  Bit-equal to
     ``rfft2(kernel_pad(c))`` (tests/test_dft_ops.py).
 
-    For large supports the [P, W] basis stops being "restricted" (at 33×33
-    and 256² it is a 287 MB program constant) and the FFT route wins —
-    crossover at P=256 taps.
+    For large supports the separable-DFT FLOPs (∝ Nk per output bin)
+    overtake the FFT's log-factor and the padded-FFT route wins — the
+    crossover sits near Nk ≈ log₂(Nx·Ny); P ≤ 256 taps keeps the matmul
+    route for every reference-scale kernel.
     """
     if c.shape[-2] * c.shape[-1] <= 256:
         from . import dft

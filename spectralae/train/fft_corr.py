@@ -417,6 +417,17 @@ def burst_corr(x, expout, out0, c, f, b, p, mom=None, *,
         x, expout, out0 = x[None], expout[None], out0[None]
     nx, ny = x.shape[-2], x.shape[-1]
     vary = (model_axis,) if model_axis else ()
+    if iters == 0:
+        # zero updates: report mses[0] only (the ω-space paths' semantics)
+        T0 = corr_precompute(x, expout, out0, c, f,
+                             scale_by_dm=scale_by_dm,
+                             axis_name=axis_name, model_axis=model_axis)
+        mse_norm = 1.0 / (c.shape[1] * nx * ny) / (2 * c.shape[0] * nx * ny)
+        if mom is None:
+            mom = (jnp.zeros_like(c), jnp.zeros_like(f),
+                   jnp.zeros_like(b), jnp.zeros_like(p))
+        return FFTBurstResult(c=c, f=f, b=b, p=p, mom=mom,
+                              mses=(T0["E0E0"] * mse_norm)[None])
 
     def segment(out_cur, c, f, b, p, mom, seg_iters):
         T = corr_precompute(x, expout, out_cur, c, f,

@@ -231,3 +231,14 @@ def test_corr_burst_reanchoring_extends_convergence():
     np.testing.assert_allclose(m_got[:60], m_ref[:60], rtol=1e-2)
     assert m_got[-1] < m_got[0] * 0.05
     assert m_got[-1] < 2.0 * m_ref[-1]
+
+
+def test_corr_burst_zero_iters_is_identity():
+    x, out0, enc, dec = setup()
+    r = fft_burst_corr(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                       lr=0.2, iters=0)
+    np.testing.assert_array_equal(np.asarray(r.c), np.asarray(enc.c))
+    ref = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                    lr=0.2, iters=0, impl="dft")
+    np.testing.assert_allclose(np.asarray(r.mses), np.asarray(ref.mses),
+                               rtol=1e-4)
