@@ -65,20 +65,29 @@ def time_chained(step, x0, n=20, warmup=1, trials=5):
     for _ in range(warmup):
         r, x = step(x)
     _fetch_scalar(x)
-    best = float("inf")
-    for trial in range(trials):
-        # distinct chain per trial — a repeated chain would be deduplicated
-        # by the relay and time ~0
-        x = x0 + (trial + 1) * 1e-5
-        t0 = time.perf_counter()
-        _fetch_scalar(x)
-        fetch_rt = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(n):
-            r, x = step(x)
-        _fetch_scalar(x)
-        total = time.perf_counter() - t0
-        best = min(best, max(total - fetch_rt, 1e-9) / n)
+
+    def run_chains(n_links):
+        best = float("inf")
+        for trial in range(trials):
+            # distinct chain per trial — a repeated chain would be
+            # deduplicated by the relay and time ~0
+            x = x0 + (trial + 1) * 1e-5
+            t0 = time.perf_counter()
+            _fetch_scalar(x)
+            fetch_rt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(n_links):
+                r, x = step(x)
+            _fetch_scalar(x)
+            total = time.perf_counter() - t0
+            best = min(best, max(total - fetch_rt, 1e-9) / n_links)
+        return best
+
+    best = run_chains(n)
+    if best < 2e-5:
+        # below the tunnel's measurement resolution (round-trip jitter
+        # swallows the chain) — amortize over a much longer chain
+        best = run_chains(n * 8)
     return best
 
 
@@ -282,6 +291,24 @@ def main():
     dt = time_chained(mstep512, x512, n=5)
     results["modern_fft_step_512_b4_ms"] = dt * 1e3
     results["modern_fft_512_frames_per_sec"] = 4.0 / dt
+
+    # ---- 1024×1024 deep config, batch 2 (fused-conv scaling) ----
+    cfg1k = Config(nx=1024, ny=1024, d=3,
+                   layer=LayerParams(depth=10, lk=1, ll=1, scale=2,
+                                     rmax=3.0))
+    spec1k = initial_spec(cfg1k).add_pair(cfg1k.layer).add_pair(cfg1k.layer)
+    params1k = init_params(jax.random.key(0), spec1k, 1.0)
+    opt1k = init_opt_state(params1k)
+
+    def mstep1k(x):
+        r = train_step(params1k, opt1k, x, spec1k.scales, lr=0.2,
+                       domain="fft")
+        return r, x + r.loss * 0.0 + 1e-6
+    x1k = jax.device_put(
+        rng.normal(size=(2, 3, 1024, 1024)).astype(np.float32) * 50)
+    dt = time_chained(mstep1k, x1k, n=5)
+    results["modern_fft_step_1024_b2_ms"] = dt * 1e3
+    results["modern_fft_1024_frames_per_sec"] = 2.0 / dt
 
     results["device"] = str(jax.devices()[0])
     with open("bench_details.json", "w") as f:
