@@ -122,7 +122,8 @@ def fft_burst_dp(x: jax.Array, expout: jax.Array, out0: jax.Array,
 
 def distributed_burst(mesh: Mesh, *, lr: float = 0.2, alpha: float = 0.9,
                       iters: int = 100, scale_by_dm: bool = True,
-                      use_pallas: bool | None = None):
+                      use_pallas: bool | None = None,
+                      reanchor_every: int | None = None):
     """Build a jitted multi-chip burst: batch sharded over 'data', params
     replicated.
 
@@ -147,7 +148,8 @@ def distributed_burst(mesh: Mesh, *, lr: float = 0.2, alpha: float = 0.9,
                               (Dc, Df, Db, Dp), lr=lr, alpha=alpha,
                               iters=iters, scale_by_dm=scale_by_dm,
                               axis_name="data",
-                              model_axis="model" if n_model > 1 else None)
+                              model_axis="model" if n_model > 1 else None,
+                              reanchor_every=reanchor_every)
         if use_pallas:
             from .fft_pallas import burst_pallas_fused
             return burst_pallas_fused(x, expout, out0, c, f, b, p,
