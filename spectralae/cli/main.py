@@ -119,42 +119,52 @@ def _train_bursts(args):
     from ..core.types import ConvStage
     eng = _make_engine(args)
     params, spec = eng.params, eng.spec
-    n_l = args.train_pair
-    if not 0 <= n_l < spec.n_pairs:
-        raise SystemExit(f"--train-pair {n_l} out of range "
-                         f"(net has {spec.n_pairs} pairs)")
+    if args.train_pair == "all":
+        pairs = list(range(spec.n_pairs))
+    else:
+        n_l = int(args.train_pair)
+        if not 0 <= n_l < spec.n_pairs:
+            raise SystemExit(f"--train-pair {n_l} out of range "
+                             f"(net has {spec.n_pairs} pairs)")
+        pairs = [n_l]
     fwd = jax.jit(lambda p, x: model.forward_fft(p, x, spec.scales,
                                                  return_layers=True))
     pf = pipeline.DevicePrefetcher(_source(args), args.nx, args.ny,
                                    batch=args.batch)
     metrics = Path(args.metrics) if args.metrics else None
-    mom = None  # zeroed per burst (reference semantics) unless --carry-momentum
+    # zeroed per burst (reference semantics) unless --carry-momentum
+    moms = {n_l: None for n_l in pairs}
     for step_i, batch in enumerate(pf):
         if step_i >= args.steps:
             break
-        _, layers = fwd(params, batch)
-        in_b = layers[2 * n_l + 1]
-        out_b = layers[len(layers) - 2 - 2 * n_l]
-        enc, dec = params.pair(n_l)
-        res = fft_burst_dp(in_b, in_b, out_b, enc.c, dec.c, enc.b, dec.b,
-                           mom, lr=args.lr, alpha=args.alpha,
-                           iters=args.iters)
-        if args.carry_momentum:
-            mom = res.mom
-        params = params.replace_pair(n_l, ConvStage(c=res.c, b=res.b),
-                                     ConvStage(c=res.f, b=res.p))
-        if step_i % args.log_every == 0:
-            # per-inner-iteration MSE trajectory, the reference's per-iter
-            # "n: ... mse: ..." stream (fft_backproplib.cu:1463-1464) —
-            # collected on-device, emitted once per burst
-            mses = np.asarray(res.mses, dtype=np.float64)
-            rec = {"step": step_i, "pair": n_l,
-                   "mse0": float(mses[0]), "mseN": float(mses[-1]),
-                   "mses": [float(v) for v in mses]}
-            print(json.dumps(rec), flush=True)
-            if metrics:
-                with metrics.open("a") as fh:
-                    fh.write(json.dumps(rec) + "\n")
+        for n_l in pairs:
+            # refresh activations between pairs — an inner pair's burst
+            # changes every outer pair's target (the reference user's
+            # manual 'z'/'x' + '1' sweep, autoencoder.cpp:279-310)
+            _, layers = fwd(params, batch)
+            in_b = layers[2 * n_l + 1]
+            out_b = layers[len(layers) - 2 - 2 * n_l]
+            enc, dec = params.pair(n_l)
+            res = fft_burst_dp(in_b, in_b, out_b, enc.c, dec.c,
+                               enc.b, dec.b, moms[n_l], lr=args.lr,
+                               alpha=args.alpha, iters=args.iters)
+            if args.carry_momentum:
+                moms[n_l] = res.mom
+            params = params.replace_pair(n_l, ConvStage(c=res.c, b=res.b),
+                                         ConvStage(c=res.f, b=res.p))
+            if step_i % args.log_every == 0:
+                # per-inner-iteration MSE trajectory, the reference's
+                # per-iter "n: ... mse: ..." stream
+                # (fft_backproplib.cu:1463-1464) — collected on-device,
+                # emitted once per burst
+                mses = np.asarray(res.mses, dtype=np.float64)
+                rec = {"step": step_i, "pair": n_l,
+                       "mse0": float(mses[0]), "mseN": float(mses[-1]),
+                       "mses": [float(v) for v in mses]}
+                print(json.dumps(rec), flush=True)
+                if metrics:
+                    with metrics.open("a") as fh:
+                        fh.write(json.dumps(rec) + "\n")
     pf.close()
     if args.ckpt:
         ckpt.save(args.ckpt, params, spec, None, extra={"step": args.steps})
@@ -261,8 +271,10 @@ def main(argv=None):
     p.add_argument("--mode", choices=("step", "burst"), default="step",
                    help="step: batched autodiff training; burst: the "
                         "reference's per-frame 100-iteration FFT bursts")
-    p.add_argument("--train-pair", type=int, default=0,
-                   help="burst mode: stage pair to train (the 'z'/'x' focus)")
+    p.add_argument("--train-pair", default="0",
+                   help="burst mode: stage pair to train (the 'z'/'x' "
+                        "focus), or 'all' for a round-robin sweep over "
+                        "every pair per batch")
     p.add_argument("--iters", type=int, default=100,
                    help="burst mode: inner iterations per burst (the "
                         "reference hard-codes 100, fft_backproplib.cu:1446)")

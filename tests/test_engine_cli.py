@@ -500,3 +500,27 @@ def test_indivisible_pooling_rejected():
         initial_spec(cfg)
     eng = make_engine(nx=16)   # 16 -> 8; adding a x4 pair needs 8 % 4 == 0 ok,
     eng.add_layer()            # but a third at 2x2 with scale 2 -> 1 ... ok
+
+
+def test_cli_train_burst_all_pairs(tmp_path, capsys):
+    """--train-pair all sweeps every pair per batch (the manual 'z'/'x'+'1'
+    workflow), training both pairs."""
+    import json as _json
+    from spectralae.cli.main import main, _make_engine
+    from spectralae.io import checkpoint as ckpt
+    import argparse as _ap
+    main(["train", "--nx", "32", "--layers", "2", "--steps", "2",
+          "--batch", "2", "--mode", "burst", "--log-every", "1",
+          "--train-pair", "all", "--iters", "20",
+          "--ckpt", str(tmp_path / "ck")])
+    out = capsys.readouterr().out
+    recs = [_json.loads(l) for l in out.strip().splitlines()
+            if l.startswith("{")]
+    assert {r["pair"] for r in recs} == {0, 1}
+    params, spec, _, _ = ckpt.load(tmp_path / "ck")
+    args = _ap.Namespace(nx=32, ny=32, depth=3, param_file=None, seed=0,
+                         layers=2)
+    eng = _make_engine(args)
+    for i in (0, 1):
+        assert not np.array_equal(np.asarray(params.stages[i].c),
+                                  np.asarray(eng.params.stages[i].c))
