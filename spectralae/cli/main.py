@@ -1,12 +1,14 @@
-"""Command-line interface: run / train / bench / info / export.
+"""Command-line interface: run / train / bench / info / export / serve.
 
 The reference's interactive OpenCV app becomes:
-  - ``spectralae run``   — the live loop on a frame source, with the 20
+  - ``spectralae run``    — the live loop on a frame source, with the 20
     keyboard commands read from stdin (works headless; views dumped as PNGs).
-  - ``spectralae train`` — headless batched training (modern path) with
+  - ``spectralae train``  — headless batched training (modern path) with
     checkpointing and JSONL metrics.
-  - ``spectralae info``  — print the network structure ('i' key).
-  - ``spectralae bench`` — the benchmark harness.
+  - ``spectralae info``   — print the network structure ('i' key).
+  - ``spectralae bench``  — the benchmark harness.
+  - ``spectralae export`` — AOT-compile a serving artifact (jax.export).
+  - ``spectralae serve``  — run inference from an exported artifact.
 """
 
 from __future__ import annotations
@@ -235,6 +237,58 @@ def cmd_info(args):
     print(eng.info())
 
 
+def cmd_export(args):
+    """AOT-export a serving artifact from a checkpoint (or a fresh net)."""
+    from ..io import checkpoint as ckpt
+    from ..io.export import export_model
+    if args.from_ckpt:
+        params, spec, _, _ = ckpt.load(args.from_ckpt)
+    else:
+        eng = _make_engine(args)
+        params, spec = eng.params, eng.spec
+    platforms = (tuple(args.platforms.split(","))
+                 if args.platforms else None)
+    for what in (("forward", "encode") if args.what == "both"
+                 else (args.what,)):
+        out = export_model(params, spec, args.out, what=what,
+                           domain=args.domain, batch=args.batch,
+                           platforms=platforms)
+        print(f"exported {what} ({args.domain}) -> {out}", flush=True)
+
+
+def cmd_serve(args):
+    """Run inference from an exported artifact over a frame source."""
+    from ..data import pipeline
+    from ..io.export import ServingModel
+    from ..viz.png import write_png
+    m = ServingModel.load(args.model)
+    d, nx, ny = m.input_shape
+    args.nx, args.ny = nx, ny
+    src = _source(args)
+    outdir = Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    pf = pipeline.DevicePrefetcher(src, nx, ny, batch=args.batch)
+    t0 = time.perf_counter()
+    n_frames = 0
+    for i, batch in enumerate(pf):
+        if i >= args.steps:
+            break
+        out = np.asarray(m(batch))
+        n_frames += out.shape[0]
+        if args.dump_every and i % args.dump_every == 0:
+            if out.shape[1] == 3:  # reconstruction -> displayable frame
+                img = pipeline.tensor_to_frame(out[0])
+            else:  # feature maps -> first channel, wrap-cast
+                img = pipeline.feature_to_image(out[0, 0])
+            write_png(outdir / f"serve_{i:05d}.png", img)
+    pf.close()
+    dt = time.perf_counter() - t0
+    print(json.dumps({"frames": n_frames, "seconds": round(dt, 4),
+                      "fps": round(n_frames / dt, 2),
+                      "what": m.manifest["what"],
+                      "platforms": m.manifest["platforms"]}), flush=True)
+
+
 def cmd_bench(args):
     import bench
     bench.main()
@@ -297,6 +351,33 @@ def main(argv=None):
     p = sub.add_parser("info", help="print network structure")
     _add_common(p)
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("export",
+                       help="AOT-export a serving artifact (jax.export)")
+    _add_common(p)
+    p.add_argument("--from-ckpt", default="",
+                   help="checkpoint dir to export from (else a fresh net)")
+    p.add_argument("--out", required=True, help="artifact directory")
+    p.add_argument("--what", choices=("forward", "encode", "both"),
+                   default="forward")
+    p.add_argument("--domain", choices=("fft", "coord"), default="fft")
+    p.add_argument("--batch", type=int, default=None,
+                   help="fixed batch size; omit for batch-polymorphic")
+    p.add_argument("--platforms", default="",
+                   help="comma-separated lowering platforms, e.g. cpu,tpu "
+                        "(default: ambient platform)")
+    p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("serve",
+                       help="run inference from an exported artifact")
+    p.add_argument("--model", required=True, help="artifact directory")
+    p.add_argument("--source", default="synthetic")
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--outdir", default="./views")
+    p.add_argument("--dump-every", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="run the benchmark harness")
     p.set_defaults(fn=cmd_bench)

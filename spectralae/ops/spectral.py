@@ -124,10 +124,13 @@ def spectral_conv(X: jax.Array, C: jax.Array, b: jax.Array, nx: int, ny: int,
       b: ``[M]`` real biases.
     """
     from .pallas_kernels import _on_tpu
-    if X.ndim == 4 and _on_tpu():
+    concrete = all(type(s) is int for s in X.shape)
+    if X.ndim == 4 and concrete and _on_tpu():
         # the tiny-d contraction at every bin lowers terribly through
         # XLA einsum (huge broadcast temporaries); the fused Pallas kernel
-        # is ~7× faster at 512² and carries a custom VJP for autodiff
+        # is ~7× faster at 512² and carries a custom VJP for autodiff.
+        # Symbolic dims (jax.export batch polymorphism) can't size the
+        # ω tiles, so polymorphic exports take the einsum path.
         from .pallas_kernels import spectral_conv_fused
         return spectral_conv_fused(X, C, b, nx, ny, scale_by_dm)
     return spectral_conv_einsum(X, C, b, nx, ny, scale_by_dm=scale_by_dm)

@@ -1,0 +1,102 @@
+"""AOT export/serving artifact tests (spectralae.io.export)."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spectralae.core.config import Config, LayerParams
+from spectralae.core.types import initial_spec, init_params
+from spectralae.io import checkpoint as ckpt
+from spectralae.io.export import ServingModel, export_model
+from spectralae.model import autoencoder as model
+
+
+def _small_net(nx=32, layers=1, seed=0):
+    cfg = Config(nx=nx, ny=nx, d=3,
+                 layer=LayerParams(depth=4, lk=1, ll=1, scale=2, rmax=1.0))
+    spec = initial_spec(cfg)
+    for _ in range(layers - 1):
+        spec = spec.add_pair(cfg.layer)
+    params = init_params(jax.random.key(seed), spec, 1.0)
+    return cfg, spec, params
+
+
+@pytest.mark.parametrize("what,domain", [("forward", "fft"),
+                                         ("forward", "coord"),
+                                         ("encode", "fft")])
+def test_export_roundtrip_matches_direct(tmp_path, what, domain):
+    _, spec, params = _small_net()
+    path = export_model(params, spec, tmp_path / "art", what=what,
+                        domain=domain, batch=2)
+    m = ServingModel.load(path)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 3, 32, 32)).astype(np.float32) * 50)
+    got = m(x)
+    if what == "forward" and domain == "fft":
+        want = model.forward_fft(params, x, spec.scales)
+    elif what == "forward":
+        want = model.forward_coord(params, x, spec.scales)[-1]
+    else:
+        want = model.encode(params, x, spec.scales, domain=domain)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_export_symbolic_batch_serves_any_batch(tmp_path):
+    _, spec, params = _small_net()
+    path = export_model(params, spec, tmp_path / "art", batch=None)
+    m = ServingModel.load(path)
+    rng = np.random.default_rng(1)
+    for b in (1, 3, 5):
+        x = jnp.asarray(rng.normal(size=(b, 3, 32, 32)).astype(np.float32))
+        got = m(x)
+        want = model.forward_fft(params, x, spec.scales)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_export_fixed_batch_rejects_other_batch(tmp_path):
+    _, spec, params = _small_net()
+    path = export_model(params, spec, tmp_path / "art", batch=2)
+    m = ServingModel.load(path)
+    with pytest.raises(ValueError, match="batch=2"):
+        m(jnp.zeros((3, 3, 32, 32), jnp.float32))
+    with pytest.raises(ValueError, match="expected input"):
+        m(jnp.zeros((2, 3, 16, 16), jnp.float32))
+
+
+def test_export_multiplatform_lowering(tmp_path):
+    """Cross-platform artifact: lowered for both cpu and tpu on a CPU host."""
+    _, spec, params = _small_net()
+    path = export_model(params, spec, tmp_path / "art", batch=1,
+                        platforms=("cpu", "tpu"))
+    manifest = json.loads((path / "manifest.json").read_text())
+    assert set(p.lower() for p in manifest["platforms"]) == {"cpu", "tpu"}
+    m = ServingModel.load(path)
+    x = jnp.ones((1, 3, 32, 32), jnp.float32)
+    got = m(x)
+    want = model.forward_fft(params, x, spec.scales)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_cli_export_and_serve(tmp_path, capsys):
+    from spectralae.cli.main import main as cli_main
+    _, spec, params = _small_net()
+    ck = tmp_path / "ck"
+    ckpt.save(ck, params, spec, None)
+    art = tmp_path / "art"
+    cli_main(["export", "--from-ckpt", str(ck), "--out", str(art),
+              "--what", "both", "--nx", "32"])
+    out = capsys.readouterr().out
+    assert "exported forward" in out and "exported encode" in out
+    # serve uses the manifest of the *last* export (encode)
+    cli_main(["serve", "--model", str(art), "--steps", "2", "--batch", "2",
+              "--outdir", str(tmp_path / "views"), "--dump-every", "1"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["frames"] == 4 and rec["what"] == "encode"
+    assert (tmp_path / "views" / "serve_00000.png").exists()
