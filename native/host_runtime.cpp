@@ -10,12 +10,15 @@
 //   sae_frame_to_tensor : uint8 [H,W,3] BGR -> float32 [3,W,H]   (0..255)
 //   sae_tensor_to_frame : float32 [3,W,H] -> uint8 [H,W,3], round+clamp
 //   sae_resize_nn       : uint8 [H,W,3] -> uint8 [oh,ow,3] nearest-neighbor
+//   sae_batch_to_tensor : resize+convert a whole batch, one thread/frame
 //
-// Build: make -C native   (g++ -O3 -march=native -shared -fPIC)
+// Build: make -C native   (g++ -O3 -shared -fPIC)
 
 #include <cstdint>
 #include <cmath>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -65,6 +68,54 @@ void sae_resize_nn(const uint8_t* img, uint8_t* out, int h, int w,
       std::memcpy(drow + i * 3, srow + si * 3, 3);
     }
   }
+}
+
+// Fused resize+convert for one frame: uint8 [h,w,3] -> float32 [3,ow,oh]
+// at the target resolution, without materializing the resized uint8 frame.
+static void frame_resize_to_tensor(const uint8_t* img, float* out,
+                                   int h, int w, int oh, int ow) {
+  const int64_t plane = (int64_t)ow * oh;
+  for (int j = 0; j < oh; ++j) {
+    const int sj = (int)((int64_t)j * h / oh);
+    const uint8_t* srow = img + (int64_t)sj * w * 3;
+    for (int i = 0; i < ow; ++i) {
+      const int si = (int)((int64_t)i * w / ow);
+      const uint8_t* px = srow + si * 3;
+      const int64_t t = (int64_t)i * oh + j;
+      out[0 * plane + t] = (float)px[0];
+      out[1 * plane + t] = (float)px[1];
+      out[2 * plane + t] = (float)px[2];
+    }
+  }
+}
+
+// Batch pipeline stage: n frames (contiguous uint8 [n,h,w,3]) ->
+// float32 [n,3,ow,oh], fusing NN resize with the layout transform and
+// fanning frames out over worker threads.  This is the producer-side hot
+// loop that keeps a batched DevicePrefetcher ahead of the device at video
+// rate (the reference converts one frame per display tick on the main
+// thread, autoencoder.cpp:123-125).
+void sae_batch_to_tensor(const uint8_t* imgs, float* out, int n,
+                         int h, int w, int oh, int ow, int n_threads) {
+  const int64_t in_stride = (int64_t)h * w * 3;
+  const int64_t out_stride = (int64_t)3 * ow * oh;
+  if (n_threads <= 1 || n <= 1) {
+    for (int k = 0; k < n; ++k)
+      frame_resize_to_tensor(imgs + k * in_stride, out + k * out_stride,
+                             h, w, oh, ow);
+    return;
+  }
+  if (n_threads > n) n_threads = n;
+  std::vector<std::thread> workers;
+  workers.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) {
+    workers.emplace_back([=]() {
+      for (int k = t; k < n; k += n_threads)
+        frame_resize_to_tensor(imgs + k * in_stride, out + k * out_stride,
+                               h, w, oh, ow);
+    });
+  }
+  for (auto& th : workers) th.join();
 }
 
 }  // extern "C"

@@ -2,11 +2,12 @@
 
 The reference's performance-critical host path — frame repacking between
 OpenCV mats and channel-major float tensors (netlib.cpp:37-77), done every
-frame — is native C++ there; here the equivalent hot host loop (uint8 HWC ↔
-float32 CWH, NN resize, checkpoint IO) lives in ``native/host_runtime.cpp``,
-compiled to a shared library and bound via ctypes (no pybind11 in this
-image).  Falls back to numpy transparently when the library isn't built;
-build with ``make -C native`` or ``python -m spectralae.data.build_native``.
+frame — is native C++ there; here the equivalent hot host loops (uint8 HWC ↔
+float32 CWH, NN resize, and the fused+threaded batch resize-convert stage
+feeding the device prefetcher) live in ``native/host_runtime.cpp``, compiled
+to a shared library and bound via ctypes (no pybind11 in this image).  Falls
+back to numpy transparently when the library isn't built; build with
+``make -C native``.
 """
 
 from __future__ import annotations
@@ -49,6 +50,9 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.sae_resize_nn.argtypes = [u8, u8, ctypes.c_int, ctypes.c_int,
                                   ctypes.c_int, ctypes.c_int]
     lib.sae_resize_nn.restype = None
+    if hasattr(lib, "sae_batch_to_tensor"):
+        lib.sae_batch_to_tensor.argtypes = [u8, f32] + [ctypes.c_int] * 6
+        lib.sae_batch_to_tensor.restype = None
 
 
 def available() -> bool:
@@ -75,6 +79,33 @@ def tensor_to_frame(spin: np.ndarray) -> np.ndarray:
     _lib.sae_tensor_to_frame(
         spin.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w)
+    return out
+
+
+def has_batch() -> bool:
+    """True when the built library exposes the threaded batch stage
+    (libraries built before it existed lack the symbol)."""
+    return available() and hasattr(_lib, "sae_batch_to_tensor")
+
+
+def batch_to_tensor(imgs: np.ndarray, nx: int, ny: int,
+                    n_threads: int = 0) -> np.ndarray:
+    """Fused resize+convert of a uint8 ``[N, H, W, 3]`` frame stack to
+    float32 ``[N, 3, nx, ny]`` at the target resolution, one worker thread
+    per frame (``n_threads=0`` → one per frame, capped at hardware
+    concurrency by the scheduler)."""
+    if not has_batch():
+        raise RuntimeError("native library not built or lacks "
+                           "sae_batch_to_tensor (make -C native)")
+    n, h, w = imgs.shape[:3]
+    imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
+    out = np.empty((n, 3, nx, ny), np.float32)
+    if n_threads <= 0:
+        n_threads = min(n, os.cpu_count() or 1)
+    _lib.sae_batch_to_tensor(
+        imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, h, w, ny, nx, n_threads)
     return out
 
 

@@ -150,9 +150,16 @@ class DevicePrefetcher:
                 f = next(self._source)
             except StopIteration:
                 return None
-            f = resize_nn(f, self._nx, self._ny)
-            frames.append(frame_to_tensor(f))
-        return np.stack(frames)
+            frames.append(f)
+        if (_native is not None and _native.has_batch() and len(frames) > 1
+                and all(f.shape == frames[0].shape and f.dtype == np.uint8
+                        for f in frames)):
+            # fused threaded resize+convert stage (C++, one thread/frame)
+            return _native.batch_to_tensor(np.stack(frames),
+                                           self._nx, self._ny)
+        return np.stack([
+            frame_to_tensor(resize_nn(f, self._nx, self._ny))
+            for f in frames])
 
     def _work(self):
         while not self._stop.is_set():

@@ -123,6 +123,47 @@ def test_native_codec_parity_when_built():
                                   pipeline.resize_nn(img, 12, 10))
 
 
+def test_native_batch_stage_parity_when_built():
+    """The threaded C++ batch resize+convert equals the per-frame numpy
+    path (resize_nn -> frame_to_tensor), frame for frame."""
+    from spectralae.data import native
+    root = Path(__file__).resolve().parents[1]
+    if not native.available():
+        r = subprocess.run(["make", "-C", str(root / "native")],
+                           capture_output=True)
+        if r.returncode != 0:
+            pytest.skip("native toolchain unavailable")
+        native._lib = None
+    if not native.has_batch():
+        pytest.skip("native lib lacks sae_batch_to_tensor (stale build)")
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 256, size=(6, 37, 23, 3), dtype=np.uint8)
+    for nx, ny in ((16, 12), (23, 37)):
+        got = native.batch_to_tensor(imgs, nx, ny, n_threads=3)
+        want = np.stack([
+            np.ascontiguousarray(
+                pipeline.resize_nn(f, nx, ny)
+                .astype(np.float32).transpose(2, 1, 0))
+            for f in imgs])
+        assert got.shape == (6, 3, nx, ny)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_prefetcher_uses_native_batch_stage_when_available():
+    from spectralae.data import native
+    if not native.has_batch():
+        pytest.skip("native lib not built")
+    src = pipeline.synthetic_frames(40, 40, seed=3)
+    pf = pipeline.DevicePrefetcher(src, 16, 16, batch=4)
+    batch = np.asarray(next(pf))
+    pf.close()
+    src2 = pipeline.synthetic_frames(40, 40, seed=3)
+    want = np.stack([
+        pipeline.frame_to_tensor(pipeline.resize_nn(next(src2), 16, 16))
+        for _ in range(4)])
+    np.testing.assert_array_equal(batch, want)
+
+
 def test_metrics_logger_and_timer(tmp_path):
     from spectralae.core.profiling import MetricsLogger, StepTimer
     log = MetricsLogger(tmp_path / "m.jsonl", echo=False)
