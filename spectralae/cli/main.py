@@ -174,14 +174,29 @@ def _train_bursts(args):
 
 
 def cmd_train(args):
+    import contextlib
+    import jax
+    import jax.numpy as jnp
+    from ..core.profiling import device_trace
+    from ..core.types import init_opt_state
+    from ..data import pipeline
+    from ..io import checkpoint as ckpt
+    from ..train.modern import train_step
+    trace_ctx = (device_trace(args.trace) if getattr(args, "trace", "")
+                 else contextlib.nullcontext())
+    with trace_ctx:
+        if args.mode == "burst":
+            return _train_bursts(args)
+        return _train_steps(args)
+
+
+def _train_steps(args):
     import jax
     import jax.numpy as jnp
     from ..core.types import init_opt_state
     from ..data import pipeline
     from ..io import checkpoint as ckpt
     from ..train.modern import train_step
-    if args.mode == "burst":
-        return _train_bursts(args)
     start_step = 0
     if args.resume:
         params, spec, opt, extra = ckpt.load(args.resume)
@@ -346,6 +361,9 @@ def main(argv=None):
     p.add_argument("--resume", default="",
                    help="checkpoint dir to resume params/opt/step from")
     p.add_argument("--metrics", default="")
+    p.add_argument("--trace", default="",
+                   help="capture a jax.profiler device trace of the run "
+                        "into this directory (view with XProf/TensorBoard)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("info", help="print network structure")

@@ -233,6 +233,16 @@ def test_cli_train_and_info(tmp_path, capsys):
     assert extra["step"] == 5
 
 
+def test_cli_train_trace_writes_profile(tmp_path, capsys):
+    from spectralae.cli.main import main
+    trace_dir = tmp_path / "trace"
+    main(["train", "--nx", "16", "--steps", "2", "--batch", "2",
+          "--log-every", "1", "--trace", str(trace_dir)])
+    capsys.readouterr()
+    # jax.profiler writes plugins/profile/<ts>/*.xplane.pb under the dir
+    assert list(trace_dir.rglob("*.xplane.pb")), "no trace artifacts"
+
+
 def test_cli_run_with_scripted_keys(tmp_path, capsys):
     from spectralae.cli.main import main
     main(["run", "--nx", "16", "--frames", "4", "--keys", "1ifq",
