@@ -155,10 +155,16 @@ def coord_step(in_s: jax.Array, out_s: jax.Array, hin_s: jax.Array,
     """
     dM, dD, nk, nl = c.shape
     g = coord_ref_gradients(in_s, out_s, hin_s, f, nk, nl, tap_mode=tap_mode)
-    Dc, Df, Db, Dp = mom
-    ddc, ddf, ddb, ddp = prev_grad
     mse = jnp.sum((in_s - out_s) ** 2) / (dD * dM * nk * nl
                                           * in_s.shape[-2] * in_s.shape[-1])
+    return _apply_update(g, mse, c, f, b, p, mom, prev_grad,
+                         lr=lr, alpha=alpha, sym=sym, active=active)
+
+
+def _apply_update(g: CoordGrads, mse, c, f, b, p, mom, prev_grad, *,
+                  lr, alpha, sym, active) -> CoordStepResult:
+    Dc, Df, Db, Dp = mom
+    ddc, ddf, ddb, ddp = prev_grad
     if sym:
         gc = 0.5 * (g.dc + jnp.transpose(g.df, (1, 0, 2, 3)))
         gb, gp = 0.5 * g.db, 0.5 * g.dp
@@ -182,3 +188,85 @@ def coord_step(in_s: jax.Array, out_s: jax.Array, hin_s: jax.Array,
     return CoordStepResult(c=c, f=f, b=b, p=p,
                            mom=(Dc, Df, Db, Dp),
                            prev_grad=(ddc, ddf, ddb, ddp), mse=mse)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tap_mode", "sym", "active",
+                                    "axis_name"))
+def coord_step_dp(in_b: jax.Array, out_b: jax.Array, hin_b: jax.Array,
+                  c: jax.Array, f: jax.Array, b: jax.Array, p: jax.Array,
+                  mom: tuple, prev_grad: tuple, *,
+                  lr: float = 0.2, alpha: float = 0.9,
+                  tap_mode: TapMode = "ref_gpu", sym: bool = False,
+                  active: bool = False,
+                  axis_name: str | None = None) -> CoordStepResult:
+    """Batched coordinate-space step: reference-exact gradients averaged
+    over a batch of frames (the coord analog of ``fft_burst_dp``).
+
+    The reference coord trainer is batch-of-one and dispatch-bound on TPU
+    (~1 ms for 77 MFLOP at 128²); batching B frames into one step amortizes
+    the dispatch while keeping reference update semantics.  At B=1 it equals
+    :func:`coord_step` exactly.  Inside ``shard_map`` with the batch sharded
+    over ``axis_name``, the (tiny) averaged gradients are ``pmean``-ed over
+    ICI each step — the same collective pattern as the distributed burst.
+    """
+    dM, dD, nk, nl = c.shape
+    # under shard_map (axis_name set), the 'transpose' impl's
+    # jax.linear_transpose w.r.t. the *replicated* kernel arg auto-inserts
+    # a hidden psum over the data axis (an unvarying input's cotangent must
+    # be unvarying), double-counting the batch; the einsum-only 'patches'
+    # formulation has no transposition and stays per-shard
+    impl = "patches" if axis_name is not None else "transpose"
+    grads = jax.vmap(
+        lambda i, o, h: coord_ref_gradients(i, o, h, f, nk, nl,
+                                            tap_mode=tap_mode, impl=impl)
+    )(in_b, out_b, hin_b)
+    g = jax.tree.map(lambda t: jnp.mean(t, axis=0), grads)
+    mse = jnp.mean(
+        jnp.sum((in_b - out_b) ** 2, axis=(-3, -2, -1))
+    ) / (dD * dM * nk * nl * in_b.shape[-2] * in_b.shape[-1])
+    if axis_name is not None:
+        g = jax.tree.map(lambda t: lax.pmean(t, axis_name), g)
+        mse = lax.pmean(mse, axis_name)
+    return _apply_update(g, mse, c, f, b, p, mom, prev_grad,
+                         lr=lr, alpha=alpha, sym=sym, active=active)
+
+
+def distributed_coord_step(mesh, *, lr: float = 0.2, alpha: float = 0.9,
+                           tap_mode: TapMode = "ref_gpu", sym: bool = False,
+                           active: bool = False):
+    """Build a jitted multi-chip coord step: frame batch sharded over
+    'data', params replicated, gradients pmean-ed over ICI — the coord
+    analog of :func:`spectralae.train.fft_dp.distributed_burst`.
+
+    The per-step collective moves ``M·D·Nk·Nl·2 + M + D`` floats (the
+    averaged gradient tensors), nothing resolution-sized.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    batch = P("data", None, None, None)
+    rep = P()
+
+    def local(in_b, out_b, hin_b, c, f, b, p, mom, prev_grad):
+        return coord_step_dp(in_b, out_b, hin_b, c, f, b, p, mom,
+                             prev_grad, lr=lr, alpha=alpha,
+                             tap_mode=tap_mode, sym=sym, active=active,
+                             axis_name="data")
+
+    rep4 = (rep, rep, rep, rep)
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(batch, batch, batch, rep, rep, rep, rep, rep4, rep4),
+        out_specs=CoordStepResult(c=rep, f=rep, b=rep, p=rep, mom=rep4,
+                                  prev_grad=rep4, mse=rep))
+
+    @jax.jit
+    def run(in_b, out_b, hin_b, c, f, b, p, mom=None, prev_grad=None):
+        zeros = lambda: (jnp.zeros_like(c), jnp.zeros_like(f),
+                         jnp.zeros_like(b), jnp.zeros_like(p))
+        return sharded(in_b, out_b, hin_b, c, f, b, p,
+                       mom if mom is not None else zeros(),
+                       prev_grad if prev_grad is not None else zeros())
+
+    return run

@@ -114,3 +114,83 @@ def test_distributed_burst_pallas_body_matches():
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(rp.c), np.asarray(rj.c),
                                rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------- coord-domain DP step
+
+def _coord_setup(nx=16, d=2, m=4, b=4, seed=0):
+    from spectralae.train.coord import coord_step
+    cfg = Config(nx=nx, ny=nx, d=d,
+                 layer=LayerParams(depth=m, lk=1, ll=1, scale=1, rmax=0.5))
+    spec = initial_spec(cfg)
+    params = init_params(jax.random.key(seed), spec, 0.5)
+    rng = np.random.default_rng(seed)
+    in_b = jnp.asarray(rng.normal(size=(b, d, nx, nx)).astype(np.float32)) * 50
+    acts = model.forward_coord(params, in_b, spec.scales, tap_mode="ref_gpu")
+    hin_b, out_b = acts[2], acts[-2]
+    enc, dec = params.pair(0)
+    zeros = (jnp.zeros_like(enc.c), jnp.zeros_like(dec.c),
+             jnp.zeros_like(enc.b), jnp.zeros_like(dec.b))
+    return in_b, out_b, hin_b, enc, dec, zeros
+
+
+def test_coord_step_dp_b1_matches_coord_step():
+    from spectralae.train.coord import coord_step, coord_step_dp
+    in_b, out_b, hin_b, enc, dec, z = _coord_setup(b=1)
+    ref = coord_step(in_b[0], out_b[0], hin_b[0], enc.c, dec.c, enc.b, dec.b,
+                     z, z, lr=0.2)
+    got = coord_step_dp(in_b, out_b, hin_b, enc.c, dec.c, enc.b, dec.b,
+                        z, z, lr=0.2)
+    np.testing.assert_allclose(np.asarray(got.c), np.asarray(ref.c),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got.mse), np.asarray(ref.mse),
+                               rtol=1e-6)
+
+
+def test_coord_step_dp_averages_gradients():
+    """A batch of identical frames must equal the single-frame step, and a
+    mixed batch must equal the update from hand-averaged gradients."""
+    from spectralae.train.coord import (coord_ref_gradients, coord_step,
+                                        coord_step_dp, _apply_update)
+    in_b, out_b, hin_b, enc, dec, z = _coord_setup(b=4, seed=2)
+    # identical frames
+    rep = lambda t: jnp.broadcast_to(t[:1], t.shape)
+    got = coord_step_dp(rep(in_b), rep(out_b), rep(hin_b), enc.c, dec.c,
+                        enc.b, dec.b, z, z, lr=0.2)
+    ref = coord_step(in_b[0], out_b[0], hin_b[0], enc.c, dec.c, enc.b, dec.b,
+                     z, z, lr=0.2)
+    np.testing.assert_allclose(np.asarray(got.c), np.asarray(ref.c),
+                               rtol=1e-5, atol=1e-6)
+    # mixed batch == update from mean gradients
+    nk, nl = enc.c.shape[-2], enc.c.shape[-1]
+    gs = [coord_ref_gradients(i, o, h, dec.c, nk, nl, tap_mode="ref_gpu")
+          for i, o, h in zip(in_b, out_b, hin_b)]
+    gmean = jax.tree.map(lambda *t: jnp.mean(jnp.stack(t), axis=0), *gs)
+    mses = [jnp.sum((i - o) ** 2) for i, o in zip(in_b, out_b)]
+    d_, m_ = in_b.shape[1], hin_b.shape[1]
+    mse = jnp.mean(jnp.stack(mses)) / (d_ * m_ * nk * nl
+                                       * in_b.shape[-2] * in_b.shape[-1])
+    want = _apply_update(gmean, mse, enc.c, dec.c, enc.b, dec.b, z, z,
+                         lr=0.2, alpha=0.9, sym=False, active=False)
+    got = coord_step_dp(in_b, out_b, hin_b, enc.c, dec.c, enc.b, dec.b,
+                        z, z, lr=0.2)
+    np.testing.assert_allclose(np.asarray(got.c), np.asarray(want.c),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.mse), np.asarray(want.mse),
+                               rtol=1e-5)
+
+
+def test_distributed_coord_step_matches_single_device():
+    from spectralae.train.coord import coord_step_dp, distributed_coord_step
+    assert len(jax.devices()) == 8
+    m = dist.make_mesh(n_data=8, n_model=1)
+    in_b, out_b, hin_b, enc, dec, z = _coord_setup(b=8, seed=4)
+    sb = lambda t: dist.shard_batch(np.asarray(t), m)
+    run = distributed_coord_step(m, lr=0.2)
+    got = run(sb(in_b), sb(out_b), sb(hin_b), enc.c, dec.c, enc.b, dec.b)
+    want = coord_step_dp(in_b, out_b, hin_b, enc.c, dec.c, enc.b, dec.b,
+                         z, z, lr=0.2)
+    np.testing.assert_allclose(np.asarray(got.c), np.asarray(want.c),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.mse), np.asarray(want.mse),
+                               rtol=1e-5)
