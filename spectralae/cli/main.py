@@ -196,18 +196,41 @@ def _train_steps(args):
     from ..core.types import init_opt_state
     from ..data import pipeline
     from ..io import checkpoint as ckpt
-    from ..train.modern import train_step
+    from ..ops.coord import leaky_relu
+    from ..train.modern import (make_optax_train_step, make_optimizer,
+                                train_step)
+    use_optax = args.optimizer != "reference"
+    act = leaky_relu if args.activation == "leaky_relu" else None
+    cdtype = jnp.bfloat16 if args.bf16 else None
+    if use_optax:
+        optimizer = make_optimizer(args.optimizer, args.lr)
+        optax_step = make_optax_train_step(
+            optimizer, domain=args.domain, act=act, compute_dtype=cdtype)
     start_step = 0
     if args.resume:
         params, spec, opt, extra = ckpt.load(args.resume)
-        if opt is None:
+        if use_optax:
+            opt = optimizer.init(params)
+            optax_file = Path(args.resume) / "optax.npz"
+            if optax_file.exists():
+                opt = ckpt.load_optax_state(optax_file, opt)
+        elif opt is None:
             opt = init_opt_state(params)
         start_step = int(extra.get("step", 0))
         print(f"resumed from {args.resume} at step {start_step}", flush=True)
     else:
         eng = _make_engine(args)
         params, spec = eng.params, eng.spec
-        opt = init_opt_state(params)
+        opt = (optimizer.init(params) if use_optax
+               else init_opt_state(params))
+
+    def save_ckpt(path, step_n):
+        if use_optax:
+            ckpt.save(path, params, spec, None, extra={"step": step_n})
+            ckpt.save_optax_state(Path(path) / "optax.npz", opt)
+        else:
+            ckpt.save(path, params, spec, opt, extra={"step": step_n})
+
     src = _source(args)
     metrics = Path(args.metrics) if args.metrics else None
     pf = pipeline.DevicePrefetcher(src, args.nx, args.ny, batch=args.batch)
@@ -215,13 +238,12 @@ def _train_steps(args):
     for step_i, batch in enumerate(pf, start=start_step):
         if step_i >= args.steps:
             break
-        import jax.numpy as _jnp
-        from ..ops.coord import leaky_relu as _lrelu
-        res = train_step(params, opt, batch, spec.scales, lr=args.lr,
-                         alpha=args.alpha, domain=args.domain,
-                         compute_dtype=_jnp.bfloat16 if args.bf16 else None,
-                         act=_lrelu if args.activation == "leaky_relu"
-                         else None)
+        if use_optax:
+            res = optax_step(params, opt, batch, spec.scales)
+        else:
+            res = train_step(params, opt, batch, spec.scales, lr=args.lr,
+                             alpha=args.alpha, domain=args.domain,
+                             compute_dtype=cdtype, act=act)
         if not np.isfinite(float(res.loss)):
             # failure detection (SURVEY.md §5.3): halt on divergence, keep
             # the last good checkpoint instead of overwriting it
@@ -239,11 +261,10 @@ def _train_steps(args):
                 with metrics.open("a") as fh:
                     fh.write(json.dumps(rec) + "\n")
         if args.ckpt and step_i and step_i % args.ckpt_every == 0:
-            ckpt.save(args.ckpt, params, spec, opt,
-                      extra={"step": step_i})
+            save_ckpt(args.ckpt, step_i)
     pf.close()
     if args.ckpt:
-        ckpt.save(args.ckpt, params, spec, opt, extra={"step": args.steps})
+        save_ckpt(args.ckpt, args.steps)
         print(f"checkpoint written to {args.ckpt}", flush=True)
 
 
@@ -336,6 +357,12 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--lr", type=float, default=0.2)
     p.add_argument("--alpha", type=float, default=0.9)
+    p.add_argument("--optimizer",
+                   choices=("reference", "adam", "adamw", "sgd"),
+                   default="reference",
+                   help="'reference' = the normalized-gradient inertia "
+                        "update; the rest are optax optimizers (step mode "
+                        "only; optax state checkpoints to optax.npz)")
     p.add_argument("--domain", choices=("fft", "coord"), default="fft")
     p.add_argument("--mode", choices=("step", "burst"), default="step",
                    help="step: batched autodiff training; burst: the "

@@ -19,6 +19,7 @@ import json
 from pathlib import Path
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core.config import half_extent
@@ -91,6 +92,40 @@ def load(path: str | Path):
     spec = NetSpec(nx=sm["nx"], ny=sm["ny"], d=sm["d"],
                    stages=tuple(StageSpec(**s) for s in sm["stages"]))
     return params, spec, opt, manifest.get("extra", {})
+
+
+# --------------------------------------------------------- optax opt state
+
+def save_optax_state(path: str | Path, state) -> None:
+    """Persist an arbitrary optax state pytree (leaves in flatten order).
+
+    The tree *structure* is not serialized — the loader rebuilds it from a
+    freshly-initialized state of the same optimizer (the CLI reconstructs
+    the optimizer from its flags), so only the leaves travel.
+    """
+    leaves = jax.tree_util.tree_leaves(state)
+    arrays = {f"leaf{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    np.savez(Path(path), **arrays)
+
+
+def load_optax_state(path: str | Path, like):
+    """Restore an optax state saved by :func:`save_optax_state` into the
+    structure of ``like`` (a freshly-initialized state of the same
+    optimizer).  Leaf count/shape mismatches fail loudly."""
+    data = np.load(Path(path))
+    treedef = jax.tree_util.tree_structure(like)
+    want = jax.tree_util.tree_leaves(like)
+    if len(data.files) != len(want):
+        raise ValueError(f"optax state leaf count mismatch: checkpoint has "
+                         f"{len(data.files)}, optimizer expects {len(want)}")
+    leaves = []
+    for i, w in enumerate(want):
+        arr = data[f"leaf{i}"]
+        if tuple(arr.shape) != tuple(np.shape(w)):
+            raise ValueError(f"optax state leaf {i} shape mismatch: "
+                             f"{arr.shape} != {np.shape(w)}")
+        leaves.append(jnp.asarray(arr))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 # ------------------------------------------------------------------ .conv shim

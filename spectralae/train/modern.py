@@ -93,3 +93,48 @@ def train_step(params: AEParams, opt: OptState, x: jax.Array,
     return TrainStepResult(params=new_params,
                            opt=OptState(mom=new_mom, prev_grad=new_pg),
                            loss=loss)
+
+
+def make_optax_train_step(optimizer, *, domain: str = "fft",
+                          tap_mode: str = "centered",
+                          scale_by_dm: bool = True, train_pair: int = -1,
+                          act=None, compute_dtype=None):
+    """Build a jitted train step around any optax GradientTransformation.
+
+    The reference-semantics optimizer (normalized-gradient inertia) stays
+    the default in :func:`train_step`; this is the pluggable production
+    alternative — Adam/AdamW/SGD + schedules, weight decay, clipping, etc.
+    compose via optax chains.  ``AEParams`` is a pytree, so optax state and
+    updates follow its structure.
+
+    Returns ``step(params, opt_state, x, scales) -> TrainStepResult``;
+    initialize ``opt_state = optimizer.init(params)``.
+    """
+    import optax
+
+    @functools.partial(jax.jit, static_argnames=("scales",))
+    def step(params, opt_state, x, scales) -> TrainStepResult:
+        loss, grads = jax.value_and_grad(reconstruction_loss)(
+            params, x, scales, domain=domain, tap_mode=tap_mode,
+            scale_by_dm=scale_by_dm, act=act, compute_dtype=compute_dtype)
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        if train_pair >= 0:
+            grads = _mask_grads(grads, params, train_pair)
+        updates, new_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return TrainStepResult(params=new_params, opt=new_state, loss=loss)
+
+    return step
+
+
+def make_optimizer(name: str, lr: float):
+    """Named optax optimizers for the CLI (``--optimizer``)."""
+    import optax
+    if name == "adam":
+        return optax.adam(lr)
+    if name == "adamw":
+        return optax.adamw(lr)
+    if name == "sgd":
+        return optax.sgd(lr, momentum=0.9)
+    raise ValueError(f"unknown optimizer {name!r} "
+                     "(choose adam, adamw, or sgd)")
