@@ -56,6 +56,8 @@ def _source(args):
         return pipeline.synthetic_frames(args.nx, args.ny, seed=args.seed)
     if args.source == "camera":
         return pipeline.camera_frames()
+    if args.source.endswith(".y4m"):
+        return pipeline.y4m_video(args.source)
     return pipeline.npy_video(args.source)
 
 

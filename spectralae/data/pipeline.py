@@ -97,6 +97,60 @@ def npy_video(path: str) -> Iterator[np.ndarray]:
         yield np.asarray(frame, dtype=np.uint8)
 
 
+def y4m_video(path: str) -> Iterator[np.ndarray]:
+    """Frames from a YUV4MPEG2 (``.y4m``) file — pure-Python, no OpenCV.
+
+    Supports C420/C422/C444 colorspaces (nearest-neighbor chroma
+    upsampling) and yields uint8 BGR HWC frames via the BT.601
+    limited-range transform, so real video files feed the pipeline on rigs
+    without cv2 (the reference requires OpenCV for any file input).
+    """
+    with open(path, "rb") as fh:
+        header = fh.readline().decode("ascii", "replace").strip()
+        if not header.startswith("YUV4MPEG2"):
+            raise ValueError(f"{path}: not a YUV4MPEG2 stream")
+        w = h = None
+        cs = "420"
+        for tok in header.split()[1:]:
+            if tok[0] == "W":
+                w = int(tok[1:])
+            elif tok[0] == "H":
+                h = int(tok[1:])
+            elif tok[0] == "C":
+                cs = tok[1:4]
+        if not w or not h:
+            raise ValueError(f"{path}: missing W/H in header {header!r}")
+        sub = {"420": 2, "422": (1, 2), "444": 1}.get(cs)
+        if sub is None:
+            raise ValueError(f"{path}: unsupported colorspace C{cs}")
+        sy, sx = (1, 2) if cs == "422" else (sub, sub)
+        cw, ch = w // sx, h // sy
+        while True:
+            line = fh.readline()
+            if not line:
+                return
+            if not line.startswith(b"FRAME"):
+                raise ValueError(f"{path}: bad frame marker {line[:16]!r}")
+            raw = fh.read(w * h + 2 * cw * ch)
+            if len(raw) < w * h + 2 * cw * ch:
+                return
+            y = np.frombuffer(raw, np.uint8, w * h).reshape(h, w)
+            u = np.frombuffer(raw, np.uint8, cw * ch, w * h).reshape(ch, cw)
+            v = np.frombuffer(raw, np.uint8, cw * ch,
+                              w * h + cw * ch).reshape(ch, cw)
+            if (sy, sx) != (1, 1):
+                u = u.repeat(sy, axis=0)[:h].repeat(sx, axis=1)[:, :w]
+                v = v.repeat(sy, axis=0)[:h].repeat(sx, axis=1)[:, :w]
+            yf = 1.164 * (y.astype(np.float32) - 16.0)
+            uf = u.astype(np.float32) - 128.0
+            vf = v.astype(np.float32) - 128.0
+            r = yf + 1.596 * vf
+            g = yf - 0.813 * vf - 0.391 * uf
+            b = yf + 2.018 * uf
+            bgr = np.stack([b, g, r], axis=-1)
+            yield np.clip(np.round(bgr), 0, 255).astype(np.uint8)
+
+
 def camera_frames(index: int = 0) -> Iterator[np.ndarray]:
     """Live camera via OpenCV when available (reference A2)."""
     try:

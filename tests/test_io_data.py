@@ -242,3 +242,79 @@ def test_camera_frames_errors_without_cv2(monkeypatch):
     monkeypatch.setattr(builtins, "__import__", no_cv2)
     with pytest.raises(RuntimeError, match="synthetic_frames"):
         next(pipeline.camera_frames())
+
+
+def _write_y4m(path, frames_yuv, w, h, cs="420"):
+    """frames_yuv: list of (y, u, v) uint8 planes."""
+    with open(path, "wb") as fh:
+        fh.write(f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 C{cs}\n".encode())
+        for y, u, v in frames_yuv:
+            fh.write(b"FRAME\n")
+            fh.write(y.tobytes() + u.tobytes() + v.tobytes())
+
+
+def test_y4m_source_monochrome_and_shapes(tmp_path):
+    """Neutral chroma (U=V=128) must decode to gray BGR with the BT.601
+    luma transform; C420 and C444 parse to the same frames."""
+    w, h = 12, 8
+    rng = np.random.default_rng(0)
+    ys = [rng.integers(16, 236, size=(h, w), dtype=np.uint8)
+          for _ in range(3)]
+    neutral = lambda ch, cw: np.full((ch, cw), 128, np.uint8)
+    p420 = tmp_path / "m420.y4m"
+    _write_y4m(p420, [(y, neutral(h // 2, w // 2), neutral(h // 2, w // 2))
+                      for y in ys], w, h, "420")
+    p444 = tmp_path / "m444.y4m"
+    _write_y4m(p444, [(y, neutral(h, w), neutral(h, w)) for y in ys],
+               w, h, "444")
+    f420 = list(pipeline.y4m_video(str(p420)))
+    f444 = list(pipeline.y4m_video(str(p444)))
+    assert len(f420) == len(f444) == 3
+    for y, a, b in zip(ys, f420, f444):
+        assert a.shape == (h, w, 3) and a.dtype == np.uint8
+        want = np.clip(np.round(1.164 * (y.astype(np.float32) - 16.0)),
+                       0, 255).astype(np.uint8)
+        for c in range(3):
+            np.testing.assert_array_equal(a[..., c], want)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_y4m_source_chroma_roundtrip(tmp_path):
+    """Encode a known BGR frame to C444 YUV with the inverse BT.601
+    transform; decoding must recover it within rounding."""
+    w, h = 6, 4
+    rng = np.random.default_rng(1)
+    bgr = rng.integers(30, 220, size=(h, w, 3), dtype=np.uint8)
+    b, g, r = (bgr[..., i].astype(np.float64) for i in range(3))
+    yp = 16 + (0.257 * r + 0.504 * g + 0.098 * b)
+    up = 128 + (-0.148 * r - 0.291 * g + 0.439 * b)
+    vp = 128 + (0.439 * r - 0.368 * g - 0.071 * b)
+    planes = tuple(np.clip(np.round(t), 0, 255).astype(np.uint8)
+                   for t in (yp, up, vp))
+    p = tmp_path / "c.y4m"
+    _write_y4m(p, [planes], w, h, "444")
+    (got,) = list(pipeline.y4m_video(str(p)))
+    assert np.max(np.abs(got.astype(int) - bgr.astype(int))) <= 3
+
+
+def test_y4m_source_rejects_garbage(tmp_path):
+    p = tmp_path / "bad.y4m"
+    p.write_bytes(b"MPEG nope\n")
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        next(pipeline.y4m_video(str(p)))
+
+
+def test_cli_accepts_y4m_source(tmp_path, capsys):
+    from spectralae.cli.main import main
+    w = h = 16
+    rng = np.random.default_rng(2)
+    frames = [(rng.integers(16, 236, size=(h, w), dtype=np.uint8),
+               np.full((h // 2, w // 2), 128, np.uint8),
+               np.full((h // 2, w // 2), 128, np.uint8))
+              for _ in range(4)]
+    p = tmp_path / "v.y4m"
+    _write_y4m(p, frames, w, h)
+    main(["train", "--nx", "16", "--steps", "2", "--batch", "2",
+          "--source", str(p), "--log-every", "1"])
+    out = capsys.readouterr().out
+    assert '"step": 0' in out and '"loss"' in out
