@@ -80,6 +80,39 @@ def shard_batch(x: jax.Array | np.ndarray, mesh: Mesh) -> jax.Array:
     return jax.device_put(x, batch_sharding(mesh))
 
 
+def grid_sharding(mesh: Mesh) -> NamedSharding:
+    """Spectra ``[B, C, Nx, Nyr]`` with the frequency-grid rows sharded
+    over 'model' — spatial parallelism for resolutions whose working set
+    exceeds one chip's HBM (SURVEY.md §5.7)."""
+    return NamedSharding(mesh, P(None, None, "model", None))
+
+
+def spatial_forward(mesh: Mesh, scales, *, scale_by_dm: bool = True):
+    """Jitted momentum-space forward with every stage's spectrum
+    constrained to shard its grid rows over the 'model' axis.
+
+    The pointwise spectral conv (the resolution-scaling op) then runs
+    fully sharded; XLA inserts the FFT-boundary collectives (the 2-D FFT
+    itself needs whole transform axes).  Batch stays sharded over 'data'.
+    """
+    from ..model.autoencoder import forward_fft
+
+    def constrain(X):
+        nm = mesh.shape["model"]
+        if X.shape[-2] % nm:
+            return X  # sub-grid stage no longer divisible — keep local
+        return jax.lax.with_sharding_constraint(
+            X, NamedSharding(mesh, P("data", None, "model", None)))
+
+    @jax.jit
+    def fwd(params, x):
+        x = jax.lax.with_sharding_constraint(x, batch_sharding(mesh))
+        return forward_fft(params, x, scales, scale_by_dm=scale_by_dm,
+                           constrain=constrain)
+
+    return fwd
+
+
 def distributed_train_step(mesh: Mesh):
     """Return a jitted DP/TP train step bound to ``mesh``.
 

@@ -87,7 +87,8 @@ def kernel_spectra(params: AEParams, nx: int, ny: int,
 
 def forward_fft(params: AEParams, x: jax.Array, scales: Sequence[int], *,
                 scale_by_dm: bool = True,
-                return_layers: bool = False):
+                return_layers: bool = False,
+                constrain=None):
     """Momentum-space forward (reference ``autoenc_fft``).
 
     Args:
@@ -95,12 +96,17 @@ def forward_fft(params: AEParams, x: jax.Array, scales: Sequence[int], *,
       return_layers: also inverse-transform every intermediate spectrum —
         the reference's ``fft_l`` per-layer visualization mode ('g' key,
         fft_backproplib.cu:1347-1361).
+      constrain: optional hook applied to each stage's spectrum (e.g. a
+        ``with_sharding_constraint`` that shards the frequency grid over
+        the mesh — see :func:`spectralae.dist.mesh.spatial_forward`).
 
     Returns the ``[B, D, Nx, Ny]`` reconstruction, or ``(out, layers)``.
     """
     n = params.n_stages
     nx, ny = x.shape[-2], x.shape[-1]
     X = spectral.rfft2(x)
+    if constrain is not None:
+        X = constrain(X)
     layers = [x]
     cx, cy = nx, ny
     for i, (stage, sc) in enumerate(zip(params.stages, scales)):
@@ -111,6 +117,8 @@ def forward_fft(params: AEParams, x: jax.Array, scales: Sequence[int], *,
         C = spectral.kernel_rfft(stage.c, cx, cy)
         X = spectral.spectral_conv(X, C, stage.b, cx, cy,
                                    scale_by_dm=scale_by_dm)
+        if constrain is not None:
+            X = constrain(X)
         if return_layers:
             layers.append(spectral.irfft2(X, (cx, cy)))
         if i >= n // 2:

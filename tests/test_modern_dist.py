@@ -175,3 +175,21 @@ def test_cli_train_optax_with_resume(tmp_path, capsys):
     losses += [_json.loads(l)["loss"] for l in out2.splitlines()
                if l.startswith("{") and "loss" in l]
     assert losses[-1] < losses[0]
+
+
+def test_spatial_forward_matches_unsharded():
+    """Spectral-grid spatial sharding (SURVEY §5.7): the forward with
+    grid rows sharded over 'model' equals the single-device forward."""
+    from spectralae.model import autoencoder as model
+    assert len(jax.devices()) == 8
+    m = dist.make_mesh(n_data=2, n_model=4)
+    cfg, spec, params = setup(nx=32, lk=1)
+    spec = spec.add_pair(cfg.layer)
+    params = init_params(jax.random.key(5), spec, 0.5)
+    x = jnp.asarray(np.random.default_rng(5).normal(
+        size=(4, cfg.d, 32, 32)).astype(np.float32)) * 20
+    fwd = dist.spatial_forward(m, spec.scales)
+    got = fwd(dist.shard_params(params, m), dist.shard_batch(np.asarray(x), m))
+    want = model.forward_fft(params, x, spec.scales)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
