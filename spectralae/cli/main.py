@@ -7,6 +7,7 @@ The reference's interactive OpenCV app becomes:
     checkpointing and JSONL metrics.
   - ``spectralae info``   — print the network structure ('i' key).
   - ``spectralae bench``  — the benchmark harness.
+  - ``spectralae eval``   — reconstruction MSE/PSNR over a frame source.
   - ``spectralae export`` — AOT-compile a serving artifact (jax.export).
   - ``spectralae serve``  — run inference from an exported artifact.
 """
@@ -275,6 +276,61 @@ def cmd_info(args):
     print(eng.info())
 
 
+def cmd_eval(args):
+    """Reconstruction quality over a frame source: per-pixel MSE + PSNR.
+
+    Evaluates either a training checkpoint (--from-ckpt, forward in the
+    chosen domain) or an AOT serving artifact (--model).
+    """
+    import jax
+    from ..data import pipeline
+    eng_fwd = None
+    if args.model:
+        from ..io.export import ServingModel
+        m = ServingModel.load(args.model)
+        if m.manifest["what"] != "forward":
+            raise SystemExit("eval needs a 'forward' artifact "
+                             f"(got {m.manifest['what']!r})")
+        d, nx, ny = m.input_shape
+        fwd = m
+    else:
+        from ..io import checkpoint as ckpt
+        from ..model import autoencoder as model
+        if args.from_ckpt:
+            params, spec, _, _ = ckpt.load(args.from_ckpt)
+        else:
+            eng = _make_engine(args)
+            params, spec = eng.params, eng.spec
+        nx, ny, d = spec.nx, spec.ny, spec.d
+        if args.domain == "fft":
+            fwd = jax.jit(lambda x: model.forward_fft(params, x, spec.scales))
+        else:
+            fwd = jax.jit(
+                lambda x: model.forward_coord(params, x, spec.scales)[-1])
+    args.nx, args.ny = nx, ny
+    src = _source(args)
+    pf = pipeline.DevicePrefetcher(src, nx, ny, batch=args.batch)
+    sq_sum = 0.0
+    n_frames = 0
+    t0 = time.perf_counter()
+    for i, batch in enumerate(pf):
+        if i >= args.steps:
+            break
+        out = np.asarray(fwd(batch), dtype=np.float64)
+        sq_sum += float(np.sum((out - np.asarray(batch,
+                                                 dtype=np.float64)) ** 2))
+        n_frames += batch.shape[0]
+    pf.close()
+    dt = time.perf_counter() - t0
+    if n_frames == 0:
+        raise SystemExit("eval: source produced no frames")
+    mse = sq_sum / (n_frames * d * nx * ny)
+    psnr = 10.0 * np.log10(255.0 ** 2 / mse) if mse > 0 else float("inf")
+    print(json.dumps({"frames": n_frames, "mse_per_pixel": round(mse, 6),
+                      "psnr_db": round(psnr, 3),
+                      "fps": round(n_frames / dt, 2)}), flush=True)
+
+
 def cmd_export(args):
     """AOT-export a serving artifact from a checkpoint (or a fresh net)."""
     from ..io import checkpoint as ckpt
@@ -398,6 +454,24 @@ def main(argv=None):
     p = sub.add_parser("info", help="print network structure")
     _add_common(p)
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("eval",
+                       help="reconstruction MSE/PSNR over a frame source")
+    p.add_argument("--from-ckpt", default="",
+                   help="checkpoint dir to evaluate (else a fresh net)")
+    p.add_argument("--model", default="",
+                   help="AOT artifact dir to evaluate instead of a ckpt")
+    p.add_argument("--domain", choices=("fft", "coord"), default="fft")
+    p.add_argument("--source", default="synthetic")
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--nx", type=int, default=256)
+    p.add_argument("--ny", type=int, default=None)
+    p.add_argument("--depth", type=int, default=3)
+    p.add_argument("--param-file", type=str, default=None)
+    p.add_argument("--layers", type=int, default=1)
+    p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("export",
                        help="AOT-export a serving artifact (jax.export)")

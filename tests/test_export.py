@@ -100,3 +100,30 @@ def test_cli_export_and_serve(tmp_path, capsys):
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["frames"] == 4 and rec["what"] == "encode"
     assert (tmp_path / "views" / "serve_00000.png").exists()
+
+
+def test_cli_eval_ckpt_and_artifact(tmp_path, capsys):
+    """eval reports per-pixel MSE/PSNR from both a checkpoint and a
+    forward artifact; a trained ckpt beats a random-init net."""
+    from spectralae.cli.main import main as cli_main
+    # train a few steps at 16^2 so reconstruction correlates with input
+    ck = tmp_path / "ck"
+    cli_main(["train", "--nx", "16", "--steps", "30", "--batch", "2",
+              "--log-every", "30", "--ckpt", str(ck)])
+    capsys.readouterr()
+    cli_main(["eval", "--from-ckpt", str(ck), "--steps", "3",
+              "--batch", "2"])
+    rec_ck = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec_ck["frames"] == 6 and rec_ck["mse_per_pixel"] > 0
+    cli_main(["eval", "--nx", "16", "--steps", "3", "--batch", "2"])
+    rec_fresh = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec_ck["mse_per_pixel"] < rec_fresh["mse_per_pixel"]
+    # artifact route agrees with the ckpt route on the same source
+    art = tmp_path / "art"
+    cli_main(["export", "--from-ckpt", str(ck), "--out", str(art),
+              "--what", "forward"])
+    capsys.readouterr()
+    cli_main(["eval", "--model", str(art), "--steps", "3", "--batch", "2"])
+    rec_art = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(rec_art["mse_per_pixel"] - rec_ck["mse_per_pixel"]) \
+        < 1e-3 * max(rec_ck["mse_per_pixel"], 1.0)
