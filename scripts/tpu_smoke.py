@@ -9,8 +9,11 @@ same paths compile and agree on actual TPU hardware.  Run exclusively
 
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp

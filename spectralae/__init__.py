@@ -14,3 +14,4 @@ from .core.types import (AEParams, ConvStage, NetSpec, initial_spec,  # noqa: E4
                          init_params, init_opt_state)
 from .model.engine import Engine, dispatch_key  # noqa: E402,F401
 from .model import autoencoder as model  # noqa: E402,F401
+from .io.export import ServingModel, export_model  # noqa: E402,F401
