@@ -88,7 +88,7 @@ def kernel_spectra(params: AEParams, nx: int, ny: int,
 def forward_fft(params: AEParams, x: jax.Array, scales: Sequence[int], *,
                 scale_by_dm: bool = True,
                 return_layers: bool = False,
-                constrain=None):
+                constrain=None, compute_dtype=None):
     """Momentum-space forward (reference ``autoenc_fft``).
 
     Args:
@@ -99,6 +99,8 @@ def forward_fft(params: AEParams, x: jax.Array, scales: Sequence[int], *,
       constrain: optional hook applied to each stage's spectrum (e.g. a
         ``with_sharding_constraint`` that shards the frequency grid over
         the mesh — see :func:`spectralae.dist.mesh.spatial_forward`).
+      compute_dtype: optional reduced dtype (``jnp.bfloat16``) streamed
+        through the pointwise convs (f32 accumulation; FFTs stay f32).
 
     Returns the ``[B, D, Nx, Ny]`` reconstruction, or ``(out, layers)``.
     """
@@ -116,7 +118,8 @@ def forward_fft(params: AEParams, x: jax.Array, scales: Sequence[int], *,
                 layers.append(spectral.irfft2(X, (cx, cy)))
         C = spectral.kernel_rfft(stage.c, cx, cy)
         X = spectral.spectral_conv(X, C, stage.b, cx, cy,
-                                   scale_by_dm=scale_by_dm)
+                                   scale_by_dm=scale_by_dm,
+                                   compute_dtype=compute_dtype)
         if constrain is not None:
             X = constrain(X)
         if return_layers:

@@ -31,12 +31,14 @@ def _on_tpu() -> bool:
 def _cmul_contract_kernel(pr_ref, pi_ref, qr_ref, qi_ref, or_ref, oi_ref):
     """out[a, b, w] = Σ_k p[a, k, w]·q[k, b, w] (complex, split re/im).
 
-    One ω-tile per program; the four real products fuse in VMEM.
+    One ω-tile per program; the four real products fuse in VMEM.  Operands
+    may arrive reduced-precision (bf16 streaming halves the HBM traffic of
+    this bandwidth-bound op); accumulation is always f32 in VMEM.
     """
-    pr = pr_ref[:]                       # [A, K, TW]
-    pi = pi_ref[:]
-    qr = qr_ref[:]                       # [K, B, TW]
-    qi = qi_ref[:]
+    pr = pr_ref[:].astype(jnp.float32)   # [A, K, TW]
+    pi = pi_ref[:].astype(jnp.float32)
+    qr = qr_ref[:].astype(jnp.float32)   # [K, B, TW]
+    qi = qi_ref[:].astype(jnp.float32)
     or_ref[:] = jnp.sum(pr[:, :, None] * qr[None] - pi[:, :, None] * qi[None],
                         axis=1)
     oi_ref[:] = jnp.sum(pr[:, :, None] * qi[None] + pi[:, :, None] * qr[None],
@@ -71,46 +73,54 @@ def _cmul_contract(pr, pi, qr, qi, *, interpret):
         grid=grid,
         in_specs=[blk(a, k), blk(a, k), blk(k, b), blk(k, b)],
         out_specs=[blk(a, b), blk(a, b)],
-        out_shape=[jax.ShapeDtypeStruct((a, b, wpad), pr.dtype),
-                   jax.ShapeDtypeStruct((a, b, wpad), pr.dtype)],
+        out_shape=[jax.ShapeDtypeStruct((a, b, wpad), jnp.float32),
+                   jax.ShapeDtypeStruct((a, b, wpad), jnp.float32)],
         interpret=interpret,
     )(pr, pi, qr, qi)
     return outr[..., :w], outi[..., :w]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def spectral_conv_fused(X, C, b, nx, ny, scale_by_dm=True):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def spectral_conv_fused(X, C, b, nx, ny, scale_by_dm=True,
+                        compute_dtype=None):
     """Batched pointwise complex conv as a fused Pallas kernel, with a
     custom VJP so the modern autodiff path differentiates through it.
 
     Drop-in for :func:`spectralae.ops.spectral.spectral_conv`:
     ``out[b,m,ω] = Σ_d (X[b,d,ω]/M)·C[m,d,ω]`` + DC-bin bias
     (``conv_k``, source/fft_backproplib.cu:162-189).
+
+    ``compute_dtype=jnp.bfloat16`` streams the (bandwidth-dominant)
+    spectrum/kernel operands at half width; accumulation and outputs stay
+    f32 in VMEM — mixed precision for the high-resolution configs.
     """
-    return _conv_fwd_impl(X, C, b, nx, ny, scale_by_dm)
+    return _conv_fwd_impl(X, C, b, nx, ny, scale_by_dm, compute_dtype)
 
 
-def _conv_fwd_impl(X, C, b, nx, ny, scale_by_dm):
+def _conv_fwd_impl(X, C, b, nx, ny, scale_by_dm, compute_dtype=None):
     interpret = not _on_tpu()
     nb, d = X.shape[0], X.shape[1]
     m = C.shape[0]
     nyr = ny // 2 + 1
     w = nx * nyr
     scale = (1.0 / m) if scale_by_dm else 1.0
-    xr = (X.real * scale).reshape(nb, d, w)
-    xi = (X.imag * scale).reshape(nb, d, w)
-    cr = jnp.moveaxis(C.real.reshape(m, d, w), 0, 1)      # [D, M, W]
-    ci = jnp.moveaxis(C.imag.reshape(m, d, w), 0, 1)
+    cast = (lambda t: t.astype(compute_dtype)) if compute_dtype else \
+        (lambda t: t)
+    xr = cast((X.real * scale).reshape(nb, d, w))
+    xi = cast((X.imag * scale).reshape(nb, d, w))
+    cr = cast(jnp.moveaxis(C.real.reshape(m, d, w), 0, 1))  # [D, M, W]
+    ci = cast(jnp.moveaxis(C.imag.reshape(m, d, w), 0, 1))
     outr, outi = _cmul_contract(xr, xi, cr, ci, interpret=interpret)
     out = jax.lax.complex(outr, outi).reshape(nb, m, nx, nyr)
     return out.at[..., 0, 0].add(b.astype(out.dtype) * (nx * ny))
 
 
-def _conv_fwd(X, C, b, nx, ny, scale_by_dm):
-    return _conv_fwd_impl(X, C, b, nx, ny, scale_by_dm), (X, C)
+def _conv_fwd(X, C, b, nx, ny, scale_by_dm, compute_dtype):
+    return _conv_fwd_impl(X, C, b, nx, ny, scale_by_dm, compute_dtype), \
+        (X, C)
 
 
-def _conv_bwd(nx, ny, scale_by_dm, res, g):
+def _conv_bwd(nx, ny, scale_by_dm, compute_dtype, res, g):
     X, C = res
     interpret = not _on_tpu()
     nb, d = X.shape[0], X.shape[1]
@@ -118,20 +128,22 @@ def _conv_bwd(nx, ny, scale_by_dm, res, g):
     nyr = ny // 2 + 1
     w = nx * nyr
     scale = (1.0 / m) if scale_by_dm else 1.0
-    gr = g.real.reshape(nb, m, w)
-    gi = g.imag.reshape(nb, m, w)
+    cast = (lambda t: t.astype(compute_dtype)) if compute_dtype else \
+        (lambda t: t)
+    gr = cast(g.real.reshape(nb, m, w))
+    gi = cast(g.imag.reshape(nb, m, w))
     # dX[b,d] = (1/M)·Σ_m g[b,m]·C[m,d]; dC[m,d] = Σ_b g[b,m]·(X[b,d]/M).
     # JAX's cotangent convention for complex-linear ops is the PLAIN
     # transpose (no conjugation) — verified against the einsum path's
     # autodiff in tests/test_pallas.py.
-    cr = C.real.reshape(m, d, w)
-    ci = C.imag.reshape(m, d, w)
+    cr = cast(C.real.reshape(m, d, w))
+    ci = cast(C.imag.reshape(m, d, w))
     dxr, dxi = _cmul_contract(gr, gi, cr, ci, interpret=interpret)
     dX = jax.lax.complex(dxr * scale, dxi * scale).reshape(X.shape)
     gmr = jnp.moveaxis(gr, 0, 1)                          # [M, B, W]
     gmi = jnp.moveaxis(gi, 0, 1)
-    xr = (X.real * scale).reshape(nb, d, w)
-    xi = (X.imag * scale).reshape(nb, d, w)
+    xr = cast((X.real * scale).reshape(nb, d, w))
+    xi = cast((X.imag * scale).reshape(nb, d, w))
     dcr, dci = _cmul_contract(gmr, gmi, xr, xi, interpret=interpret)
     dC = jax.lax.complex(dcr, dci).reshape(C.shape)
     db = (g[..., 0, 0].real.sum(axis=0) * (nx * ny)).astype(

@@ -111,7 +111,8 @@ def spectral_pool(X: jax.Array, nx: int, ny: int, scale: int) -> tuple[jax.Array
 
 
 def spectral_conv(X: jax.Array, C: jax.Array, b: jax.Array, nx: int, ny: int,
-                  *, scale_by_dm: bool = True) -> jax.Array:
+                  *, scale_by_dm: bool = True,
+                  compute_dtype=None) -> jax.Array:
     """Pointwise complex-multiply convolution with DC-bin bias.
 
     ``out[b,m,ω] = Σ_d (X[b,d,ω]/M)·C[m,d,ω]``, with ``b[m]·Nx·Ny`` added to
@@ -122,6 +123,8 @@ def spectral_conv(X: jax.Array, C: jax.Array, b: jax.Array, nx: int, ny: int,
       X: ``[B, D, Nx, Nyr]`` complex input spectra.
       C: ``[M, D, Nx, Nyr]`` complex kernel spectra.
       b: ``[M]`` real biases.
+      compute_dtype: optional reduced dtype (``jnp.bfloat16``) for the
+        streamed operands; accumulation stays f32.
     """
     from .pallas_kernels import _on_tpu
     concrete = all(type(s) is int for s in X.shape)
@@ -132,19 +135,40 @@ def spectral_conv(X: jax.Array, C: jax.Array, b: jax.Array, nx: int, ny: int,
         # Symbolic dims (jax.export batch polymorphism) can't size the
         # ω tiles, so polymorphic exports take the einsum path.
         from .pallas_kernels import spectral_conv_fused
-        return spectral_conv_fused(X, C, b, nx, ny, scale_by_dm)
-    return spectral_conv_einsum(X, C, b, nx, ny, scale_by_dm=scale_by_dm)
+        return spectral_conv_fused(X, C, b, nx, ny, scale_by_dm,
+                                   compute_dtype)
+    return spectral_conv_einsum(X, C, b, nx, ny, scale_by_dm=scale_by_dm,
+                                compute_dtype=compute_dtype)
 
 
 def spectral_conv_einsum(X: jax.Array, C: jax.Array, b: jax.Array,
                          nx: int, ny: int, *,
-                         scale_by_dm: bool = True) -> jax.Array:
+                         scale_by_dm: bool = True,
+                         compute_dtype=None) -> jax.Array:
     """The plain-jnp pointwise conv (no Pallas dispatch) — used by the
     reference-path burst bodies, whose per-iteration loops are hurt by
     per-call kernel launches (200 launches/burst measured 3× slower)."""
     m = C.shape[0]
     scale = (1.0 / m) if scale_by_dm else 1.0
-    out = jnp.einsum("mdxy,bdxy->bmxy", C, X * scale)
+    Xs = X * scale
+    if compute_dtype is not None:
+        # complex bf16 doesn't exist: run the four real products reduced,
+        # accumulate f32 (mirrors the fused kernel's mixed precision)
+        cd = compute_dtype
+        f32 = jnp.float32
+        xr, xi = Xs.real.astype(cd), Xs.imag.astype(cd)
+        cr, ci = C.real.astype(cd), C.imag.astype(cd)
+        outr = jnp.einsum("mdxy,bdxy->bmxy", cr, xr,
+                          preferred_element_type=f32) \
+            - jnp.einsum("mdxy,bdxy->bmxy", ci, xi,
+                         preferred_element_type=f32)
+        outi = jnp.einsum("mdxy,bdxy->bmxy", cr, xi,
+                          preferred_element_type=f32) \
+            + jnp.einsum("mdxy,bdxy->bmxy", ci, xr,
+                         preferred_element_type=f32)
+        out = jax.lax.complex(outr, outi)
+    else:
+        out = jnp.einsum("mdxy,bdxy->bmxy", C, Xs)
     return out.at[..., 0, 0].add(b.astype(out.dtype) * (nx * ny))
 
 

@@ -34,15 +34,15 @@ def reconstruction_loss(params: AEParams, x: jax.Array, scales, *,
     """½·mean squared reconstruction error over the batch.
 
     ``compute_dtype=jnp.bfloat16`` runs the forward in bf16 (MXU-native)
-    with fp32 params/loss — the production mixed-precision path.  ``act``
-    applies only in the coordinate domain (the spectral forward is linear
-    by construction; the reference's activation is identity there too,
-    backproplib.cu:38-44).
+    with fp32 params/loss — the production mixed-precision path.  In the
+    fft domain the FFTs stay f32 (XLA requirement) and the pointwise convs
+    stream bf16 operands with f32 accumulation.  ``act`` applies only in
+    the coordinate domain (the spectral forward is linear by construction;
+    the reference's activation is identity there too, backproplib.cu:38-44).
     """
     if domain == "fft":
-        # XLA's real FFT is fp32; reduced precision applies to the coord
-        # domain only (the spectral path's hot ops are already fused)
-        out = model.forward_fft(params, x, scales, scale_by_dm=scale_by_dm)
+        out = model.forward_fft(params, x, scales, scale_by_dm=scale_by_dm,
+                                compute_dtype=compute_dtype)
     else:
         if compute_dtype is not None:
             params = jax.tree.map(lambda t: t.astype(compute_dtype), params)

@@ -77,3 +77,65 @@ def test_spectral_conv_fused_fwd_and_vjp_match_einsum():
     for a, c2 in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c2),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_spectral_conv_bf16_streaming_close_to_f32():
+    """compute_dtype=bf16 (operand streaming, f32 accumulation) stays
+    within bf16 rounding of the f32 path — values and grads — on both the
+    fused (interpret) and einsum implementations."""
+    import jax
+    import jax.numpy as jnp
+    from spectralae.ops import dft
+    from spectralae.ops.pallas_kernels import spectral_conv_fused
+    rng = np.random.default_rng(9)
+    nx = ny = 16
+    X = jnp.asarray(np.fft.rfft2(
+        rng.normal(size=(2, 3, nx, ny))).astype(np.complex64))
+    C = jnp.asarray(np.fft.rfft2(
+        rng.normal(size=(4, 3, nx, ny))).astype(np.complex64))
+    b = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+    want = np.asarray(spectral.spectral_conv_einsum(X, C, b, nx, ny))
+    got_e = np.asarray(spectral.spectral_conv_einsum(
+        X, C, b, nx, ny, compute_dtype=jnp.bfloat16))
+    got_f = np.asarray(spectral_conv_fused(X, C, b, nx, ny, True,
+                                           jnp.bfloat16))
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got_e - want)) < 2e-2 * scale
+    assert np.max(np.abs(got_f - want)) < 2e-2 * scale
+    assert got_f.dtype == np.complex64  # f32 accumulation/output
+
+    def loss(c, cd):
+        y = spectral_conv_fused(X, dft.kernel_spectrum(c, nx, ny),
+                                b, nx, ny, True, cd)
+        return jnp.mean(jnp.abs(y) ** 2)
+    ck = jnp.asarray(rng.normal(size=(4, 3, 3, 3)).astype(np.float32))
+    g32 = jax.grad(loss)(ck, None)
+    g16 = jax.grad(loss)(ck, jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(g16), np.asarray(g32),
+                               rtol=3e-2, atol=1e-3 * float(
+                                   np.max(np.abs(np.asarray(g32)))))
+
+
+def test_modern_fft_train_step_bf16_decreases_loss():
+    import jax
+    import jax.numpy as jnp
+    from spectralae.core.config import Config, LayerParams
+    from spectralae.core.types import (init_opt_state, init_params,
+                                       initial_spec)
+    from spectralae.train.modern import train_step
+    cfg = Config(nx=16, ny=16, d=2,
+                 layer=LayerParams(depth=4, lk=0, ll=0, scale=2, rmax=0.5))
+    spec = initial_spec(cfg)
+    params = init_params(jax.random.key(0), spec, 0.5)
+    opt = init_opt_state(params)
+    x = jnp.asarray(np.random.default_rng(4).normal(
+        size=(4, 2, 16, 16)).astype(np.float32)) * 20
+    losses = []
+    for _ in range(40):
+        res = train_step(params, opt, x, spec.scales, lr=0.5, domain="fft",
+                         compute_dtype=jnp.bfloat16)
+        params, opt = res.params, res.opt
+        losses.append(float(res.loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9
+    assert params.stages[0].c.dtype == jnp.float32
