@@ -11,6 +11,8 @@
 //   sae_tensor_to_frame : float32 [3,W,H] -> uint8 [H,W,3], round+clamp
 //   sae_resize_nn       : uint8 [H,W,3] -> uint8 [oh,ow,3] nearest-neighbor
 //   sae_batch_to_tensor : resize+convert a whole batch, one thread/frame
+//   sae_yuv_to_bgr      : planar YUV (sub-sampled chroma) -> uint8 BGR HWC,
+//                         BT.601 limited range, rows fanned over threads
 //
 // Build: make -C native   (g++ -O3 -shared -fPIC)
 
@@ -115,6 +117,63 @@ void sae_batch_to_tensor(const uint8_t* imgs, float* out, int n,
                                h, w, oh, ow);
     });
   }
+  for (auto& th : workers) th.join();
+}
+
+// One output row of BT.601 limited-range YUV -> BGR.  Same float32
+// operation order as the numpy path in data/pipeline.py::y4m_video so the
+// two implementations agree to the rounding boundary.
+static void yuv_row_to_bgr(const uint8_t* y, const uint8_t* u,
+                           const uint8_t* v, uint8_t* out, int w,
+                           int cw, int sx) {
+  for (int i = 0; i < w; ++i) {
+    const int ci = i / sx < cw ? i / sx : cw - 1;
+    const float yf = 1.164f * ((float)y[i] - 16.0f);
+    const float uf = (float)u[ci] - 128.0f;
+    const float vf = (float)v[ci] - 128.0f;
+    const float r = yf + 1.596f * vf;
+    const float g = yf - 0.813f * vf - 0.391f * uf;
+    const float b = yf + 2.018f * uf;
+    const float px[3] = {b, g, r};
+    for (int c = 0; c < 3; ++c) {
+      // lrintf: one cvtss2si in the current (half-to-even) rounding mode —
+      // same result as numpy's np.round, far cheaper than nearbyint(double)
+      long q = lrintf(px[c]);
+      q = q < 0 ? 0 : (q > 255 ? 255 : q);
+      out[i * 3 + c] = (uint8_t)q;
+    }
+  }
+}
+
+// Planar YUV frame -> uint8 BGR HWC.  y is [h,w]; u and v are
+// [ceil-free h/sy, w/sx] chroma planes (sy/sx = 1 or 2, covering C420,
+// C422 and C444), upsampled nearest-neighbor.  This is the per-frame hot
+// loop of the Y4M file source (a video-rate host decode stage the
+// reference delegates to OpenCV, autoencoder.cpp:54).
+void sae_yuv_to_bgr(const uint8_t* y, const uint8_t* u, const uint8_t* v,
+                    uint8_t* out, int h, int w, int sy, int sx,
+                    int n_threads) {
+  const int cw = w / sx;
+  const int chh = h / sy;
+  auto rows = [=](int j0, int step) {
+    for (int j = j0; j < h; j += step) {
+      int cj = j / sy;
+      if (cj >= chh) cj = chh - 1;
+      yuv_row_to_bgr(y + (int64_t)j * w, u + (int64_t)cj * cw,
+                     v + (int64_t)cj * cw, out + (int64_t)j * w * 3,
+                     w, cw, sx);
+    }
+  };
+  if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
+  if (n_threads > h) n_threads = h;
+  if (n_threads <= 1) {
+    rows(0, 1);
+    return;
+  }
+  std::vector<std::thread> workers;
+  workers.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t)
+    workers.emplace_back([=]() { rows(t, n_threads); });
   for (auto& th : workers) th.join();
 }
 

@@ -437,7 +437,9 @@ def main(argv=None):
                         "bursts instead of zeroing per burst (reference "
                         "zeroes: fft_backproplib.cu:1420-1423)")
     p.add_argument("--bf16", action="store_true",
-                   help="bfloat16 compute in the coord domain")
+                   help="mixed precision: bf16 forward in the coord domain; "
+                        "bf16 operand streaming (f32 accumulation) through "
+                        "the pointwise convs in the fft domain")
     p.add_argument("--activation", choices=("identity", "leaky_relu"),
                    default="identity")
     p.add_argument("--log-every", type=int, default=10)

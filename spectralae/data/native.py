@@ -53,6 +53,9 @@ def _bind(lib: ctypes.CDLL) -> None:
     if hasattr(lib, "sae_batch_to_tensor"):
         lib.sae_batch_to_tensor.argtypes = [u8, f32] + [ctypes.c_int] * 6
         lib.sae_batch_to_tensor.restype = None
+    if hasattr(lib, "sae_yuv_to_bgr"):
+        lib.sae_yuv_to_bgr.argtypes = [u8, u8, u8, u8] + [ctypes.c_int] * 5
+        lib.sae_yuv_to_bgr.restype = None
 
 
 def available() -> bool:
@@ -106,6 +109,33 @@ def batch_to_tensor(imgs: np.ndarray, nx: int, ny: int,
         imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         n, h, w, ny, nx, n_threads)
+    return out
+
+
+def has_yuv() -> bool:
+    """True when the built library exposes the YUV decode stage."""
+    return available() and hasattr(_lib, "sae_yuv_to_bgr")
+
+
+def yuv_to_bgr(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+               sy: int, sx: int, n_threads: int = 0) -> np.ndarray:
+    """Planar BT.601 limited-range YUV → uint8 BGR HWC (threaded C++).
+
+    ``y`` is ``[H, W]``; ``u``/``v`` are ``[H//sy, W//sx]`` chroma planes
+    (``sy``/``sx`` ∈ {1, 2}: C420/C422/C444), upsampled nearest-neighbor —
+    the Y4M file source's per-frame hot loop."""
+    if not has_yuv():
+        raise RuntimeError("native library not built or lacks "
+                           "sae_yuv_to_bgr (make -C native)")
+    h, w = y.shape
+    y = np.ascontiguousarray(y, dtype=np.uint8)
+    u = np.ascontiguousarray(u, dtype=np.uint8)
+    v = np.ascontiguousarray(v, dtype=np.uint8)
+    out = np.empty((h, w, 3), np.uint8)
+    p = ctypes.POINTER(ctypes.c_uint8)
+    _lib.sae_yuv_to_bgr(
+        y.ctypes.data_as(p), u.ctypes.data_as(p), v.ctypes.data_as(p),
+        out.ctypes.data_as(p), h, w, sy, sx, n_threads)
     return out
 
 

@@ -138,6 +138,10 @@ def y4m_video(path: str) -> Iterator[np.ndarray]:
             u = np.frombuffer(raw, np.uint8, cw * ch, w * h).reshape(ch, cw)
             v = np.frombuffer(raw, np.uint8, cw * ch,
                               w * h + cw * ch).reshape(ch, cw)
+            if _native is not None and _native.has_yuv():
+                # threaded C++ colorspace stage (native/host_runtime.cpp)
+                yield _native.yuv_to_bgr(y, u, v, sy, sx)
+                continue
             if (sy, sx) != (1, 1):
                 u = u.repeat(sy, axis=0)[:h].repeat(sx, axis=1)[:, :w]
                 v = v.repeat(sy, axis=0)[:h].repeat(sx, axis=1)[:, :w]

@@ -297,6 +297,38 @@ def test_y4m_source_chroma_roundtrip(tmp_path):
     assert np.max(np.abs(got.astype(int) - bgr.astype(int))) <= 3
 
 
+def test_native_yuv_decode_parity_when_built(tmp_path, monkeypatch):
+    """The threaded C++ YUV→BGR stage agrees with the numpy path on random
+    chroma across all three subsamplings (rounding-boundary tolerance 1)."""
+    from spectralae.data import native
+    root = Path(__file__).resolve().parents[1]
+    if not native.available():
+        r = subprocess.run(["make", "-C", str(root / "native")],
+                           capture_output=True)
+        if r.returncode != 0:
+            pytest.skip("native toolchain unavailable")
+        native._lib = None
+    if not native.has_yuv():
+        pytest.skip("native lib lacks sae_yuv_to_bgr (stale build)")
+    rng = np.random.default_rng(7)
+    w, h = 16, 12
+    for cs, (sy, sx) in (("420", (2, 2)), ("422", (1, 2)), ("444", (1, 1))):
+        y = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        u = rng.integers(0, 256, size=(h // sy, w // sx), dtype=np.uint8)
+        v = rng.integers(0, 256, size=(h // sy, w // sx), dtype=np.uint8)
+        p = tmp_path / f"p{cs}.y4m"
+        _write_y4m(p, [(y, u, v)], w, h, cs)
+        (got_native,) = list(pipeline.y4m_video(str(p)))
+        monkeypatch.setattr(pipeline, "_native", None)
+        (got_numpy,) = list(pipeline.y4m_video(str(p)))
+        monkeypatch.undo()
+        assert np.max(np.abs(got_native.astype(int) -
+                             got_numpy.astype(int))) <= 1, cs
+        # direct call too (threaded)
+        direct = native.yuv_to_bgr(y, u, v, sy, sx, n_threads=3)
+        np.testing.assert_array_equal(direct, got_native)
+
+
 def test_y4m_source_rejects_garbage(tmp_path):
     p = tmp_path / "bad.y4m"
     p.write_bytes(b"MPEG nope\n")
