@@ -208,7 +208,8 @@ def _train_steps(args):
     if use_optax:
         optimizer = make_optimizer(args.optimizer, args.lr)
         optax_step = make_optax_train_step(
-            optimizer, domain=args.domain, act=act, compute_dtype=cdtype)
+            optimizer, domain=args.domain, act=act, compute_dtype=cdtype,
+            remat=args.remat, accum_steps=args.accum)
     start_step = 0
     if args.resume:
         params, spec, opt, extra = ckpt.load(args.resume)
@@ -246,7 +247,8 @@ def _train_steps(args):
         else:
             res = train_step(params, opt, batch, spec.scales, lr=args.lr,
                              alpha=args.alpha, domain=args.domain,
-                             compute_dtype=cdtype, act=act)
+                             compute_dtype=cdtype, act=act,
+                             remat=args.remat, accum_steps=args.accum)
         if not np.isfinite(float(res.loss)):
             # failure detection (SURVEY.md §5.3): halt on divergence, keep
             # the last good checkpoint instead of overwriting it
@@ -440,6 +442,13 @@ def main(argv=None):
                    help="mixed precision: bf16 forward in the coord domain; "
                         "bf16 operand streaming (f32 accumulation) through "
                         "the pointwise convs in the fft domain")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize per-stage blocks in the backward "
+                        "(trades recompute for activation memory at "
+                        "high resolution)")
+    p.add_argument("--accum", type=int, default=1,
+                   help="gradient-accumulation microbatches per step "
+                        "(batch must divide evenly)")
     p.add_argument("--activation", choices=("identity", "leaky_relu"),
                    default="identity")
     p.add_argument("--log-every", type=int, default=10)

@@ -38,26 +38,31 @@ def tie_symmetric(params: AEParams, n_l: int) -> AEParams:
 
 def forward_coord(params: AEParams, x: jax.Array, scales: Sequence[int], *,
                   tap_mode: TapMode = "centered", scale_by_dm: bool = True,
-                  act=None) -> list[jax.Array]:
+                  act=None, remat: bool = False) -> list[jax.Array]:
     """Coordinate-space forward; returns the full activation tape.
 
     The returned list mirrors the reference ``layers`` vector: entry 0 is the
     input, then two entries per stage (encoder: pooled, conv-out; decoder:
-    conv-out, unpooled), ``2·n_stages + 1`` entries total.
+    conv-out, unpooled), ``2·n_stages + 1`` entries total.  ``remat``
+    checkpoints each conv (im2col/patch intermediates recomputed in the
+    backward instead of saved).
     """
     n = params.n_stages
+
+    def _conv(h, c, b):
+        return coord.conv2d(h, c, b, tap_mode=tap_mode,
+                            scale_by_dm=scale_by_dm, act=act)
+    conv = jax.checkpoint(_conv) if remat else _conv
     acts = [x]
     h = x
     for i, (stage, sc) in enumerate(zip(params.stages, scales)):
         if i < n // 2:  # encoder: pool then conv
             h = coord.pool(h, sc)
             acts.append(h)
-            h = coord.conv2d(h, stage.c, stage.b, tap_mode=tap_mode,
-                             scale_by_dm=scale_by_dm, act=act)
+            h = conv(h, stage.c, stage.b)
             acts.append(h)
         else:  # decoder: conv then unpool
-            h = coord.conv2d(h, stage.c, stage.b, tap_mode=tap_mode,
-                             scale_by_dm=scale_by_dm, act=act)
+            h = conv(h, stage.c, stage.b)
             acts.append(h)
             h = coord.pool(h, sc)
             acts.append(h)
@@ -88,7 +93,8 @@ def kernel_spectra(params: AEParams, nx: int, ny: int,
 def forward_fft(params: AEParams, x: jax.Array, scales: Sequence[int], *,
                 scale_by_dm: bool = True,
                 return_layers: bool = False,
-                constrain=None, compute_dtype=None):
+                constrain=None, compute_dtype=None,
+                remat: bool = False):
     """Momentum-space forward (reference ``autoenc_fft``).
 
     Args:
@@ -101,6 +107,10 @@ def forward_fft(params: AEParams, x: jax.Array, scales: Sequence[int], *,
         the mesh — see :func:`spectralae.dist.mesh.spatial_forward`).
       compute_dtype: optional reduced dtype (``jnp.bfloat16``) streamed
         through the pointwise convs (f32 accumulation; FFTs stay f32).
+      remat: checkpoint each stage's kernel-spectrum + conv block — the
+        kernel half-spectrum residual is ``M·D·Nx·Nyr`` complex per stage
+        (~126 MB/stage at 1024², M=10) and is recomputed in the backward
+        instead of saved.  Trades one DFT matmul per stage for HBM.
 
     Returns the ``[B, D, Nx, Ny]`` reconstruction, or ``(out, layers)``.
     """
@@ -116,10 +126,14 @@ def forward_fft(params: AEParams, x: jax.Array, scales: Sequence[int], *,
             X, cx, cy = spectral.spectral_pool(X, cx, cy, sc)
             if return_layers:
                 layers.append(spectral.irfft2(X, (cx, cy)))
-        C = spectral.kernel_rfft(stage.c, cx, cy)
-        X = spectral.spectral_conv(X, C, stage.b, cx, cy,
-                                   scale_by_dm=scale_by_dm,
-                                   compute_dtype=compute_dtype)
+
+        def _stage(Xs, c, b, cx=cx, cy=cy):
+            C = spectral.kernel_rfft(c, cx, cy)
+            return spectral.spectral_conv(Xs, C, b, cx, cy,
+                                          scale_by_dm=scale_by_dm,
+                                          compute_dtype=compute_dtype)
+        X = (jax.checkpoint(_stage) if remat else _stage)(
+            X, stage.c, stage.b)
         if constrain is not None:
             X = constrain(X)
         if return_layers:

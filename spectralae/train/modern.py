@@ -30,7 +30,7 @@ class TrainStepResult(NamedTuple):
 def reconstruction_loss(params: AEParams, x: jax.Array, scales, *,
                         domain: str = "fft", tap_mode: str = "centered",
                         scale_by_dm: bool = True, act=None,
-                        compute_dtype=None) -> jax.Array:
+                        compute_dtype=None, remat: bool = False) -> jax.Array:
     """½·mean squared reconstruction error over the batch.
 
     ``compute_dtype=jnp.bfloat16`` runs the forward in bf16 (MXU-native)
@@ -39,18 +39,46 @@ def reconstruction_loss(params: AEParams, x: jax.Array, scales, *,
     stream bf16 operands with f32 accumulation.  ``act`` applies only in
     the coordinate domain (the spectral forward is linear by construction;
     the reference's activation is identity there too, backproplib.cu:38-44).
+    ``remat`` checkpoints per-stage blocks (see the forwards' docstrings).
     """
     if domain == "fft":
         out = model.forward_fft(params, x, scales, scale_by_dm=scale_by_dm,
-                                compute_dtype=compute_dtype)
+                                compute_dtype=compute_dtype, remat=remat)
     else:
         if compute_dtype is not None:
             params = jax.tree.map(lambda t: t.astype(compute_dtype), params)
             x = x.astype(compute_dtype)
         out = model.forward_coord(params, x, scales, tap_mode=tap_mode,
-                                  scale_by_dm=scale_by_dm, act=act)[-1]
+                                  scale_by_dm=scale_by_dm, act=act,
+                                  remat=remat)[-1]
     x32 = x.astype(jnp.float32)
     return 0.5 * jnp.mean((out.astype(jnp.float32) - x32) ** 2)
+
+
+def _accumulated_loss_and_grads(params, x, scales, accum_steps, **loss_kw):
+    """Loss and grads microbatched over ``accum_steps`` sequential chunks.
+
+    ``lax.scan`` over equal batch chunks keeps peak activation memory at
+    one chunk's worth while averaging to (numerically) the full-batch
+    gradient — the standard large-batch trick on memory-bound configs.
+    """
+    b = x.shape[0]
+    if b % accum_steps:
+        raise ValueError(
+            f"batch {b} not divisible by accum_steps {accum_steps}")
+    xs = x.reshape(accum_steps, b // accum_steps, *x.shape[1:])
+    gfn = jax.value_and_grad(reconstruction_loss)
+
+    def body(carry, xc):
+        lsum, gsum = carry
+        l, g = gfn(params, xc, scales, **loss_kw)
+        g = jax.tree.map(lambda a, s: s + a.astype(jnp.float32), g, gsum)
+        return (lsum + l, g), None
+
+    zeros = jax.tree.map(lambda t: jnp.zeros(t.shape, jnp.float32), params)
+    (lsum, gsum), _ = jax.lax.scan(body, (jnp.float32(0.0), zeros), xs)
+    inv = 1.0 / accum_steps
+    return lsum * inv, jax.tree.map(lambda t: t * inv, gsum)
 
 
 def _mask_grads(grads: AEParams, params: AEParams, train_pair: int) -> AEParams:
@@ -68,23 +96,34 @@ def _mask_grads(grads: AEParams, params: AEParams, train_pair: int) -> AEParams:
 @functools.partial(
     jax.jit,
     static_argnames=("scales", "domain", "tap_mode", "scale_by_dm",
-                     "train_pair", "active", "act", "compute_dtype"))
+                     "train_pair", "active", "act", "compute_dtype",
+                     "remat", "accum_steps"))
 def train_step(params: AEParams, opt: OptState, x: jax.Array,
                scales: tuple, *, lr: float = 0.2, alpha: float = 0.9,
                domain: str = "fft", tap_mode: str = "centered",
                scale_by_dm: bool = True, train_pair: int = -1,
                active: bool = False, act=None,
-               compute_dtype=None) -> TrainStepResult:
+               compute_dtype=None, remat: bool = False,
+               accum_steps: int = 1) -> TrainStepResult:
     """One batched train step.
 
     Args:
       x: ``[B, D, Nx, Ny]`` batch of frames.
       scales: static per-stage pooling scales (NetSpec.scales).
       train_pair: ``-1`` trains all stages; ``n`` trains only pair ``n``.
+      remat: per-stage rematerialization (memory for recompute).
+      accum_steps: gradient accumulation over ``accum_steps`` microbatches
+        (batch must divide evenly); one optimizer update per call.
     """
-    loss, grads = jax.value_and_grad(reconstruction_loss)(
-        params, x, scales, domain=domain, tap_mode=tap_mode,
-        scale_by_dm=scale_by_dm, act=act, compute_dtype=compute_dtype)
+    loss_kw = dict(domain=domain, tap_mode=tap_mode,
+                   scale_by_dm=scale_by_dm, act=act,
+                   compute_dtype=compute_dtype, remat=remat)
+    if accum_steps > 1:
+        loss, grads = _accumulated_loss_and_grads(
+            params, x, scales, accum_steps, **loss_kw)
+    else:
+        loss, grads = jax.value_and_grad(reconstruction_loss)(
+            params, x, scales, **loss_kw)
     grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
     if train_pair >= 0:
         grads = _mask_grads(grads, params, train_pair)
@@ -98,7 +137,8 @@ def train_step(params: AEParams, opt: OptState, x: jax.Array,
 def make_optax_train_step(optimizer, *, domain: str = "fft",
                           tap_mode: str = "centered",
                           scale_by_dm: bool = True, train_pair: int = -1,
-                          act=None, compute_dtype=None):
+                          act=None, compute_dtype=None,
+                          remat: bool = False, accum_steps: int = 1):
     """Build a jitted train step around any optax GradientTransformation.
 
     The reference-semantics optimizer (normalized-gradient inertia) stays
@@ -112,11 +152,18 @@ def make_optax_train_step(optimizer, *, domain: str = "fft",
     """
     import optax
 
+    loss_kw = dict(domain=domain, tap_mode=tap_mode,
+                   scale_by_dm=scale_by_dm, act=act,
+                   compute_dtype=compute_dtype, remat=remat)
+
     @functools.partial(jax.jit, static_argnames=("scales",))
     def step(params, opt_state, x, scales) -> TrainStepResult:
-        loss, grads = jax.value_and_grad(reconstruction_loss)(
-            params, x, scales, domain=domain, tap_mode=tap_mode,
-            scale_by_dm=scale_by_dm, act=act, compute_dtype=compute_dtype)
+        if accum_steps > 1:
+            loss, grads = _accumulated_loss_and_grads(
+                params, x, scales, accum_steps, **loss_kw)
+        else:
+            loss, grads = jax.value_and_grad(reconstruction_loss)(
+                params, x, scales, **loss_kw)
         grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
         if train_pair >= 0:
             grads = _mask_grads(grads, params, train_pair)

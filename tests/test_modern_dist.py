@@ -193,3 +193,57 @@ def test_spatial_forward_matches_unsharded():
     want = model.forward_fft(params, x, spec.scales)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("domain", ["fft", "coord"])
+def test_grad_accumulation_matches_full_batch(domain):
+    """accum_steps=4 over equal microbatches produces the same update as
+    the full-batch step (within fp reassociation tolerance)."""
+    cfg, spec, params = setup()
+    opt = init_opt_state(params)
+    x = jnp.asarray(np.random.default_rng(5).normal(
+        size=(8, cfg.d, cfg.nx, cfg.ny)).astype(np.float32)) * 20
+    full = train_step(params, opt, x, spec.scales, lr=0.5, domain=domain)
+    acc = train_step(params, opt, x, spec.scales, lr=0.5, domain=domain,
+                     accum_steps=4)
+    np.testing.assert_allclose(float(acc.loss), float(full.loss), rtol=1e-5)
+    for a, b in zip(acc.params.stages, full.params.stages):
+        np.testing.assert_allclose(np.asarray(a.c), np.asarray(b.c),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a.b), np.asarray(b.b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_grad_accumulation_rejects_ragged_batch():
+    cfg, spec, params = setup()
+    opt = init_opt_state(params)
+    x = jnp.zeros((6, cfg.d, cfg.nx, cfg.ny), jnp.float32)
+    with pytest.raises(ValueError, match="not divisible"):
+        train_step(params, opt, x, spec.scales, domain="fft", accum_steps=4)
+
+
+@pytest.mark.parametrize("domain", ["fft", "coord"])
+def test_remat_step_matches_plain(domain):
+    """Per-stage rematerialization changes memory, not math."""
+    import dataclasses
+    cfg, spec, params = setup()
+    spec = spec.add_pair(dataclasses.replace(cfg.layer, depth=6))
+    params = init_params(jax.random.key(3), spec, 0.5)
+    opt = init_opt_state(params)
+    x = jnp.asarray(np.random.default_rng(6).normal(
+        size=(2, cfg.d, cfg.nx, cfg.ny)).astype(np.float32)) * 20
+    plain = train_step(params, opt, x, spec.scales, lr=0.5, domain=domain)
+    rem = train_step(params, opt, x, spec.scales, lr=0.5, domain=domain,
+                     remat=True)
+    np.testing.assert_allclose(float(rem.loss), float(plain.loss), rtol=1e-6)
+    for a, b in zip(rem.params.stages, plain.params.stages):
+        np.testing.assert_allclose(np.asarray(a.c), np.asarray(b.c),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_cli_train_remat_accum(tmp_path, capsys):
+    from spectralae.cli.main import main
+    main(["train", "--nx", "16", "--steps", "2", "--batch", "4",
+          "--accum", "2", "--remat", "--log-every", "1"])
+    out = capsys.readouterr().out
+    assert '"step": 0' in out and '"loss"' in out
