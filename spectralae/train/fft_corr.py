@@ -113,6 +113,49 @@ def _lag_maps(nk: int, nl: int, nx: int, ny: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _lag_basis(nx: int, ny: int, hx: int, hy: int):
+    """Separable restricted-iDFT bases for centered lag windows.
+
+    ``corr[v] = Re Σ_ω w(ω_y)·P(ω)·e^{2πi(v_x ω_x/nx + v_y ω_y/ny)}`` over
+    the Hermitian half-spectrum (w doubles interior columns) — the
+    irfft2·(Nx·Ny) value at lag ``v ∈ [−h, h]²``, computed as four small
+    matmuls instead of a full inverse FFT (the burst only ever reads a
+    ``(2h+1)²`` window out of the Nx·Ny grid; at 1024² that is 289 of 1M
+    points).  Lag periodicity (``v mod N``) is inherent in the complex
+    exponential, so windows wider than the grid alias exactly like the
+    FFT path did.
+    """
+    nyr = ny // 2 + 1
+    w = np.full((nyr,), 2.0, np.float64)
+    w[0] = 1.0
+    if ny % 2 == 0:
+        w[-1] = 1.0
+    vy = np.arange(-hy, hy + 1)
+    vx = np.arange(-hx, hx + 1)
+    ay = 2.0 * np.pi * np.arange(nyr)[:, None] * vy[None, :] / ny
+    ax = 2.0 * np.pi * np.arange(nx)[:, None] * vx[None, :] / nx
+    return (np.asarray(np.cos(ax), np.float32),
+            np.asarray(np.sin(ax), np.float32),
+            np.asarray(w[:, None] * np.cos(ay), np.float32),
+            np.asarray(w[:, None] * np.sin(ay), np.float32))
+
+
+def _corr_windows(prods, nx, ny, hx, hy):
+    """Centered lag windows ``[planes, 2hx+1, 2hy+1]`` of the circular
+    cross-correlations whose half-spectra are ``prods [planes, nx, nyr]``
+    (complex).  See :func:`_lag_basis`."""
+    bxc, bxs, byc, bys = (jnp.asarray(t)
+                          for t in _lag_basis(nx, ny, hx, hy))
+    pr, pi = prods.real, prods.imag
+    # full-f32 accumulation (TPU's default matmul precision is reduced;
+    # these long-axis reductions feed cancellation-sensitive tensors)
+    ein = functools.partial(jnp.einsum, precision="highest")
+    sr = ein("pxy,yv->pxv", pr, byc) - ein("pxy,yv->pxv", pi, bys)
+    si = ein("pxy,yv->pxv", pr, bys) + ein("pxy,yv->pxv", pi, byc)
+    return ein("pxv,xu->puv", sr, bxc) - ein("pxv,xu->puv", si, bxs)
+
+
+@functools.lru_cache(maxsize=None)
 def _herm_w(nx: int, ny: int):
     nyr = ny // 2 + 1
     w = np.full((nyr,), 2.0, np.float32)
@@ -168,8 +211,14 @@ def corr_precompute(x, expout, out0, c0, f0, *, scale_by_dm=True,
         jnp.mean(Xc[:, :, None] * E0[:, None], axis=0).reshape(-1, nx, nyr),
         jnp.mean(Xc[:, :, None] * G0[:, None], axis=0).reshape(-1, nx, nyr),
     ], axis=0)
+    # centered lag windows via the separable restricted iDFT
+    # (:func:`_lag_basis`): the burst reads only (8h+1)² lags per plane, so
+    # four small matmuls beat a full-grid inverse FFT — at 1024² this
+    # avoids a 27-plane irfft2 and its Nx·Ny·planes f32 intermediate
+    hx4, hy4 = maps["v4ext"]
     if model_axis is not None:
-        # TP: each model shard transforms its slice of the plane stack
+        # TP: each model shard transforms its slice of the plane stack;
+        # the gathered windows are tiny ([planes, 8h+1, 8h+1])
         nm = lax.axis_size(model_axis)
         nplanes = prods.shape[0]
         chunk = -(-nplanes // nm)
@@ -177,28 +226,19 @@ def corr_precompute(x, expout, out0, c0, f0, *, scale_by_dm=True,
                                   (0, 0), (0, 0)))
         mine = lax.dynamic_slice_in_dim(
             prods_p, lax.axis_index(model_axis) * chunk, chunk)
-        corr_mine = jnp.fft.irfft2(mine, s=(nx, ny)) * (nx * ny)
-        corr = lax.all_gather(corr_mine, model_axis, axis=0
-                              ).reshape(-1, nx, ny)[:nplanes]
+        win_mine = _corr_windows(mine, nx, ny, hx4, hy4)
+        win = lax.all_gather(win_mine, model_axis, axis=0
+                             ).reshape(-1, 2 * hx4 + 1,
+                                       2 * hy4 + 1)[:nplanes]
     else:
-        corr = jnp.fft.irfft2(prods, s=(nx, ny)) * (nx * ny)
+        win = _corr_windows(prods, nx, ny, hx4, hy4)
     dd = dD * dD
-
-    def centered_lags(rows, ext):
-        """roll+slice (not gather — XLA gathers are scalar-slow on TPU):
-        centered lags of circular correlations; windows wider than the
-        grid tile periodically (exact — the DFT only sees v mod N)."""
-        hx_, hy_ = ext
-        rolled = jnp.roll(rows, (hx_, hy_), axis=(-2, -1))
-        tx = -(-(2 * hx_ + 1) // nx)
-        ty = -(-(2 * hy_ + 1) // ny)
-        if tx > 1 or ty > 1:
-            rolled = jnp.tile(rolled, (1,) * (rows.ndim - 2) + (tx, ty))
-        return rolled[..., : 2 * hx_ + 1, : 2 * hy_ + 1]
-
-    XX = centered_lags(corr[:dd], maps["v4ext"]).reshape(dD, dD, -1)
-    XE0 = centered_lags(corr[dd:2 * dd], maps["l2ext"]).reshape(dD, dD, -1)
-    XG0 = centered_lags(corr[2 * dd:], maps["l2ext"]).reshape(dD, dD, -1)
+    hx2, hy2 = maps["l2ext"]
+    ctr = lambda t: t[:, hx4 - hx2: hx4 + hx2 + 1,
+                      hy4 - hy2: hy4 + hy2 + 1]
+    XX = win[:dd].reshape(dD, dD, -1)
+    XE0 = ctr(win[dd:2 * dd]).reshape(dD, dD, -1)
+    XG0 = ctr(win[2 * dd:]).reshape(dD, dD, -1)
     wv = jnp.asarray(_herm_w(nx, ny))
     E0E0 = jnp.mean(jnp.sum((E0.real ** 2 + E0.imag ** 2) * wv,
                             axis=(-2, -1, -3)))
