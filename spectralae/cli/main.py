@@ -152,7 +152,9 @@ def _train_bursts(args):
             enc, dec = params.pair(n_l)
             res = fft_burst_dp(in_b, in_b, out_b, enc.c, dec.c,
                                enc.b, dec.b, moms[n_l], lr=args.lr,
-                               alpha=args.alpha, iters=args.iters)
+                               alpha=args.alpha, iters=args.iters,
+                               maxdiff=args.maxdiff,
+                               reanchor_every=args.reanchor or None)
             if args.carry_momentum:
                 moms[n_l] = res.mom
             params = params.replace_pair(n_l, ConvStage(c=res.c, b=res.b),
@@ -399,7 +401,8 @@ def main(argv=None):
     p = sub.add_parser("run", help="interactive/streaming loop")
     _add_common(p)
     p.add_argument("--source", default="synthetic",
-                   help="synthetic | camera | path to .npy video")
+                   help="synthetic | camera | path to a .y4m video or "
+                        ".npy/.npz frame stack")
     p.add_argument("--frames", type=int, default=100)
     p.add_argument("--outdir", default="./views")
     p.add_argument("--dump-every", type=int, default=0)
@@ -438,6 +441,15 @@ def main(argv=None):
                    help="burst mode: stream optimizer momentum across "
                         "bursts instead of zeroing per burst (reference "
                         "zeroes: fft_backproplib.cu:1420-1423)")
+    p.add_argument("--maxdiff", action="store_true",
+                   help="burst mode: multiobjective kernel-diversity "
+                        "objective (the 'm' key; w0=1, w1=10 as "
+                        "fft_backproplib.cu:1252)")
+    p.add_argument("--reanchor", type=int, default=0,
+                   help="burst mode: re-anchor the correlation "
+                        "decomposition every N inner iterations (keeps "
+                        "ultra-converged long bursts fp32-accurate; "
+                        "0 = never)")
     p.add_argument("--bf16", action="store_true",
                    help="mixed precision: bf16 forward in the coord domain; "
                         "bf16 operand streaming (f32 accumulation) through "

@@ -45,7 +45,7 @@ def _gradient_k_io_batch(X, Y, O, Cf, Ff, b, nx, ny, axis_name=None):
 
 
 def _burst_dp_body(x, expout, out0, c, f, b, p, mom, *, lr, alpha, iters,
-                   scale_by_dm, axis_name):
+                   scale_by_dm, axis_name, maxdiff=False, w0=1.0, w1=10.0):
     nx, ny = x.shape[-2], x.shape[-1]
     dM, dD, nk, nl = c.shape
     del_eff = 0.1 * lr
@@ -74,6 +74,13 @@ def _burst_dp_body(x, expout, out0, c, f, b, p, mom, *, lr, alpha, iters,
                                               axis_name)
         gc = dft.kernel_project(dc, nk, nl, nx, ny)
         gf = dft.kernel_project(df, nk, nl, nx, ny)
+        if maxdiff:
+            # multiobjective: reconstruction vs kernel diversity
+            # (backprop_double, fft_backproplib.cu:657-704; w's set at 1252)
+            from ..losses.losses import diversity_gradients
+            cd, fd, bd, pd = diversity_gradients(c, f, b, p)
+            gc, gf = w0 * gc - w1 * cd, w0 * gf - w1 * fd
+            db, dp = w0 * db - w1 * bd, w0 * dp - w1 * pd
         c, Dc = inertia(c, gc, Dc)
         f, Df = inertia(f, gf, Df)
         b, Db = inertia(b, db, Db)
@@ -93,36 +100,45 @@ def _burst_dp_body(x, expout, out0, c, f, b, p, mom, *, lr, alpha, iters,
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "scale_by_dm",
-                                             "use_pallas"))
+                                             "use_pallas", "maxdiff",
+                                             "reanchor_every"))
 def fft_burst_dp(x: jax.Array, expout: jax.Array, out0: jax.Array,
                  c: jax.Array, f: jax.Array, b: jax.Array, p: jax.Array,
                  mom: tuple | None = None, *, lr: float = 0.2,
                  alpha: float = 0.9, iters: int = 100,
                  scale_by_dm: bool = True,
-                 use_pallas: bool | None = None) -> FFTBurstResult:
+                 use_pallas: bool | None = None,
+                 maxdiff: bool = False, w0: float = 1.0, w1: float = 10.0,
+                 reanchor_every: int | None = None) -> FFTBurstResult:
     """Single-device batched burst: ``x/expout/out0`` are ``[B, D, h, w]``.
 
     Dispatches to the correlation-space burst on TPU (iteration cost
     independent of B and resolution — the batch only enters the one-time
-    correlation precompute)."""
+    correlation precompute).  ``maxdiff`` enables the multiobjective
+    kernel-diversity combination; ``reanchor_every`` (corr path) resets
+    the cancellation floor on long bursts."""
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform in ("tpu", "axon")
     if mom is None:
         mom = (jnp.zeros_like(c), jnp.zeros_like(f),
                jnp.zeros_like(b), jnp.zeros_like(p))
     if use_pallas:
-        from .fft_corr import fft_burst_corr
-        return fft_burst_corr(x, expout, out0, c, f, b, p, mom,
-                              lr=lr, alpha=alpha, iters=iters,
-                              scale_by_dm=scale_by_dm)
+        from .fft_corr import burst_corr
+        return burst_corr(x, expout, out0, c, f, b, p, mom,
+                          lr=lr, alpha=alpha, iters=iters,
+                          maxdiff=maxdiff, w0=w0, w1=w1,
+                          scale_by_dm=scale_by_dm,
+                          reanchor_every=reanchor_every)
     return _burst_dp_body(x, expout, out0, c, f, b, p, mom, lr=lr,
                           alpha=alpha, iters=iters, scale_by_dm=scale_by_dm,
-                          axis_name=None)
+                          axis_name=None, maxdiff=maxdiff, w0=w0, w1=w1)
 
 
 def distributed_burst(mesh: Mesh, *, lr: float = 0.2, alpha: float = 0.9,
                       iters: int = 100, scale_by_dm: bool = True,
                       use_pallas: bool | None = None,
+                      maxdiff: bool = False, w0: float = 1.0,
+                      w1: float = 10.0,
                       reanchor_every: int | None = None):
     """Build a jitted multi-chip burst: batch sharded over 'data', params
     replicated.
@@ -147,6 +163,7 @@ def distributed_burst(mesh: Mesh, *, lr: float = 0.2, alpha: float = 0.9,
             return burst_corr(x, expout, out0, c, f, b, p,
                               (Dc, Df, Db, Dp), lr=lr, alpha=alpha,
                               iters=iters, scale_by_dm=scale_by_dm,
+                              maxdiff=maxdiff, w0=w0, w1=w1,
                               axis_name="data",
                               model_axis="model" if n_model > 1 else None,
                               reanchor_every=reanchor_every)

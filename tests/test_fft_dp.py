@@ -194,3 +194,28 @@ def test_distributed_coord_step_matches_single_device():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got.mse), np.asarray(want.mse),
                                rtol=1e-5)
+
+
+def test_dp_burst_maxdiff_b1_matches_reference_burst():
+    """The multiobjective combination in the DP body (and the corr path it
+    dispatches to on TPU) equals the single-frame reference burst."""
+    xs, out0, enc, dec = setup(b=1)
+    ref = fft_burst(xs[0], xs[0], out0[0], enc.c, dec.c, enc.b, dec.b,
+                    lr=0.2, iters=5, impl="dft", maxdiff=True)
+    got = fft_burst_dp(xs, xs, out0, enc.c, dec.c, enc.b, dec.b,
+                       lr=0.2, iters=5, maxdiff=True)
+    np.testing.assert_allclose(np.asarray(got.c), np.asarray(ref.c),
+                               rtol=1e-4, atol=1e-5)
+    corr = fft_burst_dp(xs, xs, out0, enc.c, dec.c, enc.b, dec.b,
+                        lr=0.2, iters=5, maxdiff=True, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(corr.c), np.asarray(ref.c),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_cli_burst_maxdiff_and_reanchor(tmp_path, capsys):
+    from spectralae.cli.main import main
+    main(["train", "--nx", "16", "--steps", "1", "--batch", "2",
+          "--mode", "burst", "--iters", "6", "--maxdiff", "--reanchor", "3",
+          "--log-every", "1"])
+    out = capsys.readouterr().out
+    assert '"mse0"' in out and '"mseN"' in out
