@@ -32,6 +32,11 @@ FORMAT_VERSION = 1
 
 def save(path: str | Path, params: AEParams, spec: NetSpec,
          opt: OptState | None = None, extra: dict | None = None) -> None:
+    import jax
+    if jax.process_index() != 0:
+        # multi-host runs: params are replicated; only the coordinator
+        # writes (every process calls save — the others return here)
+        return
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     arrays: dict[str, np.ndarray] = {}

@@ -1,0 +1,52 @@
+"""Multi-process (multi-host) distribution: 2 OS processes × 4 CPU devices
+form one 8-device global mesh; the distributed train step and burst run
+across the process boundary with gloo collectives (the CPU stand-in for
+ICI/DCN — the reference has no multi-process capability at all,
+SURVEY.md §2.9)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_train_and_burst():
+    root = Path(__file__).resolve().parents[1]
+    worker = root / "tests" / "multihost_worker.py"
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH")}
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(port), str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=str(root), env=env) for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost worker timed out")
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("{")][-1]
+        outs.append(json.loads(line))
+
+    r0, r1 = sorted(outs, key=lambda r: r["pid"])
+    assert r0["coordinator"] and not r1["coordinator"]
+    # both processes observe the identical replicated trajectory
+    np.testing.assert_allclose(r0["losses"], r1["losses"], rtol=1e-6)
+    np.testing.assert_allclose(r0["burst_mse0"], r1["burst_mse0"], rtol=1e-6)
+    assert r0["losses"][-1] < r0["losses"][0]
+    assert r0["burst_mseN"] < r0["burst_mse0"]
