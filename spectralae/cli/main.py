@@ -355,11 +355,22 @@ def cmd_export(args):
 
 
 def cmd_serve(args):
-    """Run inference from an exported artifact over a frame source."""
+    """Run inference from an exported artifact over a frame source, or
+    expose it over HTTP (--http PORT)."""
     from ..data import pipeline
     from ..io.export import ServingModel
     from ..viz.png import write_png
     m = ServingModel.load(args.model)
+    if args.http is not None:
+        from ..io.server import InferenceServer
+        srv = InferenceServer(m, port=args.http, warmup=True)
+        print(json.dumps({"serving": args.model, "port": srv.port,
+                          "routes": ["/healthz", "/infer"]}), flush=True)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            srv.shutdown()
+        return
     d, nx, ny = m.input_shape
     args.nx, args.ny = nx, ny
     src = _source(args)
@@ -521,6 +532,10 @@ def main(argv=None):
     p.add_argument("--outdir", default="./views")
     p.add_argument("--dump-every", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--http", type=int, default=None, metavar="PORT",
+                   help="serve the artifact over HTTP instead of a local "
+                        "loop (GET /healthz, POST /infer with .npy body; "
+                        "0 picks a free port)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="run the benchmark harness")

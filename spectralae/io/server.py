@@ -1,0 +1,125 @@
+"""HTTP inference endpoint for exported artifacts (stdlib-only).
+
+Production serving surface on top of :mod:`spectralae.io.export` (the
+reference's inference is welded to an OpenCV window loop,
+source/autoencoder.cpp:121-151): a ``ThreadingHTTPServer`` exposing an
+AOT-compiled :class:`ServingModel` —
+
+- ``GET /healthz`` → JSON: status + artifact manifest summary;
+- ``POST /infer`` → body is an ``.npy``-serialized float32 batch
+  (``[B, D, H, W]`` or a single ``[D, H, W]`` frame); response is the
+  ``.npy``-serialized model output.  Content type
+  ``application/octet-stream``.
+
+Device calls are serialized under a lock (one TPU executable, many HTTP
+worker threads); request decode/encode runs concurrently.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+class InferenceServer:
+    """Wrap a :class:`spectralae.io.export.ServingModel` in an HTTP server.
+
+    ``port=0`` picks a free port (read it back from ``.port``).  Use
+    :meth:`serve_forever` to block, or :meth:`start`/:meth:`shutdown`
+    for a background thread (tests, embedding).  ``warmup`` runs one
+    zero-filled inference before the server accepts traffic so the
+    first real request doesn't pay device compile/dispatch latency
+    (measured ~87 s cold vs 30 ms warm on the remote-TPU rig).
+    """
+
+    def __init__(self, model, host: str = "127.0.0.1", port: int = 8000,
+                 warmup: bool = False):
+        self._model = model
+        self._lock = threading.Lock()
+        if warmup:
+            d, nx, ny = model.input_shape
+            wb = model.manifest.get("batch") or 1
+            np.asarray(model(np.zeros((wb, d, nx, ny), np.float32)))
+        d, nx, ny = model.input_shape
+        manifest = dict(model.manifest)
+        summary = {"status": "ok",
+                   "what": manifest.get("what"),
+                   "domain": manifest.get("domain"),
+                   "input_shape": [d, nx, ny],
+                   "platforms": manifest.get("platforms")}
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet; the CLI logs summary lines
+                pass
+
+            def _send(self, code: int, body: bytes, ctype: str):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _json(self, code: int, obj):
+                self._send(code, json.dumps(obj).encode(),
+                           "application/json")
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._json(200, summary)
+                else:
+                    self._json(404, {"error": f"no route {self.path}"})
+
+            def do_POST(self):
+                if self.path != "/infer":
+                    self._json(404, {"error": f"no route {self.path}"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    arr = np.load(io.BytesIO(self.rfile.read(n)),
+                                  allow_pickle=False)
+                except Exception as e:
+                    self._json(400, {"error": f"bad npy payload: {e}"})
+                    return
+                squeeze = arr.ndim == 3
+                if squeeze:
+                    arr = arr[None]
+                want = (d, nx, ny)
+                if arr.ndim != 4 or arr.shape[1:] != want:
+                    self._json(400, {"error":
+                                     f"expected [B, {d}, {nx}, {ny}] "
+                                     f"(or one frame), got {arr.shape}"})
+                    return
+                with server._lock:
+                    out = np.asarray(server._model(
+                        np.ascontiguousarray(arr, np.float32)))
+                if squeeze:
+                    out = out[0]
+                buf = io.BytesIO()
+                np.save(buf, out)
+                self._send(200, buf.getvalue(), "application/octet-stream")
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> None:
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)

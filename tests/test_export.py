@@ -127,3 +127,57 @@ def test_cli_eval_ckpt_and_artifact(tmp_path, capsys):
     rec_art = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert abs(rec_art["mse_per_pixel"] - rec_ck["mse_per_pixel"]) \
         < 1e-3 * max(rec_ck["mse_per_pixel"], 1.0)
+
+
+def test_http_inference_server(tmp_path):
+    """The HTTP endpoint serves the artifact: healthz manifest, npy
+    round-trip inference (batch and single-frame), input validation."""
+    import io as _io
+    import urllib.request
+    import urllib.error
+    from spectralae.io.server import InferenceServer
+
+    _, spec, params = _small_net()
+    path = export_model(params, spec, tmp_path / "art", what="forward",
+                        domain="fft", batch=None)  # polymorphic batch
+    m = ServingModel.load(path)
+    srv = InferenceServer(m, port=0)
+    srv.start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            h = json.loads(r.read())
+        assert h["status"] == "ok" and h["input_shape"] == [3, 32, 32]
+
+        x = (np.random.default_rng(1).normal(size=(2, 3, 32, 32))
+             .astype(np.float32) * 50)
+        buf = _io.BytesIO(); np.save(buf, x)
+        req = urllib.request.Request(f"{base}/infer", data=buf.getvalue(),
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = np.load(_io.BytesIO(r.read()), allow_pickle=False)
+        np.testing.assert_allclose(out, np.asarray(m(x)), rtol=1e-5,
+                                   atol=1e-4)
+
+        # single frame squeezes back to [D, H, W]
+        buf = _io.BytesIO(); np.save(buf, x[0])
+        req = urllib.request.Request(f"{base}/infer", data=buf.getvalue(),
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out1 = np.load(_io.BytesIO(r.read()), allow_pickle=False)
+        assert out1.shape == (3, 32, 32)
+        np.testing.assert_allclose(out1, out[0], rtol=1e-5, atol=1e-4)
+
+        # wrong shape -> 400 with a JSON error
+        buf = _io.BytesIO(); np.save(buf, np.zeros((2, 5, 5), np.float32))
+        req = urllib.request.Request(f"{base}/infer", data=buf.getvalue(),
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+        # unknown route -> 404
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{base}/nope", timeout=30)
+        assert ei.value.code == 404
+    finally:
+        srv.shutdown()
