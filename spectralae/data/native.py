@@ -128,6 +128,13 @@ def yuv_to_bgr(y: np.ndarray, u: np.ndarray, v: np.ndarray,
         raise RuntimeError("native library not built or lacks "
                            "sae_yuv_to_bgr (make -C native)")
     h, w = y.shape
+    if sy not in (1, 2) or sx not in (1, 2) or h < sy or w < sx:
+        raise ValueError(f"bad subsampling ({sy},{sx}) for {h}x{w}")
+    if u.shape != (h // sy, w // sx) or v.shape != u.shape:
+        # validated here so a mismatch is a ValueError, not an
+        # out-of-bounds read in the C loop
+        raise ValueError(f"chroma planes {u.shape}/{v.shape} do not match "
+                         f"y {y.shape} with subsampling ({sy},{sx})")
     y = np.ascontiguousarray(y, dtype=np.uint8)
     u = np.ascontiguousarray(u, dtype=np.uint8)
     v = np.ascontiguousarray(v, dtype=np.uint8)

@@ -37,7 +37,8 @@ class InferenceServer:
     """
 
     def __init__(self, model, host: str = "127.0.0.1", port: int = 8000,
-                 warmup: bool = False):
+                 warmup: bool = False,
+                 max_request_bytes: int = 256 * 1024 * 1024):
         self._model = model
         self._lock = threading.Lock()
         if warmup:
@@ -50,6 +51,7 @@ class InferenceServer:
                    "what": manifest.get("what"),
                    "domain": manifest.get("domain"),
                    "input_shape": [d, nx, ny],
+                   "batch": manifest.get("batch"),
                    "platforms": manifest.get("platforms")}
         server = self
 
@@ -78,8 +80,15 @@ class InferenceServer:
                 if self.path != "/infer":
                     self._json(404, {"error": f"no route {self.path}"})
                     return
+                n = int(self.headers.get("Content-Length", 0))
+                if n > max_request_bytes:
+                    # reject before buffering — one oversized request must
+                    # not OOM the serving process
+                    self._json(413, {"error":
+                                     f"payload {n} bytes exceeds the "
+                                     f"{max_request_bytes}-byte limit"})
+                    return
                 try:
-                    n = int(self.headers.get("Content-Length", 0))
                     arr = np.load(io.BytesIO(self.rfile.read(n)),
                                   allow_pickle=False)
                 except Exception as e:
@@ -94,9 +103,17 @@ class InferenceServer:
                                      f"expected [B, {d}, {nx}, {ny}] "
                                      f"(or one frame), got {arr.shape}"})
                     return
-                with server._lock:
-                    out = np.asarray(server._model(
-                        np.ascontiguousarray(arr, np.float32)))
+                try:
+                    with server._lock:
+                        out = np.asarray(server._model(
+                            np.ascontiguousarray(arr, np.float32)))
+                except ValueError as e:
+                    # e.g. fixed-batch artifact with the wrong batch size
+                    self._json(400, {"error": str(e)})
+                    return
+                except Exception as e:  # device/runtime failure
+                    self._json(500, {"error": f"inference failed: {e}"})
+                    return
                 if squeeze:
                     out = out[0]
                 buf = io.BytesIO()

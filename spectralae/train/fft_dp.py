@@ -122,7 +122,11 @@ def fft_burst_dp(x: jax.Array, expout: jax.Array, out0: jax.Array,
     if mom is None:
         mom = (jnp.zeros_like(c), jnp.zeros_like(f),
                jnp.zeros_like(b), jnp.zeros_like(p))
-    if use_pallas:
+    if use_pallas or reanchor_every is not None:
+        # re-anchoring only exists (and is only needed) on the
+        # correlation-space path — the ω-space body recomputes the forward
+        # every iteration and has no anchored decomposition to reset — so
+        # an explicit reanchor_every forces the corr path on any platform
         from .fft_corr import burst_corr
         return burst_corr(x, expout, out0, c, f, b, p, mom,
                           lr=lr, alpha=alpha, iters=iters,

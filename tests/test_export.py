@@ -181,3 +181,42 @@ def test_http_inference_server(tmp_path):
         assert ei.value.code == 404
     finally:
         srv.shutdown()
+
+
+def test_http_server_fixed_batch_and_size_limit(tmp_path):
+    """Review fixes: fixed-batch mismatch surfaces as a 400 JSON error (not
+    a dropped connection), healthz exposes the required batch, and
+    oversized requests are rejected 413 before buffering."""
+    import io as _io
+    import urllib.request
+    import urllib.error
+    from spectralae.io.server import InferenceServer
+
+    _, spec, params = _small_net()
+    path = export_model(params, spec, tmp_path / "art", what="forward",
+                        domain="fft", batch=4)
+    srv = InferenceServer(ServingModel.load(path), port=0,
+                          max_request_bytes=1 << 20)
+    srv.start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["batch"] == 4
+        x = np.zeros((2, 3, 32, 32), np.float32)  # valid shape, wrong B
+        buf = _io.BytesIO(); np.save(buf, x)
+        req = urllib.request.Request(f"{base}/infer", data=buf.getvalue(),
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+        assert "batch" in json.loads(ei.value.read())["error"]
+
+        big = np.zeros((40, 3, 64, 64), np.float32)  # > 1 MiB payload
+        buf = _io.BytesIO(); np.save(buf, big)
+        req = urllib.request.Request(f"{base}/infer", data=buf.getvalue(),
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 413
+    finally:
+        srv.shutdown()

@@ -219,3 +219,19 @@ def test_cli_burst_maxdiff_and_reanchor(tmp_path, capsys):
           "--log-every", "1"])
     out = capsys.readouterr().out
     assert '"mse0"' in out and '"mseN"' in out
+
+
+def test_reanchor_forces_corr_path_on_any_platform():
+    """--reanchor must never be silently dropped: on CPU (where the
+    fallback would be the ω-space body) fft_burst_dp with reanchor_every
+    routes to the correlation path."""
+    from spectralae.train.fft_corr import fft_burst_corr
+    xs, out0, enc, dec = setup(b=2)
+    got = fft_burst_dp(xs, xs, out0, enc.c, dec.c, enc.b, dec.b,
+                       lr=0.2, iters=8, reanchor_every=4)
+    want = fft_burst_corr(xs, xs, out0, enc.c, dec.c, enc.b, dec.b,
+                          lr=0.2, iters=8, reanchor_every=4)
+    np.testing.assert_allclose(np.asarray(got.c), np.asarray(want.c),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.mses), np.asarray(want.mses),
+                               rtol=1e-6)

@@ -350,3 +350,15 @@ def test_cli_accepts_y4m_source(tmp_path, capsys):
           "--source", str(p), "--log-every", "1"])
     out = capsys.readouterr().out
     assert '"step": 0' in out and '"loss"' in out
+
+
+def test_native_yuv_rejects_mismatched_planes():
+    from spectralae.data import native
+    if not native.has_yuv():
+        pytest.skip("native lib not built")
+    y = np.zeros((12, 16), np.uint8)
+    with pytest.raises(ValueError, match="chroma planes"):
+        native.yuv_to_bgr(y, np.zeros((6, 8), np.uint8),
+                          np.zeros((6, 8), np.uint8), 1, 1)
+    with pytest.raises(ValueError, match="bad subsampling"):
+        native.yuv_to_bgr(y, y, y, 3, 1)
