@@ -114,7 +114,7 @@ def main():
 
     impls = {
         "corr": lambda x: fft_burst_corr(
-            x, x, out0, enc.c, dec.c, enc.b, dec.b, lr=0.2,
+            x, None, out0, enc.c, dec.c, enc.b, dec.b, lr=0.2,
             iters=burst_iters),
         "pallas-fused": lambda x: fft_burst_pallas_fused(
             x, x, out0, enc.c, dec.c, enc.b, dec.b, lr=0.2,
@@ -149,7 +149,7 @@ def main():
     # precompute (the corr burst's per-iteration cost is resolution- and
     # batch-independent) ----
     def burst400(x):
-        r = fft_burst_corr(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+        r = fft_burst_corr(x, None, out0, enc.c, dec.c, enc.b, dec.b,
                            lr=0.2, iters=400)
         return r, x + r.mses[-1] * 0.0 + 1e-6
     dt = time_chained(burst400, x0, n=10)
@@ -172,7 +172,7 @@ def main():
         outB = fwdB(paramsB, xb0[None])[0]
 
         def burst_big(x, o=outB, e=encB, d_=decB, it=iters_n):
-            r = fft_burst_corr(x, x, o, e.c, d_.c, e.b, d_.b, lr=0.2,
+            r = fft_burst_corr(x, None, o, e.c, d_.c, e.b, d_.b, lr=0.2,
                                iters=it)
             return r, x + r.mses[-1] * 0.0 + 1e-6
         dt = time_chained(burst_big, xb0, n=nlinks)
@@ -228,7 +228,7 @@ def main():
     from spectralae.train.fft_dp import fft_burst_dp
 
     def dp_step(x):
-        r = fft_burst_dp(x, x, out8, enc.c, dec.c, enc.b, dec.b,
+        r = fft_burst_dp(x, None, out8, enc.c, dec.c, enc.b, dec.b,
                          lr=0.2, iters=100)
         return r, x + r.mses[-1] * 0.0 + 1e-6
     x8 = frame(b=8)

@@ -15,3 +15,4 @@ from .core.types import (AEParams, ConvStage, NetSpec, initial_spec,  # noqa: E4
 from .model.engine import Engine, dispatch_key  # noqa: E402,F401
 from .model import autoencoder as model  # noqa: E402,F401
 from .io.export import ServingModel, export_model  # noqa: E402,F401
+from .io.server import InferenceServer  # noqa: E402,F401

@@ -150,7 +150,7 @@ def _train_bursts(args):
             in_b = layers[2 * n_l + 1]
             out_b = layers[len(layers) - 2 - 2 * n_l]
             enc, dec = params.pair(n_l)
-            res = fft_burst_dp(in_b, in_b, out_b, enc.c, dec.c,
+            res = fft_burst_dp(in_b, None, out_b, enc.c, dec.c,
                                enc.b, dec.b, moms[n_l], lr=args.lr,
                                alpha=args.alpha, iters=args.iters,
                                maxdiff=args.maxdiff,

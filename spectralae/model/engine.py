@@ -186,7 +186,7 @@ class Engine:
             # (autoencoder.cpp:194-197); like the reference, the fft burst
             # requires gpu==1 — with gpu off training falls through to the
             # CPU coordinate backprop and stays armed (autoencoder.cpp:182-200)
-            res = auto_burst(in_s, in_s, out_s, enc.c, dec.c, enc.b, dec.b,
+            res = auto_burst(in_s, None, out_s, enc.c, dec.c, enc.b, dec.b,
                              lr=f.lr, alpha=f.alpha,
                              iters=self.cfg.fft_iters, maxdiff=f.maxdiff,
                              w0=self.cfg.maxdiff_w0, w1=self.cfg.maxdiff_w1,

@@ -441,10 +441,13 @@ def burst_corr(x, expout, out0, c, f, b, p, mom=None, *,
     """Correlation-space burst; semantics of ``fft_burst``/``fft_burst_dp``.
 
     ``x/expout/out0``: ``[D, h, w]`` or batched ``[B, D, h, w]`` (gradients
-    batch-averaged).  Inside shard_map, ``axis_name`` pmeans the
-    correlation tensors over the data axis and ``model_axis`` shards the
-    precompute's irfft2 planes; the iterations then run replicated and
-    collective-free.
+    batch-averaged).  ``expout=None`` means "train against the input
+    itself" (every reference/engine/CLI call site) — binding the SAME
+    traced array lets XLA CSE the Y-side FFT and correlation products out
+    of the precompute, unlike passing a duplicate argument.  Inside
+    shard_map, ``axis_name`` pmeans the correlation tensors over the data
+    axis and ``model_axis`` shards the precompute's transform planes; the
+    iterations then run replicated and collective-free.
 
     ``reanchor_every``: re-anchor the decomposition every R iterations by
     recomputing the true forward and fresh XE0/XG0 tensors — resets the
@@ -453,6 +456,8 @@ def burst_corr(x, expout, out0, c, f, b, p, mom=None, *,
     reference recursion, so the segmented burst equals the unsegmented
     one in exact arithmetic).  Costs one precompute per segment.
     """
+    if expout is None:
+        expout = x
     if x.ndim == 3:
         x, expout, out0 = x[None], expout[None], out0[None]
     nx, ny = x.shape[-2], x.shape[-1]

@@ -112,13 +112,17 @@ def fft_burst_dp(x: jax.Array, expout: jax.Array, out0: jax.Array,
                  reanchor_every: int | None = None) -> FFTBurstResult:
     """Single-device batched burst: ``x/expout/out0`` are ``[B, D, h, w]``.
 
-    Dispatches to the correlation-space burst on TPU (iteration cost
-    independent of B and resolution — the batch only enters the one-time
-    correlation precompute).  ``maxdiff`` enables the multiobjective
-    kernel-diversity combination; ``reanchor_every`` (corr path) resets
-    the cancellation floor on long bursts."""
+    ``expout=None`` trains against the input itself (lets XLA CSE the
+    expected-output transforms out of the corr precompute).  Dispatches to
+    the correlation-space burst on TPU (iteration cost independent of B
+    and resolution — the batch only enters the one-time correlation
+    precompute).  ``maxdiff`` enables the multiobjective kernel-diversity
+    combination; ``reanchor_every`` (corr path) resets the cancellation
+    floor on long bursts."""
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform in ("tpu", "axon")
+    if expout is None and not (use_pallas or reanchor_every is not None):
+        expout = x  # the ω-space fallback has no None handling
     if mom is None:
         mom = (jnp.zeros_like(c), jnp.zeros_like(f),
                jnp.zeros_like(b), jnp.zeros_like(p))
@@ -192,6 +196,8 @@ def distributed_burst(mesh: Mesh, *, lr: float = 0.2, alpha: float = 0.9,
 
     @jax.jit
     def run(x, expout, out0, c, f, b, p, mom=None):
+        if expout is None:
+            expout = x  # same traced value → XLA CSEs the Y-side work
         if mom is None:
             mom = (jnp.zeros_like(c), jnp.zeros_like(f),
                    jnp.zeros_like(b), jnp.zeros_like(p))

@@ -380,6 +380,8 @@ def auto_burst(x, expout, out0, c, f, b, p, mom=None, *, lr=0.2, alpha=0.9,
     """
     from .fft import fft_burst
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    if expout is None and not on_tpu:
+        expout = x  # the ω-space fallback has no None handling
     if on_tpu:
         from .fft_corr import fft_burst_corr
         # beyond the reference's 100 inner iterations, re-anchor each 100

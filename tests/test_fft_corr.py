@@ -244,3 +244,15 @@ def test_corr_burst_zero_iters_is_identity():
                     lr=0.2, iters=0, impl="dft")
     np.testing.assert_allclose(np.asarray(r.mses), np.asarray(ref.mses),
                                rtol=1e-4)
+
+
+def test_corr_burst_expout_none_equals_explicit():
+    """expout=None (train against the input) is bit-identical to passing
+    the input explicitly — it only changes what XLA can CSE."""
+    x, out0, enc, dec = setup()
+    a = fft_burst_corr(x, None, out0, enc.c, dec.c, enc.b, dec.b,
+                       lr=0.2, iters=7)
+    b = fft_burst_corr(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                       lr=0.2, iters=7)
+    np.testing.assert_array_equal(np.asarray(a.c), np.asarray(b.c))
+    np.testing.assert_array_equal(np.asarray(a.mses), np.asarray(b.mses))
