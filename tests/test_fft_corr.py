@@ -256,3 +256,20 @@ def test_corr_burst_expout_none_equals_explicit():
                        lr=0.2, iters=7)
     np.testing.assert_array_equal(np.asarray(a.c), np.asarray(b.c))
     np.testing.assert_array_equal(np.asarray(a.mses), np.asarray(b.mses))
+
+
+def test_corr_burst_non_square_grid():
+    """nx ≠ ny exercises the separable lag bases' distinct axis handling."""
+    cfg = Config(nx=16, ny=24, d=2,
+                 layer=LayerParams(depth=3, lk=1, ll=1, scale=1, rmax=0.5))
+    spec = initial_spec(cfg)
+    params = init_params(jax.random.key(4), spec, 0.5)
+    x = jnp.asarray(np.random.default_rng(4).normal(
+        size=(2, 16, 24)).astype(np.float32)) * 50
+    out0 = model.forward_fft(params, x[None], spec.scales)[0]
+    enc, dec = params.pair(0)
+    ref = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                    lr=0.2, iters=6, impl="dft")
+    got = fft_burst_corr(x, None, out0, enc.c, dec.c, enc.b, dec.b,
+                         lr=0.2, iters=6)
+    assert_matches(got, ref)
