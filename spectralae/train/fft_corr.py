@@ -190,17 +190,22 @@ def corr_precompute(x, expout, out0, c0, f0, *, scale_by_dm=True,
     O0 = spectral.rfft2(out0)
     Xc = jnp.conj(X)
     E0 = O0 - Y
-    # anchor mismatch G₀ = s1·K̂₀X − O₀ (continuum two-stage conv of the
-    # initial kernels, no DC bias injections — biases are exact scalar
-    # corrections in the iterate)
+    # anchor mismatch G₀ = s1·K̂₀X − O₀, still accumulated BIN-WISE (the
+    # anchoring precision invariant) but through the COMPOSED kernel
+    # K₀ = f₀ ∗ c₀ — [D, D] spectra of the (4h+1)² composed taps instead
+    # of two M-wide convs over [M, D] kernel spectra (6× less anchor-stage
+    # work at M=10; ĉ·f̂ summed over m ≡ K̂₀ by the same one-hot scatter
+    # map the iterate's R(ΔK) identity is built on)
     from ..ops import dft
-    Cf0 = dft.kernel_spectrum(c0, nx, ny)
-    Ff0 = dft.kernel_spectrum(f0, nx, ny)
-    zM = jnp.zeros((dM,), x.dtype)
-    zD = jnp.zeros((dD,), x.dtype)
-    H0 = spectral.spectral_conv(X, Cf0, zM, nx, ny, scale_by_dm=scale_by_dm)
-    O0fwd = spectral.spectral_conv(H0, Ff0, zD, nx, ny,
-                                   scale_by_dm=scale_by_dm)
+    P = nk * nl
+    hx2, hy2 = maps["l2ext"]
+    K2 = jnp.einsum("emq,mdr->edqr", f0.reshape(dD, dM, P),
+                    c0.reshape(dM, dD, P)).reshape(dD * dD, P * P)
+    K0taps = (K2 @ jnp.asarray(maps["g_scatter_pair"])
+              ).reshape(dD, dD, 2 * hx2 + 1, 2 * hy2 + 1)
+    K0f = dft.kernel_spectrum(K0taps, nx, ny)          # [D, D, nx, nyr]
+    s1 = (1.0 / (dM * dD)) if scale_by_dm else 1.0
+    O0fwd = jnp.einsum("edxy,bdxy->bexy", K0f, X) * s1
     G0 = O0fwd - O0
     # batch-averaged correlation tensors (Hermitian products ⇒ real);
     # the mean over B commutes with the irfft2, so average the bin-wise

@@ -105,3 +105,34 @@ def test_multiobjective_engages_and_still_reconstructs():
     c_div = np.asarray(eng_div.params.stages[0].c)
     assert not np.array_equal(c_plain, c_div)   # term engaged
     assert recon_err(eng_div, x) < err0         # still learning
+
+
+def test_production_features_compose():
+    """bf16 streaming + remat + grad accumulation + optax all compose in
+    one training run and still converge."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from spectralae.core.config import Config, LayerParams
+    from spectralae.core.types import init_params, initial_spec
+    from spectralae.train.modern import (make_optax_train_step,
+                                         make_optimizer)
+    cfg = Config(nx=16, ny=16, d=2,
+                 layer=LayerParams(depth=4, lk=0, ll=0, scale=2, rmax=0.5))
+    spec = initial_spec(cfg)
+    params = init_params(jax.random.key(0), spec, 0.5)
+    optimizer = make_optimizer("adam", 0.3)
+    step = make_optax_train_step(optimizer, domain="fft",
+                                 compute_dtype=jnp.bfloat16, remat=True,
+                                 accum_steps=2)
+    opt = optimizer.init(params)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(4, 2, 16, 16)).astype(np.float32)) * 20
+    losses = []
+    for _ in range(30):
+        res = step(params, opt, x, spec.scales)
+        params, opt = res.params, res.opt
+        losses.append(float(res.loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9
+    assert params.stages[0].c.dtype == jnp.float32
