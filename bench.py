@@ -22,9 +22,16 @@ Extended results go to bench_details.json.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# per-process input nonce: chains must differ not only between trials but
+# between *runs* — the execution relay caches (executable, args) across
+# processes, and a repeated run with identical seeded inputs times ~0
+# (observed on the coord-conv rows)
+_NONCE = np.float32((os.getpid() % 9973) * 1e-7 + (time.time() % 1) * 1e-5)
 
 import jax
 import jax.numpy as jnp
@@ -69,9 +76,9 @@ def time_chained(step, x0, n=20, warmup=1, trials=5):
     def run_chains(n_links):
         best = float("inf")
         for trial in range(trials):
-            # distinct chain per trial — a repeated chain would be
-            # deduplicated by the relay and time ~0
-            x = x0 + (trial + 1) * 1e-5
+            # distinct chain per trial AND per process — a repeated chain
+            # would be deduplicated by the relay and time ~0
+            x = x0 + (trial + 1) * 1e-5 + _NONCE
             t0 = time.perf_counter()
             _fetch_scalar(x)
             fetch_rt = time.perf_counter() - t0
