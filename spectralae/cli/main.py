@@ -217,7 +217,7 @@ def _train_steps(args):
         params, spec, opt, extra = ckpt.load(args.resume)
         if use_optax:
             opt = optimizer.init(params)
-            optax_file = Path(args.resume) / "optax.npz"
+            optax_file = ckpt.resolve(args.resume) / "optax.npz"
             if optax_file.exists():
                 opt = ckpt.load_optax_state(optax_file, opt)
         elif opt is None:
@@ -230,12 +230,24 @@ def _train_steps(args):
         opt = (optimizer.init(params) if use_optax
                else init_opt_state(params))
 
-    def save_ckpt(path, step_n):
-        if use_optax:
+    def save_ckpt(path, step_n, final=False):
+        if args.ckpt_history > 0:
+            dest = ckpt.save_rotating(path, params, spec,
+                                      None if use_optax else opt,
+                                      extra={"step": step_n}, step=step_n,
+                                      keep=args.ckpt_history)
+            if use_optax:
+                ckpt.save_optax_state(Path(dest) / "optax.npz", opt)
+        elif use_optax:
             ckpt.save(path, params, spec, None, extra={"step": step_n})
             ckpt.save_optax_state(Path(path) / "optax.npz", opt)
+        elif args.ckpt_async and not final:
+            ckpt.save_async(path, params, spec, opt,
+                            extra={"step": step_n})
         else:
             ckpt.save(path, params, spec, opt, extra={"step": step_n})
+        if final:
+            ckpt.wait_pending_saves()
 
     src = _source(args)
     metrics = Path(args.metrics) if args.metrics else None
@@ -271,7 +283,7 @@ def _train_steps(args):
             save_ckpt(args.ckpt, step_i)
     pf.close()
     if args.ckpt:
-        save_ckpt(args.ckpt, args.steps)
+        save_ckpt(args.ckpt, args.steps, final=True)
         print(f"checkpoint written to {args.ckpt}", flush=True)
 
 
@@ -477,6 +489,13 @@ def main(argv=None):
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--ckpt", default="")
     p.add_argument("--ckpt-every", type=int, default=100)
+    p.add_argument("--ckpt-history", type=int, default=0, metavar="N",
+                   help="keep a rotating history of the newest N "
+                        "step-stamped checkpoints under --ckpt (0 = one "
+                        "directory, overwritten)")
+    p.add_argument("--ckpt-async", action="store_true",
+                   help="write mid-run checkpoints on a background worker "
+                        "(final checkpoint is always synchronous)")
     p.add_argument("--resume", default="",
                    help="checkpoint dir to resume params/opt/step from")
     p.add_argument("--metrics", default="")

@@ -66,9 +66,74 @@ def save(path: str | Path, params: AEParams, spec: NetSpec,
     (path / "manifest.json").write_text(json.dumps(manifest, indent=2))
 
 
-def load(path: str | Path):
-    """Returns (params, spec, opt_or_None, extra)."""
+_SAVE_POOL = None
+
+
+def save_async(path: str | Path, params: AEParams, spec: NetSpec,
+               opt: OptState | None = None, extra: dict | None = None):
+    """Non-blocking :func:`save`: device→host fetch and file IO run on a
+    single background worker (saves stay ordered), so the train loop
+    never stalls on checkpoint writes.  Returns a ``Future``; call
+    :func:`wait_pending_saves` (or ``.result()``) before exiting.
+
+    Safe because jax arrays are immutable — the worker snapshots exactly
+    the params passed in even if training continues.
+    """
+    global _SAVE_POOL
+    if _SAVE_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _SAVE_POOL = ThreadPoolExecutor(max_workers=1,
+                                        thread_name_prefix="ckpt-save")
+    return _SAVE_POOL.submit(save, path, params, spec, opt, extra)
+
+
+def wait_pending_saves() -> None:
+    """Block until every :func:`save_async` in flight has committed."""
+    global _SAVE_POOL
+    if _SAVE_POOL is not None:
+        _SAVE_POOL.shutdown(wait=True)
+        _SAVE_POOL = None
+
+
+def save_rotating(root: str | Path, params: AEParams, spec: NetSpec,
+                  opt: OptState | None = None, extra: dict | None = None,
+                  *, step: int, keep: int = 3) -> Path:
+    """Step-stamped checkpoint history: writes ``root/step_{step:08d}``,
+    points ``root/LATEST`` at it, prunes to the newest ``keep`` — the
+    standard guard against a crash mid-write corrupting the only copy
+    (the reference keeps exactly one shape-keyed file set, SURVEY §2.7).
+    """
+    root = Path(root)
+    dest = root / f"step_{step:08d}"
+    save(dest, params, spec, opt, extra={**(extra or {}), "step": step})
+    if jax.process_index() != 0:
+        return dest
+    (root / "LATEST").write_text(dest.name)
+    olds = sorted(p for p in root.iterdir()
+                  if p.is_dir() and p.name.startswith("step_"))
+    for p in olds[:-keep] if keep > 0 else []:
+        import shutil
+        shutil.rmtree(p, ignore_errors=True)
+    return dest
+
+
+def resolve(path: str | Path) -> Path:
+    """Resolve a checkpoint argument to a concrete checkpoint directory —
+    either the directory itself or, for a :func:`save_rotating` root, the
+    directory its ``LATEST`` marker points at."""
     path = Path(path)
+    if not (path / "manifest.json").exists() and (path / "LATEST").exists():
+        return path / (path / "LATEST").read_text().strip()
+    return path
+
+
+def load(path: str | Path):
+    """Returns (params, spec, opt_or_None, extra).
+
+    Accepts either a single checkpoint directory or a rotation root
+    written by :func:`save_rotating` (resolved through ``LATEST``).
+    """
+    path = resolve(path)
     manifest = json.loads((path / "manifest.json").read_text())
     if manifest["format_version"] != FORMAT_VERSION:
         raise ValueError(f"unsupported checkpoint version "

@@ -362,3 +362,48 @@ def test_native_yuv_rejects_mismatched_planes():
                           np.zeros((6, 8), np.uint8), 1, 1)
     with pytest.raises(ValueError, match="bad subsampling"):
         native.yuv_to_bgr(y, y, y, 3, 1)
+
+
+def test_rotating_checkpoints_prune_and_resolve(tmp_path):
+    cfg, spec, params = setup()
+    for step in (10, 20, 30, 40):
+        ckpt.save_rotating(tmp_path / "hist", params, spec, step=step,
+                           keep=2)
+    dirs = sorted(p.name for p in (tmp_path / "hist").iterdir()
+                  if p.is_dir())
+    assert dirs == ["step_00000030", "step_00000040"]
+    assert (tmp_path / "hist" / "LATEST").read_text() == "step_00000040"
+    p2, spec2, _, extra = ckpt.load(tmp_path / "hist")
+    assert extra["step"] == 40
+    np.testing.assert_array_equal(np.asarray(p2.stages[0].c),
+                                  np.asarray(params.stages[0].c))
+
+
+def test_async_save_commits_and_orders(tmp_path):
+    cfg, spec, params = setup()
+    import jax.numpy as jnp
+    from spectralae.core.types import ConvStage
+    from spectralae.core.types import AEParams
+    p1 = params
+    p2 = AEParams(stages=tuple(
+        ConvStage(c=s.c + 1.0, b=s.b) for s in params.stages))
+    ckpt.save_async(tmp_path / "a", p1, spec, extra={"step": 1})
+    ckpt.save_async(tmp_path / "a", p2, spec, extra={"step": 2})
+    ckpt.wait_pending_saves()
+    loaded, _, _, extra = ckpt.load(tmp_path / "a")
+    assert extra["step"] == 2  # last writer wins (ordered worker)
+    np.testing.assert_array_equal(np.asarray(loaded.stages[0].c),
+                                  np.asarray(p2.stages[0].c))
+
+
+def test_cli_train_ckpt_history_resume(tmp_path, capsys):
+    from spectralae.cli.main import main
+    main(["train", "--nx", "16", "--steps", "5", "--batch", "2",
+          "--ckpt", str(tmp_path / "h"), "--ckpt-every", "2",
+          "--ckpt-history", "2", "--log-every", "1"])
+    capsys.readouterr()
+    assert (tmp_path / "h" / "LATEST").exists()
+    main(["train", "--nx", "16", "--steps", "7", "--batch", "2",
+          "--resume", str(tmp_path / "h"), "--log-every", "1"])
+    out = capsys.readouterr().out
+    assert "resumed from" in out and '"step": 5' in out
