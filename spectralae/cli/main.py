@@ -375,7 +375,8 @@ def cmd_serve(args):
     m = ServingModel.load(args.model)
     if args.http is not None:
         from ..io.server import InferenceServer
-        srv = InferenceServer(m, port=args.http, warmup=True)
+        srv = InferenceServer(m, port=args.http, warmup=True,
+                              batch_window_ms=args.http_batch_ms)
         print(json.dumps({"serving": args.model, "port": srv.port,
                           "routes": ["/healthz", "/infer"]}), flush=True)
         try:
@@ -555,6 +556,10 @@ def main(argv=None):
                    help="serve the artifact over HTTP instead of a local "
                         "loop (GET /healthz, POST /infer with .npy body; "
                         "0 picks a free port)")
+    p.add_argument("--http-batch-ms", type=float, default=0.0,
+                   help="dynamic batching window for concurrent /infer "
+                        "requests (batch-polymorphic artifacts only; "
+                        "0 disables)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="run the benchmark harness")

@@ -19,10 +19,90 @@ from __future__ import annotations
 
 import io
 import json
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+
+class _BatchItem:
+    __slots__ = ("arr", "event", "out", "err")
+
+    def __init__(self, arr):
+        self.arr = arr
+        self.event = threading.Event()
+        self.out = None
+        self.err = None
+
+
+class _DynamicBatcher:
+    """Coalesce concurrent inference requests into one device call.
+
+    Handler threads enqueue ``[B_i, ...]`` arrays; a dispatcher thread
+    collects whatever arrives within ``window_s`` (up to ``max_batch``
+    frames), runs the model ONCE on the concatenated batch, and fans the
+    outputs back out.  Requires a batch-polymorphic artifact.  Under
+    load this amortizes the per-call dispatch latency across requests —
+    the standard dynamic-batching pattern of production inference
+    servers; the reference has no serving story at all.
+    """
+
+    def __init__(self, model, window_s: float, max_batch: int):
+        self._model = model
+        self._window = window_s
+        self._max = max_batch
+        self._q: queue.Queue[_BatchItem] = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="infer-batcher")
+        self._thread.start()
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            frames = first.arr.shape[0]
+            deadline = time.monotonic() + self._window
+            while frames < self._max:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=left)
+                except queue.Empty:
+                    break
+                batch.append(nxt)
+                frames += nxt.arr.shape[0]
+            try:
+                out = np.asarray(self._model(
+                    np.concatenate([b.arr for b in batch], axis=0)))
+                ofs = 0
+                for b in batch:
+                    b.out = out[ofs:ofs + b.arr.shape[0]]
+                    ofs += b.arr.shape[0]
+            except Exception as e:  # pragma: no cover - device failure
+                for b in batch:
+                    b.err = e
+            for b in batch:
+                b.event.set()
+
+    def infer(self, arr: np.ndarray, timeout: float = 300.0) -> np.ndarray:
+        item = _BatchItem(arr)
+        self._q.put(item)
+        if not item.event.wait(timeout):
+            raise TimeoutError("inference timed out")
+        if item.err is not None:
+            raise item.err
+        return item.out
+
+    def shutdown(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
 
 
 class InferenceServer:
@@ -34,13 +114,21 @@ class InferenceServer:
     zero-filled inference before the server accepts traffic so the
     first real request doesn't pay device compile/dispatch latency
     (measured ~87 s cold vs 30 ms warm on the remote-TPU rig).
+    ``batch_window_ms > 0`` enables dynamic batching of concurrent
+    requests (:class:`_DynamicBatcher`; needs a batch-polymorphic
+    artifact — ignored for fixed-batch exports).
     """
 
     def __init__(self, model, host: str = "127.0.0.1", port: int = 8000,
                  warmup: bool = False,
-                 max_request_bytes: int = 256 * 1024 * 1024):
+                 max_request_bytes: int = 256 * 1024 * 1024,
+                 batch_window_ms: float = 0.0, max_batch: int = 64):
         self._model = model
         self._lock = threading.Lock()
+        self._batcher = None
+        if batch_window_ms > 0 and model.manifest.get("batch") is None:
+            self._batcher = _DynamicBatcher(model, batch_window_ms / 1e3,
+                                            max_batch)
         if warmup:
             d, nx, ny = model.input_shape
             wb = model.manifest.get("batch") or 1
@@ -104,9 +192,12 @@ class InferenceServer:
                                      f"(or one frame), got {arr.shape}"})
                     return
                 try:
-                    with server._lock:
-                        out = np.asarray(server._model(
-                            np.ascontiguousarray(arr, np.float32)))
+                    arr = np.ascontiguousarray(arr, np.float32)
+                    if server._batcher is not None:
+                        out = server._batcher.infer(arr)
+                    else:
+                        with server._lock:
+                            out = np.asarray(server._model(arr))
                 except ValueError as e:
                     # e.g. fixed-batch artifact with the wrong batch size
                     self._json(400, {"error": str(e)})
@@ -138,5 +229,7 @@ class InferenceServer:
     def shutdown(self) -> None:
         self._httpd.shutdown()
         self._httpd.server_close()
+        if self._batcher is not None:
+            self._batcher.shutdown()
         if self._thread is not None:
             self._thread.join(timeout=5)

@@ -220,3 +220,59 @@ def test_http_server_fixed_batch_and_size_limit(tmp_path):
         assert ei.value.code == 413
     finally:
         srv.shutdown()
+
+
+def test_http_dynamic_batching_coalesces(tmp_path):
+    """Concurrent /infer requests within the window share ONE model call
+    and all receive their own correct slice."""
+    import io as _io
+    import threading
+    import urllib.request
+    from spectralae.io.server import InferenceServer
+
+    _, spec, params = _small_net()
+    path = export_model(params, spec, tmp_path / "art", what="forward",
+                        domain="fft", batch=None)
+    inner = ServingModel.load(path)
+
+    class Counting:
+        def __init__(self, m):
+            self._m = m
+            self.calls = 0
+            self.manifest = m.manifest
+            self.input_shape = m.input_shape
+
+        def __call__(self, x):
+            self.calls += 1
+            return self._m(x)
+
+    m = Counting(inner)
+    srv = InferenceServer(m, port=0, batch_window_ms=300)
+    srv.start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        xs = [(np.random.default_rng(i).normal(size=(1, 3, 32, 32))
+               .astype(np.float32) * 50) for i in range(4)]
+        outs = [None] * 4
+
+        def post(i):
+            buf = _io.BytesIO(); np.save(buf, xs[i])
+            req = urllib.request.Request(f"{base}/infer",
+                                         data=buf.getvalue(),
+                                         method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                outs[i] = np.load(_io.BytesIO(r.read()),
+                                  allow_pickle=False)
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i in range(4):
+            np.testing.assert_allclose(
+                outs[i], np.asarray(inner(xs[i])), rtol=1e-5, atol=1e-4)
+        assert m.calls < 4  # at least some coalescing happened
+    finally:
+        srv.shutdown()
