@@ -42,10 +42,8 @@ def _axis_bases(nk: int, nl: int, nx: int, ny: int):
     ry = (np.arange(nl) - nl // 2) % ny           # circular kernel cols
     px = 2 * np.pi * np.outer(rx, np.arange(nx)) / nx     # [nk, nx]
     py = 2 * np.pi * np.outer(ry, np.arange(nyr)) / ny    # [nl, nyr]
-    herm = np.full((nyr,), 2.0, np.float32)
-    herm[0] = 1.0
-    if ny % 2 == 0:
-        herm[-1] = 1.0
+    from .spectral import _hermitian_weights
+    herm = _hermitian_weights(nx, ny)
     return (np.cos(px).astype(np.float32), np.sin(px).astype(np.float32),
             np.cos(py).astype(np.float32), np.sin(py).astype(np.float32),
             herm)

@@ -63,3 +63,18 @@ def tree_update(params, grads, moms, prev_grads, lr, alpha, *, active=False):
     new_m = treedef.unflatten([o.mom for o in out])
     new_pg = treedef.unflatten([o.prev_grad for o in out])
     return new_w, new_m, new_pg
+
+
+def burst_inertia(w: jax.Array, g: jax.Array, mom: jax.Array,
+                  lr_eff: float, alpha: float):
+    """The burst weight update (``backprop_d``, fft_backproplib.cu:605-652):
+    normalized/clipped gradient with inertia, effective lr already scaled
+    (the reference burst uses ``0.1·del``).  Shared by every jnp-level
+    burst body so the clipping rule lives in ONE place; the in-Pallas-
+    kernel copies mirror it and are equality-tested against these paths.
+
+    Returns ``(new_w, new_mom)``.
+    """
+    dw = (1.0 - alpha) * lr_eff * g / jnp.maximum(jnp.abs(g), GRAD_CLIP) \
+        + alpha * mom
+    return w - dw, dw

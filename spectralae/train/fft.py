@@ -29,7 +29,7 @@ from jax import lax
 
 from ..ops import dft, spectral
 from ..losses.losses import diversity_gradients
-from ..optim.update import GRAD_CLIP
+from ..optim.update import GRAD_CLIP, burst_inertia
 
 
 class FFTBurstResult(NamedTuple):
@@ -106,9 +106,7 @@ def _two_stage_output(X, c, f, b, p, nx, ny, scale_by_dm=True, impl="fft"):
 
 
 def _inertia(w, g, mom, lr, alpha):
-    dw = (1.0 - alpha) * lr * g / jnp.maximum(jnp.abs(g), GRAD_CLIP) \
-        + alpha * mom
-    return w - dw, dw
+    return burst_inertia(w, g, mom, lr, alpha)
 
 
 @functools.partial(

@@ -63,12 +63,12 @@ from jax import lax
 
 from ..losses.losses import diversity_gradients
 from ..ops import spectral
-from ..optim.update import GRAD_CLIP
+from ..optim.update import burst_inertia
 from .fft import FFTBurstResult
 
 
 @functools.lru_cache(maxsize=None)
-def _lag_maps(nk: int, nl: int, nx: int, ny: int):
+def _lag_maps(nk: int, nl: int):
     """Static index maps between tap-offset lags and gathered tensors.
 
     Taps: a ∈ [−hx, hx] × [−hy, hy].  Lag grids per axis: L2 = ±2h (pair
@@ -125,11 +125,8 @@ def _lag_basis(nx: int, ny: int, hx: int, hy: int):
     exponential, so windows wider than the grid alias exactly like the
     FFT path did.
     """
+    w = spectral._hermitian_weights(nx, ny).astype(np.float64)
     nyr = ny // 2 + 1
-    w = np.full((nyr,), 2.0, np.float64)
-    w[0] = 1.0
-    if ny % 2 == 0:
-        w[-1] = 1.0
     vy = np.arange(-hy, hy + 1)
     vx = np.arange(-hx, hx + 1)
     ay = 2.0 * np.pi * np.arange(nyr)[:, None] * vy[None, :] / ny
@@ -155,14 +152,10 @@ def _corr_windows(prods, nx, ny, hx, hy):
     return ein("pxv,xu->puv", sr, bxc) - ein("pxv,xu->puv", si, bxs)
 
 
-@functools.lru_cache(maxsize=None)
 def _herm_w(nx: int, ny: int):
-    nyr = ny // 2 + 1
-    w = np.full((nyr,), 2.0, np.float32)
-    w[0] = 1.0
-    if ny % 2 == 0:
-        w[-1] = 1.0
-    return w[None, :] * np.ones((nx, 1), np.float32)
+    # canonical constructor lives in ops/spectral (one site for the
+    # odd-ny edge case); broadcasts over the column axis
+    return spectral._hermitian_weights(nx, ny)
 
 
 def corr_precompute(x, expout, out0, c0, f0, *, scale_by_dm=True,
@@ -184,7 +177,7 @@ def corr_precompute(x, expout, out0, c0, f0, *, scale_by_dm=True,
     dD = x.shape[-3]
     dM = c0.shape[0]
     nk, nl = c0.shape[-2], c0.shape[-1]
-    maps = _lag_maps(nk, nl, nx, ny)
+    maps = _lag_maps(nk, nl)
     X = spectral.rfft2(x)                          # [B, D, nx, nyr]
     Y = spectral.rfft2(expout)
     O0 = spectral.rfft2(out0)
@@ -207,23 +200,28 @@ def corr_precompute(x, expout, out0, c0, f0, *, scale_by_dm=True,
     s1 = (1.0 / (dM * dD)) if scale_by_dm else 1.0
     O0fwd = jnp.einsum("edxy,bdxy->bexy", K0f, X) * s1
     G0 = O0fwd - O0
-    # batch-averaged correlation tensors (Hermitian products ⇒ real);
-    # the mean over B commutes with the irfft2, so average the bin-wise
-    # products first and run ONE batched transform of 3·D² planes
+    # batch-averaged correlation tensors (Hermitian products ⇒ real); the
+    # mean over B commutes with the transform, so average the bin-wise
+    # products first.  Centered lag windows via the separable restricted
+    # iDFT (:func:`_lag_basis`): the burst reads only a handful of lags
+    # per plane, so four small matmuls beat a full-grid inverse FFT — and
+    # each plane group is transformed at exactly the extent it needs (XX
+    # at ±4h for the L2-difference tensor, XE0/XG0 at ±2h: ~1.9× less
+    # matmul work than one all-V4 pass)
     nyr = X.shape[-1]
-    prods = jnp.concatenate([
-        jnp.mean(Xc[:, :, None] * X[:, None], axis=0).reshape(-1, nx, nyr),
+    prods_xx = jnp.mean(Xc[:, :, None] * X[:, None],
+                        axis=0).reshape(-1, nx, nyr)
+    prods_eg = jnp.concatenate([
         jnp.mean(Xc[:, :, None] * E0[:, None], axis=0).reshape(-1, nx, nyr),
         jnp.mean(Xc[:, :, None] * G0[:, None], axis=0).reshape(-1, nx, nyr),
     ], axis=0)
-    # centered lag windows via the separable restricted iDFT
-    # (:func:`_lag_basis`): the burst reads only (8h+1)² lags per plane, so
-    # four small matmuls beat a full-grid inverse FFT — at 1024² this
-    # avoids a 27-plane irfft2 and its Nx·Ny·planes f32 intermediate
     hx4, hy4 = maps["v4ext"]
-    if model_axis is not None:
+
+    def windows(prods, hx_, hy_):
+        if model_axis is None:
+            return _corr_windows(prods, nx, ny, hx_, hy_)
         # TP: each model shard transforms its slice of the plane stack;
-        # the gathered windows are tiny ([planes, 8h+1, 8h+1])
+        # the gathered windows are tiny ([planes, 2h+1, 2h+1])
         nm = lax.axis_size(model_axis)
         nplanes = prods.shape[0]
         chunk = -(-nplanes // nm)
@@ -231,19 +229,16 @@ def corr_precompute(x, expout, out0, c0, f0, *, scale_by_dm=True,
                                   (0, 0), (0, 0)))
         mine = lax.dynamic_slice_in_dim(
             prods_p, lax.axis_index(model_axis) * chunk, chunk)
-        win_mine = _corr_windows(mine, nx, ny, hx4, hy4)
-        win = lax.all_gather(win_mine, model_axis, axis=0
-                             ).reshape(-1, 2 * hx4 + 1,
-                                       2 * hy4 + 1)[:nplanes]
-    else:
-        win = _corr_windows(prods, nx, ny, hx4, hy4)
+        win_mine = _corr_windows(mine, nx, ny, hx_, hy_)
+        return lax.all_gather(win_mine, model_axis, axis=0
+                              ).reshape(-1, 2 * hx_ + 1,
+                                        2 * hy_ + 1)[:nplanes]
+
     dd = dD * dD
-    hx2, hy2 = maps["l2ext"]
-    ctr = lambda t: t[:, hx4 - hx2: hx4 + hx2 + 1,
-                      hy4 - hy2: hy4 + hy2 + 1]
-    XX = win[:dd].reshape(dD, dD, -1)
-    XE0 = ctr(win[dd:2 * dd]).reshape(dD, dD, -1)
-    XG0 = ctr(win[2 * dd:]).reshape(dD, dD, -1)
+    win_eg = windows(prods_eg, hx2, hy2)
+    XX = windows(prods_xx, hx4, hy4).reshape(dD, dD, -1)
+    XE0 = win_eg[:dd].reshape(dD, dD, -1)
+    XG0 = win_eg[dd:].reshape(dD, dD, -1)
     wv = jnp.asarray(_herm_w(nx, ny))
     E0E0 = jnp.mean(jnp.sum((E0.real ** 2 + E0.imag ** 2) * wv,
                             axis=(-2, -1, -3)))
@@ -289,7 +284,7 @@ def corr_iterate(T, c, f, b, p, mom=None, *, nx, ny,
     del_eff = 0.1 * lr
     s1 = (1.0 / (dM * dD)) if scale_by_dm else 1.0
     s2 = (1.0 / dD) if scale_by_dm else 1.0
-    maps = _lag_maps(nk, nl, nx, ny)
+    maps = _lag_maps(nk, nl)
     n2, n4 = maps["n2"], maps["n4"]
     XXf = T["XX"].reshape(dD, dD, n4)
     XE0f = T["XE0"].reshape(dD, dD, n2)          # [d (X̄), d' (E₀), L2]
@@ -363,9 +358,7 @@ def corr_iterate(T, c, f, b, p, mom=None, *, nx, ny,
             dp = w0 * dp - w1 * pd
 
         def inertia(wgt, g, mo):
-            dw = (1.0 - alpha) * del_eff * g \
-                / jnp.maximum(jnp.abs(g), GRAD_CLIP) + alpha * mo
-            return wgt - dw, dw
+            return burst_inertia(wgt, g, mo, del_eff, alpha)
 
         # the burst applies exactly `iters` updates; the gradient of the
         # final forward is discarded (matching fft_pallas/fft semantics)
@@ -403,9 +396,7 @@ def corr_iterate(T, c, f, b, p, mom=None, *, nx, ny,
         dp0 = w0 * dp0 - w1 * pd
 
     def inertia0(wgt, g, mo):
-        dw = (1.0 - alpha) * del_eff * g \
-            / jnp.maximum(jnp.abs(g), GRAD_CLIP) + alpha * mo
-        return wgt - dw, dw
+        return burst_inertia(wgt, g, mo, del_eff, alpha)
 
     c1_, Dc = inertia0(c, gc0, mom[0])
     f1_, Df = inertia0(f, gf0, mom[1])

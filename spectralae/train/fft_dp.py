@@ -20,7 +20,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import dft, spectral
-from ..optim.update import GRAD_CLIP
+from ..optim.update import burst_inertia
 from .fft import FFTBurstResult
 
 
@@ -62,9 +62,7 @@ def _burst_dp_body(x, expout, out0, c, f, b, p, mom, *, lr, alpha, iters,
     mses = jnp.zeros((iters + 1,), x.dtype).at[0].set(batch_mse(Y, O))
 
     def inertia(w, g, mo):
-        dw = (1.0 - alpha) * del_eff * g / jnp.maximum(jnp.abs(g), GRAD_CLIP) \
-            + alpha * mo
-        return w - dw, dw
+        return burst_inertia(w, g, mo, del_eff, alpha)
 
     def body(i, carry):
         c, f, b, p, Dc, Df, Db, Dp, O, mses = carry
@@ -113,14 +111,18 @@ def fft_burst_dp(x: jax.Array, expout: jax.Array, out0: jax.Array,
     """Single-device batched burst: ``x/expout/out0`` are ``[B, D, h, w]``.
 
     ``expout=None`` trains against the input itself (lets XLA CSE the
-    expected-output transforms out of the corr precompute).  Dispatches to
-    the correlation-space burst on TPU (iteration cost independent of B
-    and resolution — the batch only enters the one-time correlation
-    precompute).  ``maxdiff`` enables the multiobjective kernel-diversity
-    combination; ``reanchor_every`` (corr path) resets the cancellation
-    floor on long bursts."""
+    expected-output transforms out of the corr precompute).  ``maxdiff``
+    enables the multiobjective kernel-diversity combination;
+    ``reanchor_every`` resets the cancellation floor on long bursts.
+
+    ``use_pallas`` (historical name): ``True``/auto-on-TPU selects the
+    TPU-optimized **correlation-space** body; ``False`` the jnp ω-space
+    body (cross-validation).  The per-iteration Pallas ω-space bodies are
+    only selectable via :func:`distributed_burst` or
+    :mod:`spectralae.train.fft_pallas` directly."""
     if use_pallas is None:
-        use_pallas = jax.devices()[0].platform in ("tpu", "axon")
+        from ..ops.pallas_kernels import _on_tpu
+        use_pallas = _on_tpu()
     if expout is None and not (use_pallas or reanchor_every is not None):
         expout = x  # the ω-space fallback has no None handling
     if mom is None:
@@ -159,6 +161,11 @@ def distributed_burst(mesh: Mesh, *, lr: float = 0.2, alpha: float = 0.9,
     collective-free.  ``use_pallas`` selects the per-iteration ω-space
     bodies (True: fused Pallas; False: jnp einsum) for cross-validation.
     """
+    if reanchor_every is not None and use_pallas is not None:
+        # re-anchoring only exists on the corr body (use_pallas=None);
+        # the ω-space cross-validation bodies would silently ignore it
+        raise ValueError("reanchor_every requires the default "
+                         "(correlation-space) body — drop use_pallas")
     from jax import shard_map
 
     batch_spec = P("data", None, None, None)

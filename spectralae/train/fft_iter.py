@@ -210,7 +210,8 @@ def burst_itergrid(x, expout, out0, c, f, b, p, mom=None, *,
     (batch-averaged gradients, ``fft_burst_dp`` semantics).
     """
     if interpret is None:
-        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        from ..ops.pallas_kernels import _on_tpu
+        interpret = not _on_tpu()
     batched = x.ndim == 4
     if not batched:
         x, expout, out0 = x[None], expout[None], out0[None]

@@ -48,7 +48,11 @@ TW = int(_os.environ.get("SPECTRALAE_PALLAS_TW", "2048"))
 
 def _tile_width(nb: int, m: int, d: int) -> int:
     """ω-tile width keeping per-tile temporaries (the [B,M,D,TW] broadcast
-    products dominate) within a few MB of VMEM."""
+    products dominate) within a few MB of VMEM.  An explicit
+    SPECTRALAE_PALLAS_TW override is authoritative (rounded down to a
+    lane multiple of 128, min 128) — including values below 256."""
+    if "SPECTRALAE_PALLAS_TW" in _os.environ:
+        return max(128, (TW // 128) * 128)
     budget_lanes = 6 * 1024 * 1024 // (4 * max(1, 10 * nb * m * d))
     tw = 256
     while tw * 2 <= min(TW, budget_lanes):
@@ -56,7 +60,7 @@ def _tile_width(nb: int, m: int, d: int) -> int:
     return tw
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=4)  # dense [P, Wpad] pairs are ~105 MB at 1024²
 def _basis(nk: int, nl: int, nx: int, ny: int, wpad: int):
     """Unweighted restricted-DFT basis, layout [P, Wpad] (see ops/dft.py)."""
     nyr = ny // 2 + 1
@@ -74,14 +78,12 @@ def _basis(nk: int, nl: int, nx: int, ny: int, wpad: int):
 
 @functools.lru_cache(maxsize=None)
 def _herm_weights(nx: int, ny: int, wpad: int):
-    """Per-bin Hermitian double-count weights, zero in the padding."""
+    """Per-bin Hermitian double-count weights, zero in the padding
+    (canonical per-column constructor: ops/spectral._hermitian_weights)."""
+    from ..ops.spectral import _hermitian_weights
     nyr = ny // 2 + 1
-    w = np.full((nyr,), 2.0, np.float32)
-    w[0] = 1.0
-    if ny % 2 == 0:
-        w[-1] = 1.0
     out = np.zeros((wpad,), np.float32)
-    out[: nx * nyr] = np.tile(w, nx)
+    out[: nx * nyr] = np.tile(_hermitian_weights(nx, ny), nx)
     return out.reshape(1, wpad)
 
 
@@ -243,7 +245,8 @@ def burst_pallas_body(x: jax.Array, expout: jax.Array, out0: jax.Array,
     The multiobjective diversity term operates on the tiny compact kernels,
     so it stays in plain jnp between the two Pallas sweeps."""
     if interpret is None:
-        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        from ..ops.pallas_kernels import _on_tpu
+        interpret = not _on_tpu()
     batched = x.ndim == 4
     if not batched:
         x, expout, out0 = x[None], expout[None], out0[None]
@@ -379,7 +382,8 @@ def auto_burst(x, expout, out0, c, f, b, p, mom=None, *, lr=0.2, alpha=0.9,
     O(1) per iteration in resolution; the jnp ω-space path elsewhere.
     """
     from .fft import fft_burst
-    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    from ..ops.pallas_kernels import _on_tpu
+    on_tpu = _on_tpu()
     if expout is None and not on_tpu:
         expout = x  # the ω-space fallback has no None handling
     if on_tpu:
@@ -507,7 +511,8 @@ def burst_pallas_fused(x, expout, out0, c, f, b, p, mom=None, *,
     """Iteration-fused burst: one Pallas sweep per iteration (plus one
     initial gradient sweep).  Semantics identical to ``burst_pallas_body``."""
     if interpret is None:
-        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        from ..ops.pallas_kernels import _on_tpu
+        interpret = not _on_tpu()
     batched = x.ndim == 4
     if not batched:
         x, expout, out0 = x[None], expout[None], out0[None]

@@ -41,6 +41,7 @@ def reconstruction_loss(params: AEParams, x: jax.Array, scales, *,
     the reference's activation is identity there too, backproplib.cu:38-44).
     ``remat`` checkpoints per-stage blocks (see the forwards' docstrings).
     """
+    x32 = x.astype(jnp.float32)   # full-precision target in BOTH domains
     if domain == "fft":
         out = model.forward_fft(params, x, scales, scale_by_dm=scale_by_dm,
                                 compute_dtype=compute_dtype, remat=remat)
@@ -51,7 +52,6 @@ def reconstruction_loss(params: AEParams, x: jax.Array, scales, *,
         out = model.forward_coord(params, x, scales, tap_mode=tap_mode,
                                   scale_by_dm=scale_by_dm, act=act,
                                   remat=remat)[-1]
-    x32 = x.astype(jnp.float32)
     return 0.5 * jnp.mean((out.astype(jnp.float32) - x32) ** 2)
 
 

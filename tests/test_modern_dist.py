@@ -247,3 +247,33 @@ def test_cli_train_remat_accum(tmp_path, capsys):
           "--accum", "2", "--remat", "--log-every", "1"])
     out = capsys.readouterr().out
     assert '"step": 0' in out and '"loss"' in out
+
+
+def test_coord_bf16_loss_targets_full_precision_input():
+    """Review fix: the coord bf16 path must compare against the f32 input,
+    not its bf16 quantization — at params=identity-ish zero the loss must
+    reflect the true target, matching the fft-domain convention."""
+    from spectralae.train.modern import reconstruction_loss
+    cfg, spec, params = setup()
+    x = jnp.asarray(np.random.default_rng(8).normal(
+        size=(2, cfg.d, cfg.nx, cfg.nx)).astype(np.float32)) * 20
+    l32 = float(reconstruction_loss(params, x, spec.scales, domain="coord"))
+    l16 = float(reconstruction_loss(params, x, spec.scales, domain="coord",
+                                    compute_dtype=jnp.bfloat16))
+    # same target: losses agree to bf16 forward error, not target error
+    assert abs(l16 - l32) / l32 < 0.02
+    # and the target itself is NOT quantized: loss at out=0 equals
+    # 0.5*mean(x^2) exactly in f32
+    zero_params = jax.tree.map(jnp.zeros_like, params)
+    lz = float(reconstruction_loss(zero_params, x, spec.scales,
+                                   domain="coord",
+                                   compute_dtype=jnp.bfloat16))
+    want = float(0.5 * jnp.mean(x.astype(jnp.float32) ** 2))
+    np.testing.assert_allclose(lz, want, rtol=1e-6)
+
+
+def test_distributed_burst_rejects_reanchor_with_explicit_body():
+    from spectralae.train.fft_dp import distributed_burst
+    m = dist.make_mesh(n_data=8)
+    with pytest.raises(ValueError, match="reanchor_every"):
+        distributed_burst(m, use_pallas=False, reanchor_every=10)
