@@ -170,8 +170,16 @@ class InferenceServer:
                     return
                 n = int(self.headers.get("Content-Length", 0))
                 if n > max_request_bytes:
-                    # reject before buffering — one oversized request must
-                    # not OOM the serving process
+                    # reject without BUFFERING (the memory bound), but
+                    # drain the body in small chunks first — closing while
+                    # the client is mid-write gives them EPIPE instead of
+                    # this error response
+                    left = n
+                    while left > 0:
+                        chunk = self.rfile.read(min(left, 1 << 16))
+                        if not chunk:
+                            break
+                        left -= len(chunk)
                     self._json(413, {"error":
                                      f"payload {n} bytes exceeds the "
                                      f"{max_request_bytes}-byte limit"})
