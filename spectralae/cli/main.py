@@ -208,7 +208,10 @@ def _train_steps(args):
     act = leaky_relu if args.activation == "leaky_relu" else None
     cdtype = jnp.bfloat16 if args.bf16 else None
     if use_optax:
-        optimizer = make_optimizer(args.optimizer, args.lr)
+        optimizer = make_optimizer(args.optimizer, args.lr,
+                                   schedule=args.lr_schedule,
+                                   warmup_steps=args.warmup,
+                                   total_steps=args.steps)
         optax_step = make_optax_train_step(
             optimizer, domain=args.domain, act=act, compute_dtype=cdtype,
             remat=args.remat, accum_steps=args.accum)
@@ -485,6 +488,12 @@ def main(argv=None):
     p.add_argument("--accum", type=int, default=1,
                    help="gradient-accumulation microbatches per step "
                         "(batch must divide evenly)")
+    p.add_argument("--lr-schedule", choices=("constant", "cosine", "linear"),
+                   default="constant",
+                   help="optax learning-rate schedule (optax optimizers "
+                        "only; decays over --steps)")
+    p.add_argument("--warmup", type=int, default=0,
+                   help="linear lr warmup steps (optax optimizers only)")
     p.add_argument("--activation", choices=("identity", "leaky_relu"),
                    default="identity")
     p.add_argument("--log-every", type=int, default=10)

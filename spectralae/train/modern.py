@@ -174,14 +174,45 @@ def make_optax_train_step(optimizer, *, domain: str = "fft",
     return step
 
 
-def make_optimizer(name: str, lr: float):
-    """Named optax optimizers for the CLI (``--optimizer``)."""
+def make_optimizer(name: str, lr: float, *, schedule: str = "constant",
+                   warmup_steps: int = 0, total_steps: int = 0,
+                   end_lr_frac: float = 0.0):
+    """Named optax optimizers for the CLI (``--optimizer``).
+
+    ``schedule``: 'constant', 'cosine' (cosine decay to
+    ``end_lr_frac·lr`` over ``total_steps``), or 'linear'; any schedule
+    composes with ``warmup_steps`` of linear warmup from 0.
+    """
     import optax
+    sched: float | optax.Schedule
+    if schedule == "constant":
+        sched = lr
+        if warmup_steps:
+            sched = optax.schedules.linear_schedule(0.0, lr, warmup_steps)
+    elif schedule in ("cosine", "linear"):
+        if total_steps <= 0:
+            raise ValueError(f"schedule={schedule!r} needs total_steps>0 "
+                             "(the CLI passes --steps)")
+        decay = max(1, total_steps - warmup_steps)
+        if schedule == "cosine":
+            body = optax.schedules.cosine_decay_schedule(
+                lr, decay, alpha=end_lr_frac)
+        else:
+            body = optax.schedules.linear_schedule(lr, lr * end_lr_frac,
+                                                   decay)
+        if warmup_steps:
+            sched = optax.schedules.join_schedules(
+                [optax.schedules.linear_schedule(0.0, lr, warmup_steps),
+                 body], [warmup_steps])
+        else:
+            sched = body
+    else:
+        raise ValueError(f"unknown schedule {schedule!r}")
     if name == "adam":
-        return optax.adam(lr)
+        return optax.adam(sched)
     if name == "adamw":
-        return optax.adamw(lr)
+        return optax.adamw(sched)
     if name == "sgd":
-        return optax.sgd(lr, momentum=0.9)
+        return optax.sgd(sched, momentum=0.9)
     raise ValueError(f"unknown optimizer {name!r} "
                      "(choose adam, adamw, or sgd)")
