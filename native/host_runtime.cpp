@@ -177,4 +177,57 @@ void sae_yuv_to_bgr(const uint8_t* y, const uint8_t* u, const uint8_t* v,
   for (auto& th : workers) th.join();
 }
 
+// PNG scanline unfiltering (RFC 2083 filters 0-4).  raw is h rows of
+// [1 filter byte + w_bytes filtered data]; out is h*w_bytes recovered
+// bytes.  The predictors are sequential per byte (sub/average/paeth
+// depend on the already-reconstructed left neighbor), which is why this
+// lives in C — feeding image-directory datasets at video rate
+// (spectralae.viz.png.read_png; Python fallback loops per byte).
+// Returns 0 on success, the bad filter type on failure.
+int sae_png_unfilter(const uint8_t* raw, uint8_t* out, int h, int w_bytes,
+                     int ch) {
+  for (int r = 0; r < h; ++r) {
+    const uint8_t ft = raw[(int64_t)r * (w_bytes + 1)];
+    const uint8_t* src = raw + (int64_t)r * (w_bytes + 1) + 1;
+    uint8_t* dst = out + (int64_t)r * w_bytes;
+    const uint8_t* up = r ? out + (int64_t)(r - 1) * w_bytes : nullptr;
+    switch (ft) {
+      case 0:
+        std::memcpy(dst, src, w_bytes);
+        break;
+      case 1:  // sub
+        for (int i = 0; i < w_bytes; ++i)
+          dst[i] = (uint8_t)(src[i] + (i >= ch ? dst[i - ch] : 0));
+        break;
+      case 2:  // up
+        for (int i = 0; i < w_bytes; ++i)
+          dst[i] = (uint8_t)(src[i] + (up ? up[i] : 0));
+        break;
+      case 3:  // average
+        for (int i = 0; i < w_bytes; ++i) {
+          const int a = i >= ch ? dst[i - ch] : 0;
+          const int b = up ? up[i] : 0;
+          dst[i] = (uint8_t)(src[i] + ((a + b) >> 1));
+        }
+        break;
+      case 4:  // paeth
+        for (int i = 0; i < w_bytes; ++i) {
+          const int a = i >= ch ? dst[i - ch] : 0;
+          const int b = up ? up[i] : 0;
+          const int c = (up && i >= ch) ? up[i - ch] : 0;
+          const int p = a + b - c;
+          const int pa = p > a ? p - a : a - p;
+          const int pb = p > b ? p - b : b - p;
+          const int pc = p > c ? p - c : c - p;
+          const int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+          dst[i] = (uint8_t)(src[i] + pred);
+        }
+        break;
+      default:
+        return ft;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

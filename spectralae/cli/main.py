@@ -59,6 +59,8 @@ def _source(args):
         return pipeline.camera_frames()
     if args.source.endswith(".y4m"):
         return pipeline.y4m_video(args.source)
+    if Path(args.source).is_dir():
+        return pipeline.image_dir_frames(args.source, loop=True)
     return pipeline.npy_video(args.source)
 
 
@@ -428,8 +430,8 @@ def main(argv=None):
     p = sub.add_parser("run", help="interactive/streaming loop")
     _add_common(p)
     p.add_argument("--source", default="synthetic",
-                   help="synthetic | camera | path to a .y4m video or "
-                        ".npy/.npz frame stack")
+                   help="synthetic | camera | a .y4m video | a .npy/.npz "
+                        "frame stack | a directory of .png images")
     p.add_argument("--frames", type=int, default=100)
     p.add_argument("--outdir", default="./views")
     p.add_argument("--dump-every", type=int, default=0)

@@ -56,6 +56,9 @@ def _bind(lib: ctypes.CDLL) -> None:
     if hasattr(lib, "sae_yuv_to_bgr"):
         lib.sae_yuv_to_bgr.argtypes = [u8, u8, u8, u8] + [ctypes.c_int] * 5
         lib.sae_yuv_to_bgr.restype = None
+    if hasattr(lib, "sae_png_unfilter"):
+        lib.sae_png_unfilter.argtypes = [u8, u8] + [ctypes.c_int] * 3
+        lib.sae_png_unfilter.restype = ctypes.c_int
 
 
 def available() -> bool:
@@ -143,6 +146,31 @@ def yuv_to_bgr(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     _lib.sae_yuv_to_bgr(
         y.ctypes.data_as(p), u.ctypes.data_as(p), v.ctypes.data_as(p),
         out.ctypes.data_as(p), h, w, sy, sx, n_threads)
+    return out
+
+
+def has_png_unfilter() -> bool:
+    return available() and hasattr(_lib, "sae_png_unfilter")
+
+
+def png_unfilter(raw: bytes, h: int, w_bytes: int, ch: int) -> np.ndarray:
+    """Reverse PNG scanline filters 0-4 (sequential per byte → C).
+
+    ``raw``: ``h·(w_bytes+1)`` bytes of [filter byte + filtered row];
+    returns ``[h, w_bytes]`` recovered bytes."""
+    if not has_png_unfilter():
+        raise RuntimeError("native library not built or lacks "
+                           "sae_png_unfilter (make -C native)")
+    if len(raw) < h * (w_bytes + 1):
+        raise ValueError("raw buffer shorter than h*(w_bytes+1)")
+    src = np.frombuffer(raw, np.uint8, h * (w_bytes + 1))
+    src = np.ascontiguousarray(src)
+    out = np.empty((h, w_bytes), np.uint8)
+    p = ctypes.POINTER(ctypes.c_uint8)
+    rc = _lib.sae_png_unfilter(src.ctypes.data_as(p),
+                               out.ctypes.data_as(p), h, w_bytes, ch)
+    if rc != 0:
+        raise ValueError(f"unsupported PNG filter type {rc}")
     return out
 
 

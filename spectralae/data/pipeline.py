@@ -155,6 +155,32 @@ def y4m_video(path: str) -> Iterator[np.ndarray]:
             yield np.clip(np.round(bgr), 0, 255).astype(np.uint8)
 
 
+def image_dir_frames(path: str, *, loop: bool = False
+                     ) -> Iterator[np.ndarray]:
+    """Frames from a directory of ``.png`` images (sorted by name) — a
+    dataset source the reference lacks (camera only).  Decoded by the
+    dependency-free reader in :mod:`spectralae.viz.png` (all filter
+    types; C unfilter when the native lib is built).  Grayscale images
+    are broadcast to 3 channels; channel order passes through unchanged
+    (PNGs written by this framework's own viz dumps round-trip exactly).
+    ``loop=True`` cycles the directory forever (epoch training).
+    """
+    from pathlib import Path as _P
+
+    from ..viz.png import read_png
+    files = sorted(_P(path).glob("*.png"))
+    if not files:
+        raise ValueError(f"{path}: no .png files")
+    while True:
+        for f in files:
+            img = read_png(f)
+            if img.ndim == 2:
+                img = np.repeat(img[:, :, None], 3, axis=2)
+            yield img
+        if not loop:
+            return
+
+
 def camera_frames(index: int = 0) -> Iterator[np.ndarray]:
     """Live camera via OpenCV when available (reference A2)."""
     try:

@@ -407,3 +407,81 @@ def test_cli_train_ckpt_history_resume(tmp_path, capsys):
           "--resume", str(tmp_path / "h"), "--log-every", "1"])
     out = capsys.readouterr().out
     assert "resumed from" in out and '"step": 5' in out
+
+
+def _encode_png_with_filters(img, filters):
+    """Build a PNG whose row r uses filters[r % len] — forward-filters the
+    scanlines so read_png must correctly reverse sub/up/avg/paeth."""
+    import struct
+    import zlib
+    h, w, ch = img.shape
+    raw = bytearray()
+    prev = np.zeros((w * ch,), np.int32)
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    for r in range(h):
+        ft = filters[r % len(filters)]
+        row = flat[r]
+        enc = np.zeros((w * ch,), np.int32)
+        for i in range(w * ch):
+            a = row[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if (r and i >= ch) else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b if r else 0
+            elif ft == 3:
+                pred = (a + (b if r else 0)) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+            enc[i] = (row[i] - pred) & 0xFF
+        raw.append(ft)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+    header = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", header)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_read_png_all_filter_types(tmp_path, monkeypatch):
+    """read_png reverses every scanline filter (0-4), via both the C
+    unfilter and the pure-Python fallback."""
+    from spectralae.viz import png as pngmod
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    p = tmp_path / "f.png"
+    p.write_bytes(_encode_png_with_filters(img, [0, 1, 2, 3, 4]))
+    got = pngmod.read_png(p)
+    np.testing.assert_array_equal(got, img)
+    # force the Python fallback
+    from spectralae.data import native
+    monkeypatch.setattr(native, "has_png_unfilter", lambda: False)
+    np.testing.assert_array_equal(pngmod.read_png(p), img)
+
+
+def test_image_dir_source_and_cli(tmp_path, capsys):
+    from spectralae.viz.png import read_png, write_png
+    rng = np.random.default_rng(12)
+    for i in range(3):
+        write_png(tmp_path / f"frame_{i:03d}.png",
+                  rng.integers(0, 256, size=(20, 18, 3), dtype=np.uint8))
+    frames = list(pipeline.image_dir_frames(str(tmp_path)))
+    assert len(frames) == 3
+    assert frames[0].shape == (20, 18, 3)
+    np.testing.assert_array_equal(frames[1],
+                                  read_png(tmp_path / "frame_001.png"))
+    from spectralae.cli.main import main
+    main(["train", "--nx", "16", "--steps", "2", "--batch", "2",
+          "--source", str(tmp_path), "--log-every", "1"])
+    out = capsys.readouterr().out
+    assert '"step": 1' in out
