@@ -69,11 +69,34 @@ def main():
     r = burst(x, x, out0, enc.c, dec.c, enc.b, dec.b)
     mses = np.asarray(r.mses, dtype=np.float64)
 
+    # DP×TP across the process boundary: a (data=4, model=2) mesh whose
+    # 'model' axis PAIRS one device from each host (interleaved device
+    # order) — the corr precompute's plane transforms shard over it and
+    # the window all_gather crosses processes.  Model-replication across
+    # hosts means every host holds each data shard, so the local batch
+    # is the full global batch here.
+    by_proc = [[d for d in jax.devices() if d.process_index == i]
+               for i in range(2)]
+    interleaved = [d for pair in zip(*by_proc) for d in pair]
+    mesh_tp = dist.make_mesh(n_data=4, n_model=2, devices=interleaved)
+    x_tp = jax.make_array_from_process_local_data(
+        dist.batch_sharding(mesh_tp), gb)
+    rep_tp = NamedSharding(mesh_tp, P())
+    params_tp = jax.tree.map(lambda t: jax.device_put(
+        np.asarray(t), rep_tp), params)
+    enc_tp, dec_tp = params_tp.pair(0)
+    out0_tp = jax.jit(lambda p, xx: model.forward_fft(
+        p, xx, spec.scales))(params_tp, x_tp)
+    r_tp = distributed_burst(mesh_tp, iters=5)(
+        x_tp, x_tp, out0_tp, enc_tp.c, dec_tp.c, enc_tp.b, dec_tp.b)
+    mses_tp = np.asarray(r_tp.mses, dtype=np.float64)
+
     print(json.dumps({
         "pid": pid,
         "coordinator": is_coordinator(),
         "losses": [round(v, 6) for v in losses],
         "burst_mse0": float(mses[0]), "burst_mseN": float(mses[-1]),
+        "tp_mse0": float(mses_tp[0]), "tp_mseN": float(mses_tp[-1]),
     }), flush=True)
 
 

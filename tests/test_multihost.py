@@ -50,3 +50,8 @@ def test_two_process_train_and_burst():
     np.testing.assert_allclose(r0["burst_mse0"], r1["burst_mse0"], rtol=1e-6)
     assert r0["losses"][-1] < r0["losses"][0]
     assert r0["burst_mseN"] < r0["burst_mse0"]
+    # the DP×TP burst (model axis crossing the process boundary) agrees
+    # with the DP-only burst on the same data and descends identically
+    np.testing.assert_allclose(r0["tp_mse0"], r0["burst_mse0"], rtol=1e-4)
+    np.testing.assert_allclose(r0["tp_mseN"], r0["burst_mseN"], rtol=1e-3)
+    np.testing.assert_allclose(r0["tp_mseN"], r1["tp_mseN"], rtol=1e-6)
