@@ -61,7 +61,10 @@ def _source(args):
         return pipeline.y4m_video(args.source)
     if Path(args.source).is_dir():
         return pipeline.image_dir_frames(args.source, loop=True)
-    return pipeline.npy_video(args.source)
+    if args.source.endswith((".npy", ".npz")):
+        return pipeline.npy_video(args.source)
+    # anything else: let OpenCV demux it (mp4/avi/mkv/...)
+    return pipeline.video_file_frames(args.source, loop=True)
 
 
 def cmd_run(args):
@@ -416,6 +419,48 @@ def cmd_serve(args):
                       "platforms": m.manifest["platforms"]}), flush=True)
 
 
+def cmd_doctor(args):
+    """Environment diagnostic: devices, compile cache, native lib, deps —
+    and (unless --no-device) a tiny jitted matmul round-trip to prove the
+    device path end to end."""
+    import jax
+    import jax.numpy as jnp
+    from ..core.runtime import cache_dir
+    from ..data import native
+    info = {
+        "jax": jax.__version__,
+        "numpy": np.__version__,
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "process": f"{jax.process_index()}/{jax.process_count()}",
+        "compile_cache": str(cache_dir()),
+        "native_lib": {
+            "available": native.available(),
+            "batch_stage": native.has_batch(),
+            "yuv_decode": native.has_yuv(),
+            "png_unfilter": native.has_png_unfilter(),
+        },
+    }
+    try:
+        import optax
+        info["optax"] = optax.__version__
+    except ImportError:
+        info["optax"] = None
+    try:
+        import cv2
+        info["opencv"] = cv2.__version__
+    except ImportError:
+        info["opencv"] = None
+    if not args.no_device:
+        import time as _t
+        t0 = _t.perf_counter()
+        v = float(jnp.sum(jax.jit(lambda a: a @ a)(jnp.ones((128, 128)))))
+        info["device_check"] = {"ok": v == 128.0 * 128 * 128,
+                                "round_trip_s": round(_t.perf_counter() - t0,
+                                                      3)}
+    print(json.dumps(info, indent=2), flush=True)
+
+
 def cmd_bench(args):
     import bench
     bench.main()
@@ -430,8 +475,10 @@ def main(argv=None):
     p = sub.add_parser("run", help="interactive/streaming loop")
     _add_common(p)
     p.add_argument("--source", default="synthetic",
-                   help="synthetic | camera | a .y4m video | a .npy/.npz "
-                        "frame stack | a directory of .png images")
+                   help="synthetic | camera | a .y4m video (cv2-free) | any "
+                        "OpenCV-demuxable video (mp4/avi/mkv/...) | a "
+                        ".npy/.npz frame stack | a directory of .png "
+                        "images")
     p.add_argument("--frames", type=int, default=100)
     p.add_argument("--outdir", default="./views")
     p.add_argument("--dump-every", type=int, default=0)
@@ -572,6 +619,12 @@ def main(argv=None):
                         "requests (batch-polymorphic artifacts only; "
                         "0 disables)")
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("doctor", help="environment diagnostic (devices, "
+                                      "cache, native lib, deps)")
+    p.add_argument("--no-device", action="store_true",
+                   help="skip the jitted device round-trip check")
+    p.set_defaults(fn=cmd_doctor)
 
     p = sub.add_parser("bench", help="run the benchmark harness")
     p.set_defaults(fn=cmd_bench)

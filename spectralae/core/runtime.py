@@ -27,3 +27,10 @@ def enable_compilation_cache(path: str | os.PathLike | None = None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     _cache_enabled = True
+
+
+def cache_dir() -> Path:
+    """The compile-cache directory (whether or not it is enabled yet)."""
+    return Path(os.environ.get(
+        "SPECTRALAE_JAX_CACHE",
+        Path(__file__).resolve().parents[2] / ".jax_cache"))

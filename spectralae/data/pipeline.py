@@ -197,6 +197,34 @@ def camera_frames(index: int = 0) -> Iterator[np.ndarray]:
         yield frame
 
 
+def video_file_frames(path: str, *, loop: bool = False
+                      ) -> Iterator[np.ndarray]:
+    """Frames from any container/codec OpenCV can demux (mp4/avi/mkv/…) —
+    BGR uint8 HWC, like the camera.  The reference can only consume the
+    camera; ``.y4m`` remains the cv2-free fallback (:func:`y4m_video`).
+    ``loop=True`` rewinds at EOF (epoch training)."""
+    try:
+        import cv2
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            f"reading {path} requires opencv-python; convert to .y4m "
+            "(ffmpeg -i in.mp4 out.y4m) for the cv2-free path") from e
+    while True:
+        cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            raise ValueError(f"OpenCV cannot open {path}")
+        got_any = False
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            got_any = True
+            yield frame
+        cap.release()
+        if not (loop and got_any):
+            return
+
+
 def resize_nn(img: np.ndarray, nx: int, ny: int) -> np.ndarray:
     """Nearest-neighbor resize of an HWC frame to (ny, nx) — stands in for
     the reference's cv::resize (autoencoder.cpp:124)."""

@@ -534,3 +534,16 @@ def test_cli_train_burst_all_pairs(tmp_path, capsys):
     for i in (0, 1):
         assert not np.array_equal(np.asarray(params.stages[i].c),
                                   np.asarray(eng.params.stages[i].c))
+
+
+def test_cli_doctor(capsys):
+    import json as _json
+    from spectralae.cli.main import main
+    main(["doctor", "--no-device"])
+    info = _json.loads(capsys.readouterr().out)
+    assert info["backend"] and info["devices"]
+    assert set(info["native_lib"]) == {"available", "batch_stage",
+                                       "yuv_decode", "png_unfilter"}
+    main(["doctor"])
+    info = _json.loads(capsys.readouterr().out)
+    assert info["device_check"]["ok"] is True

@@ -485,3 +485,39 @@ def test_image_dir_source_and_cli(tmp_path, capsys):
           "--source", str(tmp_path), "--log-every", "1"])
     out = capsys.readouterr().out
     assert '"step": 1' in out
+
+
+def test_video_file_source_mp4(tmp_path):
+    """OpenCV-demuxed video files feed the pipeline (the container image
+    ships cv2 5.x; skip only if it ever disappears)."""
+    cv2 = pytest.importorskip("cv2")
+    path = str(tmp_path / "v.avi")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10, (32, 24))
+    assert w.isOpened()
+    for i in range(5):
+        w.write(np.full((24, 32, 3), i * 40, np.uint8))
+    w.release()
+    frames = list(pipeline.video_file_frames(path))
+    assert len(frames) == 5
+    assert frames[0].shape == (24, 32, 3) and frames[0].dtype == np.uint8
+    # MJPG is lossy but flat frames survive within a few counts
+    assert abs(int(frames[2].mean()) - 80) <= 4
+    # loop=True rewinds
+    it = pipeline.video_file_frames(path, loop=True)
+    assert len([next(it) for _ in range(12)]) == 12
+    with pytest.raises(ValueError, match="cannot open"):
+        next(pipeline.video_file_frames(str(tmp_path / "missing.mp4")))
+
+
+def test_cli_accepts_video_file(tmp_path, capsys):
+    cv2 = pytest.importorskip("cv2")
+    from spectralae.cli.main import main
+    path = str(tmp_path / "v.avi")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10, (16, 16))
+    for i in range(6):
+        w.write(np.full((16, 16, 3), 30 + i, np.uint8))
+    w.release()
+    main(["train", "--nx", "16", "--steps", "2", "--batch", "2",
+          "--source", path, "--log-every", "1"])
+    out = capsys.readouterr().out
+    assert '"step": 1' in out
