@@ -9,7 +9,9 @@ The reference's interactive OpenCV app becomes:
   - ``spectralae bench``  — the benchmark harness.
   - ``spectralae eval``   — reconstruction MSE/PSNR over a frame source.
   - ``spectralae export`` — AOT-compile a serving artifact (jax.export).
-  - ``spectralae serve``  — run inference from an exported artifact.
+  - ``spectralae serve``  — run inference from an exported artifact
+    (local loop or HTTP endpoint).
+  - ``spectralae doctor`` — environment diagnostic.
 """
 
 from __future__ import annotations
