@@ -146,9 +146,11 @@ def _train_bursts(args):
     metrics = Path(args.metrics) if args.metrics else None
     # zeroed per burst (reference semantics) unless --carry-momentum
     moms = {n_l: None for n_l in pairs}
+    last_step = 0
     for step_i, batch in enumerate(pf):
         if step_i >= args.steps:
             break
+        last_step = step_i + 1
         for n_l in pairs:
             # refresh activations between pairs — an inner pair's burst
             # changes every outer pair's target (the reference user's
@@ -181,7 +183,7 @@ def _train_bursts(args):
                         fh.write(json.dumps(rec) + "\n")
     pf.close()
     if args.ckpt:
-        ckpt.save(args.ckpt, params, spec, None, extra={"step": args.steps})
+        ckpt.save(args.ckpt, params, spec, None, extra={"step": last_step})
         print(f"checkpoint written to {args.ckpt}", flush=True)
 
 
@@ -263,6 +265,7 @@ def _train_steps(args):
     metrics = Path(args.metrics) if args.metrics else None
     pf = pipeline.DevicePrefetcher(src, args.nx, args.ny, batch=args.batch)
     t_start = time.perf_counter()
+    last_step = start_step
     for step_i, batch in enumerate(pf, start=start_step):
         if step_i >= args.steps:
             break
@@ -273,13 +276,17 @@ def _train_steps(args):
                              alpha=args.alpha, domain=args.domain,
                              compute_dtype=cdtype, act=act,
                              remat=args.remat, accum_steps=args.accum)
-        if not np.isfinite(float(res.loss)):
-            # failure detection (SURVEY.md §5.3): halt on divergence, keep
-            # the last good checkpoint instead of overwriting it
+        # failure detection (SURVEY.md §5.3): halt on divergence, keep the
+        # last good checkpoint.  The float() fetch is a host↔device sync,
+        # so check only on log steps — off-step dispatch stays pipelined
+        # behind the prefetcher
+        if step_i % args.log_every == 0 and not np.isfinite(
+                float(res.loss)):
             print(json.dumps({"step": step_i, "error": "non-finite loss",
                               "loss": float(res.loss)}), flush=True)
             break
         params, opt = res.params, res.opt
+        last_step = step_i + 1
         if step_i % args.log_every == 0:
             rec = {"step": step_i, "loss": float(res.loss),
                    "domain": args.domain,
@@ -293,8 +300,11 @@ def _train_steps(args):
             save_ckpt(args.ckpt, step_i)
     pf.close()
     if args.ckpt:
-        save_ckpt(args.ckpt, args.steps, final=True)
-        print(f"checkpoint written to {args.ckpt}", flush=True)
+        # stamped with the step actually REACHED (divergence break or an
+        # exhausted source must not fake completion — resume would no-op)
+        save_ckpt(args.ckpt, last_step, final=True)
+        print(f"checkpoint written to {args.ckpt} at step {last_step}",
+              flush=True)
 
 
 def cmd_info(args):
@@ -464,7 +474,19 @@ def cmd_doctor(args):
 
 
 def cmd_bench(args):
-    import bench
+    # bench.py lives at the repo root (a harness, not a wheel module) —
+    # resolve it for installed console scripts too
+    try:
+        import bench
+    except ImportError:
+        import sys as _sys
+        root = Path(__file__).resolve().parents[2]
+        if not (root / "bench.py").exists():
+            raise SystemExit(
+                "bench.py not found — run from a source checkout "
+                f"(looked in {root})")
+        _sys.path.insert(0, str(root))
+        import bench
     bench.main()
 
 

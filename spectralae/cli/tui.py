@@ -46,7 +46,7 @@ def run_tui(eng: Engine, source, *, nx: int, ny: int,
             frame = next(source)
             x = pipeline.frame_to_tensor(pipeline.resize_nn(frame, nx, ny))
             t0 = time.perf_counter()
-            eng.step(x)
+            eng.step(x, need_tape=True)
             dt = (time.perf_counter() - t0) * 1e3
             f = eng.flags
             status = (f"frame {i}  {dt:6.1f} ms  layer {f.n_l}  feat {f.feat}"
@@ -55,7 +55,7 @@ def run_tui(eng: Engine, source, *, nx: int, ny: int,
                       f"{' TRAIN' if f.sel else ''}"
                       f"{' sym' if f.sym else ''}"
                       f"{' maxdiff' if f.maxdiff else ''}"
-                      f"  mse {eng.last_mse if eng.last_mse else float('nan'):.4g}")
+                      f"  mse {eng.last_mse if eng.last_mse is not None else float('nan'):.4g}")
             out.write(HOME + render_dashboard(eng.current_views(), status)
                       + "\n(keys: 1..9,0,f,g,q,w,m,z,x,e,c,p,s,l,n,d,i; "
                         "Esc/Q quit)\x1b[J")

@@ -261,8 +261,12 @@ class DevicePrefetcher:
             try:
                 f = next(self._source)
             except StopIteration:
-                return None
+                break
             frames.append(f)
+        if not frames:
+            return None
+        # a finite source's trailing partial batch is yielded, not dropped
+        # (its different shape costs one extra jit specialization)
         if (_native is not None and _native.has_batch() and len(frames) > 1
                 and all(f.shape == frames[0].shape and f.dtype == np.uint8
                         for f in frames)):
@@ -274,13 +278,17 @@ class DevicePrefetcher:
             for f in frames])
 
     def _work(self):
-        while not self._stop.is_set():
-            batch = self._make_batch()
-            if batch is None:
-                self._q.put(None)
-                return
-            arr = jax.device_put(batch, self._sharding)
-            self._q.put(arr)
+        try:
+            while not self._stop.is_set():
+                batch = self._make_batch()
+                if batch is None:
+                    self._q.put(None)
+                    return
+                arr = jax.device_put(batch, self._sharding)
+                self._q.put(arr)
+        except BaseException as e:  # propagate to the consumer — a dead
+            # worker must not leave __next__ blocked forever
+            self._q.put(e)
 
     def __iter__(self):
         return self
@@ -289,6 +297,8 @@ class DevicePrefetcher:
         item = self._q.get()
         if item is None:
             raise StopIteration
+        if isinstance(item, BaseException):
+            raise item
         return item
 
     def close(self):

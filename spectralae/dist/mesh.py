@@ -51,15 +51,9 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def stage_sharding(mesh: Mesh, stage: ConvStage) -> ConvStage:
     """Shard a stage's kernels over the model axis on M when it divides."""
-    n_model = mesh.shape["model"]
-    if n_model > 1 and stage.c.shape[0] % n_model == 0:
-        c_s = NamedSharding(mesh, P("model", None, None, None))
-        b_s = NamedSharding(mesh, P("model"))
-    else:
-        c_s = NamedSharding(mesh, P())
-        b_s = NamedSharding(mesh, P())
-    return ConvStage(c=jax.device_put(stage.c, c_s),
-                     b=jax.device_put(stage.b, b_s))
+    sh = _stage_shardings(mesh, stage)
+    return ConvStage(c=jax.device_put(stage.c, sh.c),
+                     b=jax.device_put(stage.b, sh.b))
 
 
 def shard_params(params: AEParams, mesh: Mesh) -> AEParams:
@@ -69,8 +63,19 @@ def shard_params(params: AEParams, mesh: Mesh) -> AEParams:
                                  for s in params.stages))
 
 
+def _stage_shardings(mesh: Mesh, stage: ConvStage) -> ConvStage:
+    """The shardings :func:`stage_sharding` would use, without placing
+    any data (M-sharded over 'model' where divisible, else replicated)."""
+    n_model = mesh.shape["model"]
+    if n_model > 1 and stage.c.shape[0] % n_model == 0:
+        return ConvStage(c=NamedSharding(mesh, P("model", None, None, None)),
+                         b=NamedSharding(mesh, P("model")))
+    return ConvStage(c=NamedSharding(mesh, P()), b=NamedSharding(mesh, P()))
+
+
 def shard_opt_state(opt: OptState, params: AEParams, mesh: Mesh) -> OptState:
-    shardings = jax.tree.map(lambda t: t.sharding, shard_params(params, mesh))
+    shardings = AEParams(stages=tuple(_stage_shardings(mesh, s)
+                                      for s in params.stages))
     return OptState(
         mom=jax.tree.map(jax.device_put, opt.mom, shardings),
         prev_grad=jax.tree.map(jax.device_put, opt.prev_grad, shardings))

@@ -128,22 +128,25 @@ class Engine:
 
     # ------------------------------------------------------------- main loop
 
-    def step(self, frame: np.ndarray | jax.Array) -> np.ndarray:
+    def step(self, frame: np.ndarray | jax.Array, *,
+             need_tape: bool = False) -> np.ndarray:
         """One main-loop iteration on a ``[D, Nx, Ny]`` frame tensor.
 
         Runs the forward pass (selected domain), then a train step when
         armed.  Returns the reconstruction as a numpy array.
-        Reference: the while loop body, autoencoder.cpp:121-205.
+        ``need_tape=True`` computes the activation tape in the same
+        forward when the caller will render views every frame (TUI) —
+        otherwise the fast path skips it and ``current_views`` recomputes
+        lazily.  Reference: the while loop body, autoencoder.cpp:121-205.
         """
         x = jnp.asarray(frame)[None]
         f = self.flags
         self._last_x = x
         if f.fft:
             # per-layer inverse FFTs cost an irfft2 per stage; only pay the
-            # tax when training needs the tape or 'g' viz is on (the
-            # reference gates the same work on fft_l,
-            # fft_backproplib.cu:1347-1361) — current_views recomputes lazily
-            if f.sel or f.fft_l:
+            # tax when training/viz needs the tape (the reference gates the
+            # same work on fft_l, fft_backproplib.cu:1347-1361)
+            if f.sel or f.fft_l or need_tape:
                 out, layers = _fwd_fft(self.params, x, self.spec.scales,
                                        self.cfg.scale_by_dm, True)
                 self.layers = layers
@@ -214,7 +217,15 @@ class Engine:
         return self.flags.sel
 
     def patch_smaller(self):                         # '2'
-        self.flags.q += 1
+        # cap q so the selected pair's training crop stays >= 1 px (the
+        # reference increments unbounded and degenerates; quirk-fixed like
+        # the pooling-divisibility guard)
+        nx, ny = self.spec.nx, self.spec.ny
+        for sc in self.spec.scales[: self.flags.n_l + 1]:
+            if sc > 1:
+                nx, ny = nx // sc, ny // sc
+        if min(nx, ny) // (self.flags.q + 1) >= 1:
+            self.flags.q += 1
         return self.flags.q
 
     def patch_larger(self):                          # '3'
@@ -345,6 +356,7 @@ class Engine:
         params, spec, _, extra = ckpt.load(path)
         self.params, self.spec = params, spec
         self.flags.n_l = 0
+        self.flags.feat = 0
         self.step_count = int(extra.get("step", 0))
         self._reset_pair_opt_state()
         self.clear_freq_cache(quiet=True)
@@ -373,6 +385,7 @@ class Engine:
         self.spec = new_spec
         self.params = AEParams(stages=stages)
         self.flags.n_l = n
+        self.flags.feat = 0
         self._reset_pair_opt_state()
         self.clear_freq_cache(quiet=True)
         return self.spec.n_pairs
@@ -386,6 +399,7 @@ class Engine:
         stages = self.params.stages[: n - 1] + self.params.stages[n + 1:]
         self.params = AEParams(stages=stages)
         self.flags.n_l = 0
+        self.flags.feat = 0
         self._reset_pair_opt_state()
         self.clear_freq_cache(quiet=True)
         return self.spec.n_pairs

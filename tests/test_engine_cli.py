@@ -547,3 +547,54 @@ def test_cli_doctor(capsys):
     main(["doctor"])
     info = _json.loads(capsys.readouterr().out)
     assert info["device_check"]["ok"] is True
+
+
+def test_patch_smaller_capped_at_one_pixel():
+    """'2' must not shrink the training crop below 1 px (the reference
+    increments unbounded and degenerates — quirk-fixed)."""
+    from spectralae.core.config import Config, LayerParams
+    from spectralae.model.engine import Engine
+    eng = Engine(Config(nx=16, ny=16, d=2,
+                        layer=LayerParams(depth=4, lk=0, ll=0, scale=2,
+                                          rmax=0.5)))
+    for _ in range(50):
+        eng.patch_smaller()
+    assert eng.flags.q <= 8  # pooled activation is 8x8
+    # still trainable: one armed fft step must not crash or NaN
+    eng.flags.sel = True
+    eng.step(np.zeros((2, 16, 16), np.float32) + 10.0)
+    assert np.isfinite(eng.last_mse)
+
+
+def test_add_drop_layer_resets_feature_index():
+    import dataclasses
+    from spectralae.core.config import Config, LayerParams
+    from spectralae.model.engine import Engine
+    eng = Engine(Config(nx=16, ny=16, d=2,
+                        layer=LayerParams(depth=10, lk=0, ll=0, scale=2,
+                                          rmax=0.5)))
+    for _ in range(8):
+        eng.next_feature()
+    assert eng.flags.feat == 8
+    eng.add_layer(dataclasses.replace(eng.cfg.layer, depth=4, scale=1))
+    assert eng.flags.feat == 0
+    eng.step(np.zeros((2, 16, 16), np.float32))
+    eng.current_views()  # would IndexError with a stale feat >= new M
+    for _ in range(3):
+        eng.next_feature()
+    eng.drop_layer()
+    assert eng.flags.feat == 0
+
+
+def test_cli_train_final_ckpt_stamps_reached_step(tmp_path, capsys):
+    """An exhausted source must not fake completion in the checkpoint."""
+    from spectralae.cli import main as cli
+    src = tmp_path / "v.npy"
+    np.save(src, np.zeros((6, 16, 16, 3), np.uint8))
+    cli.main(["train", "--nx", "16", "--steps", "100", "--batch", "2",
+              "--source", str(src), "--ckpt", str(tmp_path / "ck"),
+              "--log-every", "1"])
+    capsys.readouterr()
+    from spectralae.io import checkpoint as ckpt
+    _, _, _, extra = ckpt.load(tmp_path / "ck")
+    assert extra["step"] == 3  # 6 frames / batch 2, not 100

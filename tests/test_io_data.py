@@ -521,3 +521,23 @@ def test_cli_accepts_video_file(tmp_path, capsys):
           "--source", path, "--log-every", "1"])
     out = capsys.readouterr().out
     assert '"step": 1' in out
+
+
+def test_prefetcher_propagates_source_errors():
+    """A failing source must surface in the consumer, not hang it."""
+    def bad_source():
+        yield np.zeros((8, 8, 3), np.uint8)
+        raise ValueError("stream corrupted mid-read")
+    pf = pipeline.DevicePrefetcher(bad_source(), nx=8, ny=8, batch=1)
+    assert np.asarray(next(pf)).shape == (1, 3, 8, 8)
+    with pytest.raises(ValueError, match="stream corrupted"):
+        next(pf)
+    pf.close()
+
+
+def test_prefetcher_yields_trailing_partial_batch():
+    src = iter([np.zeros((8, 8, 3), np.uint8)] * 5)
+    pf = pipeline.DevicePrefetcher(src, nx=8, ny=8, batch=2)
+    shapes = [b.shape[0] for b in pf]
+    assert shapes == [2, 2, 1]
+    pf.close()
