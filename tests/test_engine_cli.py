@@ -598,3 +598,31 @@ def test_cli_train_final_ckpt_stamps_reached_step(tmp_path, capsys):
     from spectralae.io import checkpoint as ckpt
     _, _, _, extra = ckpt.load(tmp_path / "ck")
     assert extra["step"] == 3  # 6 frames / batch 2, not 100
+
+
+def test_engine_survives_random_key_mashing(tmp_path, monkeypatch):
+    """Monkey test: 120 random key presses interleaved with steps must
+    never crash the engine (failed commands raise the documented
+    ValueError/OSError only) and must leave it in a steppable state."""
+    import random
+    from spectralae.core.config import Config, LayerParams
+    from spectralae.model.engine import Engine, KEYMAP, dispatch_key
+    monkeypatch.chdir(tmp_path)  # 's' writes ./weights here
+    rng = random.Random(0)
+    eng = Engine(Config(nx=16, ny=16, d=2,
+                        layer=LayerParams(depth=4, lk=0, ll=0, scale=2,
+                                          rmax=0.5)))
+    keys = list(KEYMAP)
+    frame = np.zeros((2, 16, 16), np.float32) + 7.0
+    for i in range(120):
+        k = rng.choice(keys)
+        try:
+            dispatch_key(eng, k)
+        except (ValueError, OSError):
+            pass  # documented failure modes (bad load, non-divisible 'n')
+        if i % 10 == 0:
+            out = eng.step(frame)
+            assert np.isfinite(out).all()
+            eng.current_views()
+    out = eng.step(frame)
+    assert out.shape == (2, 16, 16)
