@@ -13,6 +13,10 @@ reconstruction error — stdlib only, no jax required on the client.
 """
 
 import argparse
+import sys
+from pathlib import Path as _P
+
+sys.path.insert(0, str(_P(__file__).resolve().parents[1]))
 import io
 import json
 import urllib.request

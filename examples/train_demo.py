@@ -8,6 +8,10 @@ and dumps before/after reconstructions plus the MSE trajectory.
 """
 
 import argparse
+import sys
+from pathlib import Path as _P
+
+sys.path.insert(0, str(_P(__file__).resolve().parents[1]))
 import csv
 from pathlib import Path
 
