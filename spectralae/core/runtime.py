@@ -8,6 +8,7 @@ from pathlib import Path
 import jax
 
 _cache_enabled = False
+_cache_path: Path | None = None
 
 
 def enable_compilation_cache(path: str | os.PathLike | None = None) -> None:
@@ -19,9 +20,11 @@ def enable_compilation_cache(path: str | os.PathLike | None = None) -> None:
     global _cache_enabled
     if _cache_enabled:
         return
+    global _cache_path
     cache_dir = Path(path or os.environ.get(
         "SPECTRALAE_JAX_CACHE",
         Path(__file__).resolve().parents[2] / ".jax_cache"))
+    _cache_path = cache_dir
     cache_dir.mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -30,7 +33,10 @@ def enable_compilation_cache(path: str | os.PathLike | None = None) -> None:
 
 
 def cache_dir() -> Path:
-    """The compile-cache directory (whether or not it is enabled yet)."""
+    """The compile-cache directory actually in use (the explicit path
+    given to :func:`enable_compilation_cache` wins over env/default)."""
+    if _cache_path is not None:
+        return _cache_path
     return Path(os.environ.get(
         "SPECTRALAE_JAX_CACHE",
         Path(__file__).resolve().parents[2] / ".jax_cache"))

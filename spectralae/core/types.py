@@ -118,8 +118,7 @@ class NetSpec:
     def inner_shape(self) -> tuple[int, int, int]:
         """(depth, nx, ny) of the innermost (bottleneck) activation."""
         s = self.stages[self.n_pairs - 1]
-        sc = abs(s.scale)
-        return s.m, s.nx // 1, s.ny // 1  # conv preserves spatial dims
+        return s.m, s.nx, s.ny  # conv preserves spatial dims
 
     def add_pair(self, layer: LayerParams) -> "NetSpec":
         """Insert a new conv stage pair at the net midpoint ('n' key).

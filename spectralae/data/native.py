@@ -68,7 +68,15 @@ def available() -> bool:
     return _lib is not None
 
 
+def _require_hwc3(img: np.ndarray, fn: str) -> None:
+    # validated here so malformed input is a ValueError, not an
+    # out-of-bounds read in the C loop (same convention as yuv_to_bgr)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"{fn} expects [H, W, 3] uint8, got {img.shape}")
+
+
 def frame_to_tensor(img: np.ndarray) -> np.ndarray:
+    _require_hwc3(img, "frame_to_tensor")
     h, w = img.shape[:2]
     img = np.ascontiguousarray(img, dtype=np.uint8)
     out = np.empty((3, w, h), np.float32)
@@ -79,6 +87,8 @@ def frame_to_tensor(img: np.ndarray) -> np.ndarray:
 
 
 def tensor_to_frame(spin: np.ndarray) -> np.ndarray:
+    if spin.ndim != 3 or spin.shape[0] != 3:
+        raise ValueError(f"tensor_to_frame expects [3, W, H], got {spin.shape}")
     _, w, h = spin.shape
     spin = np.ascontiguousarray(spin, dtype=np.float32)
     out = np.empty((h, w, 3), np.uint8)
@@ -103,6 +113,8 @@ def batch_to_tensor(imgs: np.ndarray, nx: int, ny: int,
     if not has_batch():
         raise RuntimeError("native library not built or lacks "
                            "sae_batch_to_tensor (make -C native)")
+    if imgs.ndim != 4 or imgs.shape[3] != 3:
+        raise ValueError(f"batch_to_tensor expects [N, H, W, 3], got {imgs.shape}")
     n, h, w = imgs.shape[:3]
     imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
     out = np.empty((n, 3, nx, ny), np.float32)
@@ -175,6 +187,7 @@ def png_unfilter(raw: bytes, h: int, w_bytes: int, ch: int) -> np.ndarray:
 
 
 def resize_nn(img: np.ndarray, nx: int, ny: int) -> np.ndarray:
+    _require_hwc3(img, "resize_nn")
     h, w = img.shape[:2]
     img = np.ascontiguousarray(img, dtype=np.uint8)
     out = np.empty((ny, nx, 3), np.uint8)

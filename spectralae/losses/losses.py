@@ -69,12 +69,17 @@ def diversity_gradients(c: jax.Array, f: jax.Array, b: jax.Array,
 
 def diversity_loss(c: jax.Array, b: jax.Array) -> jax.Array:
     """Scalar form for autodiff: ``½Σ log‖Δc‖² + Σ log|Δb|`` over the same
-    restricted pair set — ``-jax.grad`` of this matches the repulsion
-    direction of :func:`diversity_gradients` for the kernels."""
+    restricted pair set — ``jax.grad`` of this equals the repulsion
+    gradients of :func:`diversity_gradients` for the kernels (the caller
+    combines them as ``w0·g_recon − w1·g_div``, so the MINUS applies the
+    repulsion; tested in test_gradients.py)."""
     M, D = c.shape[0], c.shape[1]
     mask = _pair_mask(M, D)
     diff = c[:, :, None, None] - c[None, None, :, :]
     den = jnp.sum(diff * diff, axis=(-2, -1))
+    # identical kernels: log(0) -> -inf and NaN grads; guard like
+    # diversity_gradients' den==0 path
+    den = jnp.where(den == 0, 1.0, den)
     logs = jnp.where(mask, jnp.log(jnp.where(mask, den, 1.0)), 0.0)
     bdiff = jnp.abs(b[:, None] - b[None, :])
     blogs = jnp.where(~jnp.eye(M, dtype=bool),

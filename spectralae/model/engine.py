@@ -46,6 +46,17 @@ def _fwd_fft(params, x, scales, scale_by_dm, return_layers):
                              return_layers=return_layers)
 
 
+def _displayable(t: np.ndarray) -> np.ndarray:
+    """[C, W, H] activation → uint8 frame: the first 3 channels when C ≥ 3,
+    else channel 0 broadcast to gray (inner pairs have C = M channels; the
+    codec itself is strictly 3-channel)."""
+    from ..data import pipeline
+    if t.shape[0] >= 3:
+        return pipeline.tensor_to_frame(np.ascontiguousarray(t[:3]))
+    return pipeline.tensor_to_frame(
+        np.ascontiguousarray(np.repeat(t[:1], 3, axis=0)))
+
+
 @jax.jit
 def _rfft2_mag_jit(x):
     # |rfft2| computed on device: complex arrays can't cross some
@@ -455,8 +466,8 @@ class Engine:
             [pipeline.kernel_to_image(np.asarray(stage.c[f.feat, d]))
              for d in range(stage.d)], axis=1)
         views = {
-            "input": pipeline.tensor_to_frame(inp),
-            "output": pipeline.tensor_to_frame(outp),
+            "input": _displayable(inp),
+            "output": _displayable(outp),
             "feature_map": pipeline.feature_to_image(fmap),
             "kernel": kmos,
         }

@@ -40,8 +40,12 @@ def normalized_momentum_update(w: jax.Array, g: jax.Array, mom: jax.Array,
     if active:
         # Intended adaptive rule: per-weight secant step |Δw / Δg|, capped at
         # the keyboard-set lr (cf. adapt_rate, backproplib.cu:28-35).
+        # Bootstrap: with zero momentum (fresh start / after a layer-focus
+        # reset) the secant numerator is 0 and would freeze training
+        # forever — fall back to the plain lr until momentum exists.
         dg = g - prev_grad
-        lr_eff = jnp.where(dg != 0, jnp.abs(mom / jnp.where(dg == 0, 1, dg)),
+        lr_eff = jnp.where((dg != 0) & (mom != 0),
+                           jnp.abs(mom / jnp.where(dg == 0, 1, dg)),
                            lr)
         lr_eff = jnp.minimum(lr_eff, lr)
     else:

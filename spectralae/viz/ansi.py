@@ -11,6 +11,17 @@ import numpy as np
 
 RESET = "\x1b[0m"
 
+_ANSI_RE = None
+
+
+def _visible_len(line: str) -> int:
+    """Character-cell width of a rendered line (ANSI escapes stripped)."""
+    global _ANSI_RE
+    if _ANSI_RE is None:
+        import re
+        _ANSI_RE = re.compile(r"\x1b\[[0-9;]*m")
+    return len(_ANSI_RE.sub("", line))
+
 
 def _downsample(img: np.ndarray, max_w: int, max_h: int) -> np.ndarray:
     h, w = img.shape[:2]
@@ -63,7 +74,10 @@ def render_dashboard(views: dict[str, np.ndarray], status: str, *,
         height = max(len(r) for _, r in rendered)
         title = "   ".join(f"{n:<30}" for n, _ in rendered)
         out.append(title)
+        widths = [max((_visible_len(l) for l in r), default=1)
+                  for _, r in rendered]
         for i in range(height):
             out.append("   ".join(
-                (r[i] if i < len(r) else " ") for _, r in rendered))
+                (r[i] if i < len(r) else " " * w)
+                for (_, r), w in zip(rendered, widths)))
     return "\n".join(out)

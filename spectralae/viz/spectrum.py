@@ -28,8 +28,8 @@ def magnitude(spec: np.ndarray, nx: int, ny: int) -> np.ndarray:
     # reference's map (fft_backproplib.cu:57) is off by one in both axes —
     # display-only dead code there, implemented correctly here
     i = (-np.arange(nx)) % nx
-    for j in range(nyr, ny):
-        out[..., :, j] = mag_half[..., i, ny - j]
+    j = np.arange(nyr, ny)
+    out[..., :, nyr:] = mag_half[..., i[:, None], ny - j]
     return out
 
 

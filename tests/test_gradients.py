@@ -110,3 +110,32 @@ def test_coord_gradient_impls_agree():
         for x, y in zip(a, b):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=1e-4, atol=1e-6, err_msg=mode)
+
+
+def test_active_lr_bootstraps_from_zero_momentum():
+    """Review fix: the secant adaptive rule must fall back to the plain lr
+    when momentum is zero — a fresh start previously froze forever."""
+    import jax.numpy as jnp
+    from spectralae.optim.update import normalized_momentum_update
+    w = jnp.ones((4,))
+    g = jnp.full((4,), 2.0)
+    # fresh state: mom=0, prev_grad=0 — must take a real step
+    r = normalized_momentum_update(w, g, jnp.zeros(4), jnp.zeros(4),
+                                   lr=0.5, alpha=0.9, active=True)
+    assert float(jnp.max(jnp.abs(r.w - w))) > 0
+    # and repeated steps keep moving (the old bug froze every step)
+    r2 = normalized_momentum_update(r.w, g, r.mom, r.prev_grad,
+                                    lr=0.5, alpha=0.9, active=True)
+    assert float(jnp.max(jnp.abs(r2.w - r.w))) > 0
+
+
+def test_diversity_loss_finite_for_identical_kernels():
+    import jax
+    import jax.numpy as jnp
+    from spectralae.losses.losses import diversity_loss
+    c = jnp.zeros((3, 2, 3, 3))           # all kernels identical
+    b = jnp.zeros((3,))
+    val = diversity_loss(c, b)
+    assert np.isfinite(float(val))
+    g = jax.grad(diversity_loss)(c, b)
+    assert np.isfinite(np.asarray(g)).all()
