@@ -155,8 +155,8 @@ def coord_step(in_s: jax.Array, out_s: jax.Array, hin_s: jax.Array,
     """
     dM, dD, nk, nl = c.shape
     g = coord_ref_gradients(in_s, out_s, hin_s, f, nk, nl, tap_mode=tap_mode)
-    mse = jnp.sum((in_s - out_s) ** 2) / (dD * dM * nk * nl
-                                          * in_s.shape[-2] * in_s.shape[-1])
+    from ..losses.losses import mse_coord
+    mse = mse_coord(in_s, out_s, dM, nk, nl)
     return _apply_update(g, mse, c, f, b, p, mom, prev_grad,
                          lr=lr, alpha=alpha, sym=sym, active=active)
 
