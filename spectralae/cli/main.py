@@ -62,7 +62,9 @@ def _source(args):
     if args.source.endswith(".y4m"):
         return pipeline.y4m_video(args.source)
     if Path(args.source).is_dir():
-        return pipeline.image_dir_frames(args.source, loop=True)
+        return pipeline.image_dir_frames(
+            args.source, loop=True,
+            channel_order=getattr(args, "png_order", "rgb"))
     if args.source.endswith((".npy", ".npz")):
         return pipeline.npy_video(args.source)
     # anything else: let OpenCV demux it (mp4/avi/mkv/...)
@@ -244,12 +246,16 @@ def _train_steps(args):
 
     def save_ckpt(path, step_n, final=False):
         if args.ckpt_history > 0:
-            dest = ckpt.save_rotating(path, params, spec,
-                                      None if use_optax else opt,
-                                      extra={"step": step_n}, step=step_n,
-                                      keep=args.ckpt_history)
-            if use_optax:
-                ckpt.save_optax_state(Path(dest) / "optax.npz", opt)
+            # optax state is written via extra_files so it lands in the
+            # step dir BEFORE the LATEST marker moves — a crash between
+            # the two can't expose a checkpoint with missing opt state
+            sidecar = ((lambda d: ckpt.save_optax_state(
+                Path(d) / "optax.npz", opt)) if use_optax else None)
+            ckpt.save_rotating(path, params, spec,
+                               None if use_optax else opt,
+                               extra={"step": step_n}, step=step_n,
+                               keep=args.ckpt_history,
+                               extra_files=sidecar)
         elif use_optax:
             ckpt.save(path, params, spec, None, extra={"step": step_n})
             ckpt.save_optax_state(Path(path) / "optax.npz", opt)
@@ -266,6 +272,10 @@ def _train_steps(args):
     pf = pipeline.DevicePrefetcher(src, args.nx, args.ny, batch=args.batch)
     t_start = time.perf_counter()
     last_step = start_step
+    # last params/opt verified finite at a log step — what we roll back to
+    # (and save) on divergence, so NaN updates applied between log steps
+    # can never reach the final checkpoint
+    good_params, good_opt, good_step = params, opt, start_step
     for step_i, batch in enumerate(pf, start=start_step):
         if step_i >= args.steps:
             break
@@ -280,11 +290,16 @@ def _train_steps(args):
         # last good checkpoint.  The float() fetch is a host↔device sync,
         # so check only on log steps — off-step dispatch stays pipelined
         # behind the prefetcher
-        if step_i % args.log_every == 0 and not np.isfinite(
-                float(res.loss)):
-            print(json.dumps({"step": step_i, "error": "non-finite loss",
-                              "loss": float(res.loss)}), flush=True)
-            break
+        if step_i % args.log_every == 0:
+            if not np.isfinite(float(res.loss)):
+                print(json.dumps({"step": step_i,
+                                  "error": "non-finite loss",
+                                  "loss": float(res.loss)}), flush=True)
+                params, opt, last_step = good_params, good_opt, good_step
+                break
+            # res.loss is the loss of the params going INTO this step, so
+            # a finite value certifies the pre-update params
+            good_params, good_opt, good_step = params, opt, last_step
         params, opt = res.params, res.opt
         last_step = step_i + 1
         if step_i % args.log_every == 0:
@@ -378,9 +393,13 @@ def cmd_export(args):
         params, spec = eng.params, eng.spec
     platforms = (tuple(args.platforms.split(","))
                  if args.platforms else None)
-    for what in (("forward", "encode") if args.what == "both"
-                 else (args.what,)):
-        out = export_model(params, spec, args.out, what=what,
+    whats = (("forward", "encode") if args.what == "both"
+             else (args.what,))
+    for what in whats:
+        # 'both' gets per-function subdirectories — each artifact owns its
+        # manifest, so neither export orphans the other
+        dest = (Path(args.out) / what) if len(whats) > 1 else args.out
+        out = export_model(params, spec, dest, what=what,
                            domain=args.domain, batch=args.batch,
                            platforms=platforms)
         print(f"exported {what} ({args.domain}) -> {out}", flush=True)
@@ -502,7 +521,12 @@ def main(argv=None):
                    help="synthetic | camera | a .y4m video (cv2-free) | any "
                         "OpenCV-demuxable video (mp4/avi/mkv/...) | a "
                         ".npy/.npz frame stack | a directory of .png "
-                        "images")
+                        "images (RGB by default; see --png-order)")
+    p.add_argument("--png-order", choices=("rgb", "bgr"), default="rgb",
+                   help="channel order of .png dataset files: 'rgb' for "
+                        "standard external PNGs (reversed to the "
+                        "pipeline's BGR), 'bgr' for this framework's own "
+                        "viz dumps (pass-through)")
     p.add_argument("--frames", type=int, default=100)
     p.add_argument("--outdir", default="./views")
     p.add_argument("--dump-every", type=int, default=0)
@@ -516,6 +540,7 @@ def main(argv=None):
     p = sub.add_parser("train", help="headless batched training")
     _add_common(p)
     p.add_argument("--source", default="synthetic")
+    p.add_argument("--png-order", choices=("rgb", "bgr"), default="rgb")
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--lr", type=float, default=0.2)

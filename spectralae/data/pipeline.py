@@ -155,19 +155,25 @@ def y4m_video(path: str) -> Iterator[np.ndarray]:
             yield np.clip(np.round(bgr), 0, 255).astype(np.uint8)
 
 
-def image_dir_frames(path: str, *, loop: bool = False
-                     ) -> Iterator[np.ndarray]:
+def image_dir_frames(path: str, *, loop: bool = False,
+                     channel_order: str = "rgb") -> Iterator[np.ndarray]:
     """Frames from a directory of ``.png`` images (sorted by name) — a
     dataset source the reference lacks (camera only).  Decoded by the
     dependency-free reader in :mod:`spectralae.viz.png` (all filter
     types; C unfilter when the native lib is built).  Grayscale images
-    are broadcast to 3 channels; channel order passes through unchanged
-    (PNGs written by this framework's own viz dumps round-trip exactly).
+    are broadcast to 3 channels.  The pipeline's frame convention is BGR
+    (camera/y4m yield BGR), while PNG stores RGB: ``channel_order="rgb"``
+    (default) treats the files as standard RGB and reverses to BGR;
+    ``"bgr"`` passes channels through unchanged — use it for PNGs written
+    by this framework's own viz dumps, which store pipeline order as-is.
     ``loop=True`` cycles the directory forever (epoch training).
     """
     from pathlib import Path as _P
 
     from ..viz.png import read_png
+    if channel_order not in ("rgb", "bgr"):
+        raise ValueError(f"channel_order must be 'rgb' or 'bgr', "
+                         f"got {channel_order!r}")
     files = sorted(_P(path).glob("*.png"))
     if not files:
         raise ValueError(f"{path}: no .png files")
@@ -176,6 +182,8 @@ def image_dir_frames(path: str, *, loop: bool = False
             img = read_png(f)
             if img.ndim == 2:
                 img = np.repeat(img[:, :, None], 3, axis=2)
+            elif channel_order == "rgb":
+                img = img[:, :, ::-1]
             yield img
         if not loop:
             return

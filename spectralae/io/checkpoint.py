@@ -97,15 +97,23 @@ def wait_pending_saves() -> None:
 
 def save_rotating(root: str | Path, params: AEParams, spec: NetSpec,
                   opt: OptState | None = None, extra: dict | None = None,
-                  *, step: int, keep: int = 3) -> Path:
+                  *, step: int, keep: int = 3,
+                  extra_files=None) -> Path:
     """Step-stamped checkpoint history: writes ``root/step_{step:08d}``,
     points ``root/LATEST`` at it, prunes to the newest ``keep`` — the
     standard guard against a crash mid-write corrupting the only copy
     (the reference keeps exactly one shape-keyed file set, SURVEY §2.7).
+
+    ``extra_files(dest)`` runs after the pytree save but BEFORE ``LATEST``
+    moves, so sidecar files (e.g. optax state) are committed before the
+    checkpoint becomes resolvable — a crash in between leaves ``LATEST``
+    on the previous complete step.
     """
     root = Path(root)
     dest = root / f"step_{step:08d}"
     save(dest, params, spec, opt, extra={**(extra or {}), "step": step})
+    if extra_files is not None:
+        extra_files(dest)
     if jax.process_index() != 0:
         return dest
     (root / "LATEST").write_text(dest.name)

@@ -118,6 +118,13 @@ class ServingModel:
     @classmethod
     def load(cls, path: str | Path) -> "ServingModel":
         path = Path(path)
+        if not (path / "manifest.json").exists():
+            # an `export --what both` root holds per-function subdirs;
+            # prefer the forward artifact, else the single subdir present
+            for sub in ("forward", "encode"):
+                if (path / sub / "manifest.json").exists():
+                    path = path / sub
+                    break
         manifest = json.loads((path / "manifest.json").read_text())
         if manifest["format_version"] != FORMAT_VERSION:
             raise ValueError("unsupported export format version "

@@ -120,6 +120,12 @@ def fft_burst_dp(x: jax.Array, expout: jax.Array, out0: jax.Array,
     body (cross-validation).  The per-iteration Pallas ω-space bodies are
     only selectable via :func:`distributed_burst` or
     :mod:`spectralae.train.fft_pallas` directly."""
+    if use_pallas is False and reanchor_every is not None:
+        # same invalid combination distributed_burst rejects: the ω-space
+        # body has no anchored decomposition to reset
+        raise ValueError("reanchor_every requires the correlation-space "
+                         "body (use_pallas=False selects the ω-space "
+                         "cross-validation body, which cannot reanchor)")
     if use_pallas is None:
         from ..ops.pallas_kernels import _on_tpu
         use_pallas = _on_tpu()

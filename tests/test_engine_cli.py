@@ -352,6 +352,47 @@ def test_cli_train_halts_on_divergence(tmp_path, capsys, monkeypatch):
     assert calls["n"] == 2
 
 
+def test_cli_train_divergence_keeps_finite_ckpt(tmp_path, capsys,
+                                                monkeypatch):
+    """NaN updates applied between log steps must never reach the final
+    checkpoint — the trainer rolls back to the last log-step-verified
+    params before saving (ADVICE r2, medium)."""
+    import jax
+    import jax.numpy as jnp
+    from spectralae.cli import main as cli
+    from spectralae.io import checkpoint as ckpt
+    from spectralae.train import modern
+    calls = {"n": 0}
+
+    class FakeRes:
+        def __init__(self, loss, params, opt):
+            self.loss, self.params, self.opt = loss, params, opt
+
+    orig = modern.train_step
+
+    def bad_step(params, opt, batch, scales, **kw):
+        calls["n"] += 1
+        r = orig(params, opt, batch, scales, **kw)
+        if calls["n"] >= 5:  # step_i >= 4: NaN loss AND NaN params
+            nanp = jax.tree.map(lambda a: jnp.full_like(a, jnp.nan),
+                                r.params)
+            return FakeRes(jnp.float32(float("nan")), nanp, r.opt)
+        return r
+
+    monkeypatch.setattr("spectralae.train.modern.train_step", bad_step)
+    ck = tmp_path / "ck"
+    # log-every=3: NaN params are applied at steps 4-5 unchecked; the
+    # step-6 check trips and must restore the step-3 snapshot
+    cli.main(["train", "--nx", "16", "--steps", "10", "--batch", "2",
+              "--log-every", "3", "--ckpt", str(ck)])
+    out = capsys.readouterr().out
+    assert "non-finite loss" in out
+    params, _, _, extra = ckpt.load(ck)
+    assert int(extra["step"]) == 3
+    for leaf in jax.tree.leaves(params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
 def test_cli_train_burst_mode(tmp_path, capsys):
     import json as _json
     from spectralae.cli.main import main

@@ -94,12 +94,21 @@ def test_cli_export_and_serve(tmp_path, capsys):
               "--what", "both", "--nx", "32"])
     out = capsys.readouterr().out
     assert "exported forward" in out and "exported encode" in out
-    # serve uses the manifest of the *last* export (encode)
+    # 'both' writes per-function subdirectories, each with its own
+    # manifest (ADVICE r2: a shared dir orphaned the forward artifact)
+    assert (art / "forward" / "manifest.json").exists()
+    assert (art / "encode" / "manifest.json").exists()
+    # serving from the root resolves the forward artifact...
     cli_main(["serve", "--model", str(art), "--steps", "2", "--batch", "2",
               "--outdir", str(tmp_path / "views"), "--dump-every", "1"])
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert rec["frames"] == 4 and rec["what"] == "encode"
+    assert rec["frames"] == 4 and rec["what"] == "forward"
     assert (tmp_path / "views" / "serve_00000.png").exists()
+    # ...and the encode artifact is addressable by its subdirectory
+    cli_main(["serve", "--model", str(art / "encode"), "--steps", "1",
+              "--batch", "1", "--outdir", str(tmp_path / "views2")])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["what"] == "encode"
 
 
 def test_cli_eval_ckpt_and_artifact(tmp_path, capsys):

@@ -235,3 +235,13 @@ def test_reanchor_forces_corr_path_on_any_platform():
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(got.mses), np.asarray(want.mses),
                                rtol=1e-6)
+
+
+def test_reanchor_with_explicit_omega_body_rejected():
+    """An explicit use_pallas=False (ω-space cross-validation body) plus
+    reanchor_every is contradictory — fft_burst_dp raises like
+    distributed_burst instead of silently rerouting (ADVICE r2)."""
+    xs, out0, enc, dec = setup(b=2)
+    with pytest.raises(ValueError, match="reanchor"):
+        fft_burst_dp(xs, xs, out0, enc.c, dec.c, enc.b, dec.b,
+                     lr=0.2, iters=4, use_pallas=False, reanchor_every=2)

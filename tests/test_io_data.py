@@ -478,8 +478,13 @@ def test_image_dir_source_and_cli(tmp_path, capsys):
     frames = list(pipeline.image_dir_frames(str(tmp_path)))
     assert len(frames) == 3
     assert frames[0].shape == (20, 18, 3)
-    np.testing.assert_array_equal(frames[1],
-                                  read_png(tmp_path / "frame_001.png"))
+    # default treats files as standard RGB and reverses to the pipeline's
+    # BGR convention (ADVICE r2); 'bgr' passes framework dumps through
+    np.testing.assert_array_equal(
+        frames[1], read_png(tmp_path / "frame_001.png")[:, :, ::-1])
+    raw = next(pipeline.image_dir_frames(str(tmp_path),
+                                         channel_order="bgr"))
+    np.testing.assert_array_equal(raw, read_png(tmp_path / "frame_000.png"))
     from spectralae.cli.main import main
     main(["train", "--nx", "16", "--steps", "2", "--batch", "2",
           "--source", str(tmp_path), "--log-every", "1"])
