@@ -72,18 +72,27 @@ def conv2d(x: jax.Array, c: jax.Array, b: jax.Array | None = None, *,
     return y
 
 
-def max_pool(x: jax.Array, scale: int) -> jax.Array:
+def max_pool(x: jax.Array, scale: int, *,
+             quantize: bool = False) -> jax.Array:
     """Max-pool over ``scale×scale`` blocks, implicitly clamped at zero.
 
-    The reference initializes the block max to 0 (netlib.cpp:127), so the
-    result is ``max(0, block max)`` — a standard max-pool (which XLA
-    recognizes for autodiff) clamped at zero.
+    The reference initializes the block max to 0 — and declares it ``int``
+    (``int smax=0``, netlib.cpp:127), so each assignment truncates the
+    float toward zero: the executed reference computes
+    ``floor(max(0, block max))`` (verified bit-level against the compiled
+    netlib.cpp in tests/test_reference_binary.py).  ``quantize=True``
+    reproduces that exactly; the default keeps full precision — a
+    documented quirk-fix (the truncation is an accidental declaration, it
+    quantizes activations to integer levels and zeroes sub-1 features).
     Reference: ``Pool`` with scale>0, netlib.cpp:117-140.
     """
     b, c, h, w = x.shape
     blocks = x.reshape(b, c, h // scale, scale, w // scale, scale)
     pooled = jnp.max(blocks, axis=(3, 5))
-    return jnp.maximum(pooled, jnp.array(0.0, x.dtype))
+    pooled = jnp.maximum(pooled, jnp.array(0.0, x.dtype))
+    if quantize:
+        pooled = jnp.floor(pooled)
+    return pooled
 
 
 def nn_upsample(x: jax.Array, scale: int) -> jax.Array:
@@ -92,13 +101,15 @@ def nn_upsample(x: jax.Array, scale: int) -> jax.Array:
     return jnp.repeat(x, scale, axis=-1)
 
 
-def pool(x: jax.Array, scale: int) -> jax.Array:
+def pool(x: jax.Array, scale: int, *, quantize: bool = False) -> jax.Array:
     """Signed-scale pooling: ``scale>0`` downsample, ``scale<0`` upsample.
 
-    Matches the reference's single ``Pool`` entry point (netlib.cpp:114).
+    Matches the reference's single ``Pool`` entry point (netlib.cpp:114);
+    ``quantize`` selects the executed reference's integer-truncated
+    downsample (see :func:`max_pool` — upsampling never truncates).
     """
     if scale > 1:
-        return max_pool(x, scale)
+        return max_pool(x, scale, quantize=quantize)
     if scale < -1:
         return nn_upsample(x, -scale)
     return x

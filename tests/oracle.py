@@ -59,19 +59,28 @@ def conv_ref(x, c, b, mode="ref_gpu", scale_by_dm=True):
     return out
 
 
-def pool_ref(x, scale):
-    """netlib.cpp:114-164: max-with-0 downsample / NN upsample."""
+def pool_ref(x, scale, quantize=False):
+    """netlib.cpp:114-164: max-with-0 downsample / NN upsample.
+
+    ``quantize=True`` reproduces the executed reference exactly: ``smax``
+    is declared ``int`` (netlib.cpp:127), so every block max is truncated
+    toward zero — downsampling returns ``floor(max(0, blockmax))``.
+    Caught by tests/test_reference_binary.py against the compiled
+    reference; the original transcription here had missed it."""
     D, Nx, Ny = x.shape
     if scale > 0:
         out = np.zeros((D, Nx // scale, Ny // scale), np.float32)
         for d in range(D):
             for i in range(0, Nx, scale):
                 for j in range(0, Ny, scale):
-                    smax = 0.0
+                    smax = 0
                     for k in range(scale):
                         for l in range(scale):
-                            if i + k < Nx and j + l < Ny:
-                                smax = max(smax, x[d, i + k, j + l])
+                            if i + k < Nx and j + l < Ny \
+                                    and x[d, i + k, j + l] > smax:
+                                smax = (int(x[d, i + k, j + l])
+                                        if quantize
+                                        else x[d, i + k, j + l])
                     out[d, i // scale, j // scale] = smax
         return out
     scale = -scale
