@@ -23,7 +23,9 @@ Extended results go to bench_details.json.
 
 import json
 import os
+import sys
 import time
+from typing import NamedTuple
 
 import numpy as np
 
@@ -60,21 +62,36 @@ def _fetch_scalar(arr) -> float:
     return float(jnp.sum(arr))
 
 
-def time_chained(step, x0, n=20, warmup=1, trials=5):
+# Tunnel measurement floor: the relay's round-trip resolution is ~0.02 ms
+# per call — any per-call time below this after the long-chain retry means
+# the chain was swallowed (relay dedup / overlap) and the row is garbage,
+# not a measurement.  Round-2 shipped a 1.56e-8 s "conv" row (a 42-million-x
+# "speedup"); rows below the floor are now DISCARDED, never persisted.
+FLOOR_S = 2e-5
+
+
+class Timing(NamedTuple):
+    best: float     # floor of the trial chains (device-time estimate)
+    median: float   # median trial (reproducible headline basis)
+    valid: bool     # False => below the tunnel floor even after retry
+
+
+def time_chained(step, x0, n=20, warmup=1, trials=5) -> Timing:
     """Seconds/call for ``step(x) -> (result, next_x)`` chains of length n.
 
     The chain's data dependency forces sequential execution; the final value
     fetch forces completion of every link.  The fetch round-trip latency is
-    measured on a no-op and subtracted.  Best of ``trials`` chains is
-    reported — tunnel latency varies run to run and only the floor reflects
-    device time."""
+    measured on a no-op and subtracted.  Returns the floor AND the median of
+    ``trials`` chains — tunnel latency varies run to run; the floor reflects
+    device time, the median is what a re-run reproduces (headlines quote the
+    median, VERDICT r2 weak #3)."""
     x = x0
     for _ in range(warmup):
         r, x = step(x)
     _fetch_scalar(x)
 
     def run_chains(n_links):
-        best = float("inf")
+        samples = []
         for trial in range(trials):
             # distinct chain per trial AND per process — a repeated chain
             # would be deduplicated by the relay and time ~0
@@ -87,15 +104,38 @@ def time_chained(step, x0, n=20, warmup=1, trials=5):
                 r, x = step(x)
             _fetch_scalar(x)
             total = time.perf_counter() - t0
-            best = min(best, max(total - fetch_rt, 1e-9) / n_links)
-        return best
+            samples.append(max(total - fetch_rt, 1e-9) / n_links)
+        return samples
 
-    best = run_chains(n)
-    if best < 2e-5:
+    samples = run_chains(n)
+    if min(samples) < FLOOR_S:
         # below the tunnel's measurement resolution (round-trip jitter
-        # swallows the chain) — amortize over a much longer chain
-        best = run_chains(n * 8)
-    return best
+        # swallowed the chain) — retry amortized over a much longer chain
+        samples = run_chains(n * 8)
+    return Timing(best=min(samples), median=float(np.median(samples)),
+                  valid=min(samples) >= FLOOR_S)
+
+
+def record(results, timing: Timing, ms_key: str, rate_key: str | None = None,
+           rate_num: float = 1.0) -> bool:
+    """Persist a timing row, or discard it loudly if it failed validation.
+
+    Invalid rows are written as ``null`` with the key appended to
+    ``results["discarded"]`` — a physically-impossible number must never
+    masquerade as a measurement (VERDICT r2 weak #2)."""
+    if not timing.valid:
+        results[ms_key] = None
+        if rate_key:
+            results[rate_key] = None
+        results.setdefault("discarded", []).append(ms_key)
+        print(f"# DISCARDED {ms_key}: {timing.best*1e3:.6f} ms is below "
+              f"the {FLOOR_S*1e3:.2f} ms tunnel floor even after the "
+              "long-chain retry", file=sys.stderr)
+        return False
+    results[ms_key] = timing.best * 1e3
+    if rate_key:
+        results[rate_key] = rate_num / timing.best
+    return True
 
 
 def main():
@@ -139,18 +179,21 @@ def main():
             x, x, out0, enc.c, dec.c, enc.b, dec.b, lr=0.2,
             iters=burst_iters, impl="fft"),
     }
+    headline_candidates = []
     for impl, fn in impls.items():
         def burst_step(x, fn=fn):
             r = fn(x)
             return r, x + r.mses[-1] * 0.0 + 1e-6
-        dt = time_chained(burst_step, x0)
-        results[f"fft_burst_100_ms[{impl}]"] = dt * 1e3
-        results[f"fft_backprop_iters_per_sec_256[{impl}]"] = burst_iters / dt
-    fft_steps_per_sec = max(
-        results["fft_backprop_iters_per_sec_256[corr]"],
-        results["fft_backprop_iters_per_sec_256[pallas-fused]"],
-        results["fft_backprop_iters_per_sec_256[pallas]"],
-        results["fft_backprop_iters_per_sec_256[dft]"])
+        t = time_chained(burst_step, x0)
+        if record(results, t, f"fft_burst_100_ms[{impl}]",
+                  f"fft_backprop_iters_per_sec_256[{impl}]", burst_iters):
+            results[f"fft_backprop_iters_per_sec_256_median[{impl}]"] = \
+                burst_iters / t.median
+            if impl in ("corr", "pallas-fused", "pallas", "dft"):
+                headline_candidates.append(burst_iters / t.median)
+    # headline = the MEDIAN-chain rate of the fastest impl — the number a
+    # re-run (and the driver) reproduces, not the top of the trial spread
+    fft_steps_per_sec = max(headline_candidates)
 
     # ---- 400-iteration burst: amortizes the one-time correlation
     # precompute (the corr burst's per-iteration cost is resolution- and
@@ -159,9 +202,9 @@ def main():
         r = fft_burst_corr(x, None, out0, enc.c, dec.c, enc.b, dec.b,
                            lr=0.2, iters=400)
         return r, x + r.mses[-1] * 0.0 + 1e-6
-    dt = time_chained(burst400, x0, n=10)
-    results["fft_burst_400_ms[corr]"] = dt * 1e3
-    results["fft_backprop_iters_per_sec_256_x400"] = 400 / dt
+    record(results, time_chained(burst400, x0, n=10),
+           "fft_burst_400_ms[corr]",
+           "fft_backprop_iters_per_sec_256_x400", 400)
 
     # ---- headline at 512² and 1024² (scaling) ----
     for nxy, iters_n, nlinks in ((512, burst_iters, 10),
@@ -182,9 +225,9 @@ def main():
             r = fft_burst_corr(x, None, o, e.c, d_.c, e.b, d_.b, lr=0.2,
                                iters=it)
             return r, x + r.mses[-1] * 0.0 + 1e-6
-        dt = time_chained(burst_big, xb0, n=nlinks)
-        results[f"fft_burst_100_ms_{nxy}"] = dt * 1e3
-        results[f"fft_backprop_iters_per_sec_{nxy}"] = iters_n / dt
+        record(results, time_chained(burst_big, xb0, n=nlinks),
+               f"fft_burst_100_ms_{nxy}",
+               f"fft_backprop_iters_per_sec_{nxy}", iters_n)
 
     # ---- forward passes, 3-layer net, batch 1 ----
     fwd_fft3 = jax.jit(lambda x: model.forward_fft(params3, x, spec3.scales))
@@ -192,9 +235,8 @@ def main():
     def fwd_fft_step(x):
         out = fwd_fft3(x)
         return out, x + out * 1e-9
-    dt = time_chained(fwd_fft_step, frame(b=1))
-    results["forward_fft_3layer_256_ms"] = dt * 1e3
-    results["forward_fft_3layer_256_fps"] = 1.0 / dt
+    record(results, time_chained(fwd_fft_step, frame(b=1)),
+           "forward_fft_3layer_256_ms", "forward_fft_3layer_256_fps", 1.0)
 
     fwd_coord3 = jax.jit(
         lambda x: model.forward_coord(params3, x, spec3.scales)[-1])
@@ -202,8 +244,8 @@ def main():
     def fwd_coord_step(x):
         out = fwd_coord3(x)
         return out, x + out * 1e-9
-    dt = time_chained(fwd_coord_step, frame(b=1))
-    results["forward_coord_3layer_256_ms"] = dt * 1e3
+    record(results, time_chained(fwd_coord_step, frame(b=1)),
+           "forward_coord_3layer_256_ms")
 
     # ---- coordinate-space reference train step (pair 0, full frame) ----
     acts = jax.jit(lambda x: model.forward_coord(
@@ -216,10 +258,9 @@ def main():
         r = coord_step(in_s, outp, hin, enc.c, dec.c, enc.b, dec.b,
                        mom, mom, lr=0.2)
         return r, in_s + r.mse * 0.0 + 1e-6
-    dt = time_chained(cstep, jax.device_put(
-        rng.normal(size=(3, 128, 128)).astype(np.float32) * 50))
-    results["coord_step_128_ms"] = dt * 1e3
-    results["coord_steps_per_sec"] = 1.0 / dt
+    record(results, time_chained(cstep, jax.device_put(
+        rng.normal(size=(3, 128, 128)).astype(np.float32) * 50)),
+        "coord_step_128_ms", "coord_steps_per_sec", 1.0)
 
     # ---- modern batched train step (3-layer, batch 8, fft domain) ----
     opt3 = init_opt_state(params3)
@@ -227,9 +268,8 @@ def main():
     def mstep(x):
         r = train_step(params3, opt3, x, spec3.scales, lr=0.2, domain="fft")
         return r, x + r.loss * 0.0 + 1e-6
-    dt = time_chained(mstep, frame(b=8), n=5)
-    results["modern_fft_step_b8_ms"] = dt * 1e3
-    results["modern_fft_frames_per_sec"] = 8.0 / dt
+    record(results, time_chained(mstep, frame(b=8), n=5),
+           "modern_fft_step_b8_ms", "modern_fft_frames_per_sec", 8.0)
 
     # ---- data-parallel burst throughput (8 frames, one shared pair) ----
     from spectralae.train.fft_dp import fft_burst_dp
@@ -240,9 +280,9 @@ def main():
         return r, x + r.mses[-1] * 0.0 + 1e-6
     x8 = frame(b=8)
     out8 = fwd1(params1, x8)
-    dt = time_chained(dp_step, x8, n=5)
-    results["fft_burst_dp_b8_100_ms"] = dt * 1e3
-    results["fft_burst_dp_frame_iters_per_sec"] = 8 * 100 / dt
+    record(results, time_chained(dp_step, x8, n=5),
+           "fft_burst_dp_b8_100_ms",
+           "fft_burst_dp_frame_iters_per_sec", 8 * 100)
 
     # ---- spectral-vs-coord conv speedup across kernel sizes ----
     # The reference's qualitative claim (README.md:5-6) quantified: one
@@ -274,11 +314,14 @@ def main():
         def step_f(x):
             out = conv_fftd(x)
             return out, x + out[:, :3] * 1e-9
-        dtc = time_chained(step_c, frame(b=8), n=8)
-        dtf = time_chained(step_f, frame(b=8), n=8)
-        results[f"conv_coord_{nk}x{nk}_b8_ms"] = dtc * 1e3
-        results[f"conv_spectral_{nk}x{nk}_b8_ms"] = dtf * 1e3
-        results[f"spectral_speedup_{nk}x{nk}"] = dtc / dtf
+        tc = time_chained(step_c, frame(b=8), n=8)
+        tf = time_chained(step_f, frame(b=8), n=8)
+        ok_c = record(results, tc, f"conv_coord_{nk}x{nk}_b8_ms")
+        ok_f = record(results, tf, f"conv_spectral_{nk}x{nk}_b8_ms")
+        # the round-2 42-million-x row came from a ratio over a swallowed
+        # chain — a speedup is only meaningful when both operands are real
+        results[f"spectral_speedup_{nk}x{nk}"] = (
+            tc.best / tf.best if ok_c and ok_f else None)
 
     # ---- 512×512 deep config (BASELINE config 5), batch 4 ----
     cfg512 = Config(nx=512, ny=512, d=3,
@@ -295,9 +338,9 @@ def main():
         return r, x + r.loss * 0.0 + 1e-6
     x512 = jax.device_put(
         rng.normal(size=(4, 3, 512, 512)).astype(np.float32) * 50)
-    dt = time_chained(mstep512, x512, n=5)
-    results["modern_fft_step_512_b4_ms"] = dt * 1e3
-    results["modern_fft_512_frames_per_sec"] = 4.0 / dt
+    record(results, time_chained(mstep512, x512, n=5),
+           "modern_fft_step_512_b4_ms", "modern_fft_512_frames_per_sec",
+           4.0)
 
     # ---- 1024×1024 deep config, batch 2 (fused-conv scaling) ----
     cfg1k = Config(nx=1024, ny=1024, d=3,
@@ -313,10 +356,12 @@ def main():
         return r, x + r.loss * 0.0 + 1e-6
     x1k = jax.device_put(
         rng.normal(size=(2, 3, 1024, 1024)).astype(np.float32) * 50)
-    dt = time_chained(mstep1k, x1k, n=5)
-    results["modern_fft_step_1024_b2_ms"] = dt * 1e3
-    results["modern_fft_1024_frames_per_sec"] = 2.0 / dt
+    record(results, time_chained(mstep1k, x1k, n=5),
+           "modern_fft_step_1024_b2_ms", "modern_fft_1024_frames_per_sec",
+           2.0)
 
+    results["headline_basis"] = ("median of 5 chained trials, fastest "
+                                 "impl; per-row floors in *_ms keys")
     results["device"] = str(jax.devices()[0])
     with open("bench_details.json", "w") as f:
         json.dump(results, f, indent=2)

@@ -71,12 +71,74 @@ def _source(args):
     return pipeline.video_file_frames(args.source, loop=True)
 
 
+def _run_gui(eng, src, args):
+    """Literal reference UX: four live OpenCV windows + waitKey dispatch
+    (source/autoencoder.cpp:55-66 window setup, 211-246 imshow/waitKey).
+
+    Headless-safe: exits with a clear message when no display/GUI backend
+    is available (cv2.error on the first namedWindow).
+    """
+    from ..data import pipeline
+    from ..model.engine import dispatch_key
+    try:
+        import cv2
+    except ImportError as e:
+        raise SystemExit(f"--gui requires OpenCV (cv2): {e}")
+    # window name, position — the reference's exact layout
+    windows = (("input", (100, 100)), ("output", (400, 100)),
+               ("feature map", (100, 400)), ("kernel", (400, 400)))
+    try:
+        for name, (wx, wy) in windows:
+            cv2.namedWindow(name, cv2.WINDOW_NORMAL)
+            cv2.moveWindow(name, wx, wy)
+            cv2.resizeWindow(name, 200, 200)
+    except cv2.error as e:
+        raise SystemExit(
+            f"--gui needs a display (cv2 backend failed: {e}); use --tui "
+            "or --dump-every for headless operation")
+    view_to_window = {"input": "input", "output": "output",
+                      "feature_map": "feature map", "kernel": "kernel"}
+    try:
+        for i in range(args.frames):
+            frame = next(src)
+            x = pipeline.frame_to_tensor(
+                pipeline.resize_nn(frame, args.nx, args.ny))
+            eng.step(x)
+            if eng.last_mse is not None:
+                print(f"frame {i}  mse: {eng.last_mse:.6g}", flush=True)
+            views = eng.current_views()
+            for vk, wname in view_to_window.items():
+                img = views[vk]
+                if img.ndim == 2:
+                    img = img[:, :, None].repeat(3, axis=2)
+                cv2.imshow(wname, img)
+            # extra 'g'-mode views get their own windows, like the
+            # reference's per-layer streams (fft_backproplib.cu:1344-1361)
+            for vk, img in views.items():
+                if vk not in view_to_window:
+                    cv2.imshow(vk, img)
+            ch = cv2.waitKey(10)
+            if ch == 27:  # Esc (autoencoder.cpp:246)
+                break
+            if ch > 0:
+                try:
+                    r = dispatch_key(eng, chr(ch & 0xFF))
+                    if r is not None:
+                        print(f"key '{chr(ch & 0xFF)}' -> {r}", flush=True)
+                except (OSError, ValueError) as e:
+                    print(f"key failed: {e}", flush=True)
+    finally:
+        cv2.destroyAllWindows()
+
+
 def cmd_run(args):
     from ..data import pipeline
     from ..model.engine import dispatch_key
     from ..viz.png import write_png
     eng = _make_engine(args)
     src = _source(args)
+    if args.gui:
+        return _run_gui(eng, src, args)
     if args.tui:
         from .tui import run_tui
         return run_tui(eng, src, nx=args.nx, ny=args.ny,
@@ -533,6 +595,9 @@ def main(argv=None):
     p.add_argument("--interactive", action="store_true")
     p.add_argument("--tui", action="store_true",
                    help="live ANSI terminal UI with single-key commands")
+    p.add_argument("--gui", action="store_true",
+                   help="the reference's four live OpenCV windows with "
+                        "waitKey keyboard control (needs a display)")
     p.add_argument("--keys", default="",
                    help="scripted key sequence, one key per frame")
     p.set_defaults(fn=cmd_run)

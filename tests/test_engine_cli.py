@@ -393,6 +393,72 @@ def test_cli_train_divergence_keeps_finite_ckpt(tmp_path, capsys,
         assert np.all(np.isfinite(np.asarray(leaf)))
 
 
+def _fake_cv2(keys, record):
+    """A recording cv2 stub: window management + imshow + scripted
+    waitKey returns (then Esc)."""
+    import types
+    mod = types.ModuleType("cv2")
+    mod.WINDOW_NORMAL = 0
+
+    class error(Exception):
+        pass
+
+    mod.error = error
+    seq = list(keys) + [27]
+    mod.namedWindow = lambda n, f=0: record.setdefault("windows", []
+                                                       ).append(n)
+    mod.moveWindow = lambda n, x, y: None
+    mod.resizeWindow = lambda n, w, h: None
+    mod.imshow = lambda n, img: record.setdefault("shown", []).append(
+        (n, img.shape))
+    mod.waitKey = lambda ms=0: (ord(seq.pop(0))
+                                if isinstance(seq[0], str) else seq.pop(0))
+    mod.destroyAllWindows = lambda: record.__setitem__("destroyed", True)
+    return mod
+
+
+def test_cli_run_gui_stubbed(monkeypatch, capsys):
+    """run --gui drives the four reference windows and feeds waitKey
+    through dispatch_key (autoencoder.cpp:55-66, 211-246); stub-tested
+    like the camera (no display on the rig)."""
+    import sys as _sys
+    from spectralae.cli.main import main
+    record = {}
+    monkeypatch.setitem(_sys.modules, "cv2",
+                        _fake_cv2(["i", "q"], record))
+    main(["run", "--nx", "16", "--frames", "5", "--gui"])
+    out = capsys.readouterr().out
+    assert record["windows"] == ["input", "output", "feature map",
+                                 "kernel"]
+    shown = {n for n, _ in record["shown"]}
+    assert shown == {"input", "output", "feature map", "kernel"}
+    assert record["destroyed"] is True
+    assert "key 'i'" in out          # dispatched through the KEYMAP
+    # Esc broke the loop at frame 3 of 5
+    assert "frame 3" not in out or "frame 4" not in out
+
+
+def test_cli_run_gui_headless_exits_cleanly(monkeypatch):
+    import sys as _sys
+    import types
+    from spectralae.cli.main import main
+    mod = types.ModuleType("cv2")
+    mod.WINDOW_NORMAL = 0
+
+    class error(Exception):
+        pass
+
+    mod.error = error
+
+    def boom(*a, **k):
+        raise error("no display")
+
+    mod.namedWindow = boom
+    monkeypatch.setitem(_sys.modules, "cv2", mod)
+    with pytest.raises(SystemExit, match="display"):
+        main(["run", "--nx", "16", "--frames", "2", "--gui"])
+
+
 def test_cli_train_burst_mode(tmp_path, capsys):
     import json as _json
     from spectralae.cli.main import main

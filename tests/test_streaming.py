@@ -1,0 +1,76 @@
+"""Streaming multi-burst driver: scan == sequential bursts (VERDICT r2 #4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spectralae.train.streaming import (fft_stream, stream_bursts,
+                                        stream_reference_loop)
+
+
+def setup(k=3, b=None, d=2, m=3, n=16, nk=3, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (k, d, n, n) if b is None else (k, b, d, n, n)
+    xs = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=(m, d, nk, nk)).astype(np.float32) * .3)
+    f = jnp.asarray(rng.normal(size=(d, m, nk, nk)).astype(np.float32) * .3)
+    bb = jnp.asarray(rng.normal(size=(m,)).astype(np.float32) * .1)
+    p = jnp.asarray(rng.normal(size=(d,)).astype(np.float32) * .1)
+    return xs, c, f, bb, p
+
+
+@pytest.mark.parametrize("carry", [True, False])
+def test_stream_equals_sequential_bursts(carry):
+    xs, c, f, b, p = setup(k=3)
+    got = fft_stream(xs, c, f, b, p, iters=8, carry_momentum=carry)
+    want = stream_reference_loop(xs, c, f, b, p, iters=8,
+                                 carry_momentum=carry)
+    np.testing.assert_allclose(np.asarray(got.c), np.asarray(want.c),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(want.f),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.mses), np.asarray(want.mses),
+                               rtol=2e-5, atol=1e-7)
+    assert got.mses.shape == (3, 9)
+
+
+def test_stream_batched_frames():
+    xs, c, f, b, p = setup(k=2, b=3)
+    got = fft_stream(xs, c, f, b, p, iters=5)
+    want = stream_reference_loop(xs, c, f, b, p, iters=5)
+    np.testing.assert_allclose(np.asarray(got.c), np.asarray(want.c),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.mses), np.asarray(want.mses),
+                               rtol=2e-5, atol=1e-7)
+
+
+def test_stream_trains_on_static_scene():
+    """A repeated frame is steady-state training: the per-frame entry MSE
+    must fall monotonically-ish across the stream and substantially
+    overall (the capability the driver exists for)."""
+    xs, c, f, b, p = setup(k=6, seed=3)
+    xs = jnp.broadcast_to(xs[:1], xs.shape)  # static scene
+    r = fft_stream(xs, c, f, b, p, iters=60, lr=2.0)
+    entry = np.asarray(r.mses[:, 0])
+    assert np.all(np.diff(entry) < 0)       # every frame helps
+    assert entry[-1] < 0.55 * entry[0]      # measured: 0.448
+    # within-frame trajectories decrease too
+    assert np.asarray(r.mses[0, -1]) < np.asarray(r.mses[0, 0])
+
+
+def test_stream_reanchor_within_frame():
+    xs, c, f, b, p = setup(k=2, seed=5)
+    got = fft_stream(xs, c, f, b, p, iters=9, reanchor_every=4)
+    want = stream_reference_loop(xs, c, f, b, p, iters=9, reanchor_every=4)
+    np.testing.assert_allclose(np.asarray(got.c), np.asarray(want.c),
+                               rtol=2e-5, atol=1e-6)
+    assert got.mses.shape == (2, 10)
+
+
+def test_stream_maxdiff_smoke():
+    xs, c, f, b, p = setup(k=2, seed=7)
+    r = fft_stream(xs, c, f, b, p, iters=4, maxdiff=True)
+    for leaf in (r.c, r.f, r.b, r.p):
+        assert np.all(np.isfinite(np.asarray(leaf)))
