@@ -44,11 +44,12 @@ def main():
         return xs_ + r.mses[-1, -1] * 0.0 + 1e-6
 
     def run_sequential(xs_):
+        # the best HOST-loop implementation: one jitted fused burst
+        # (anchor forward included) per frame — one dispatch per frame
         cc, ff, bb, pp, mom = c, f, b, p, None
         last = None
         for k in range(K):
-            o0 = _true_forward(xs_[k][None], cc, ff, bb, pp, True)
-            last = fft_burst_corr(xs_[k], None, o0[0], cc, ff, bb, pp,
+            last = fft_burst_corr(xs_[k], None, None, cc, ff, bb, pp,
                                   mom, iters=ITERS)
             cc, ff, bb, pp, mom = (last.c, last.f, last.b, last.p,
                                    last.mom)

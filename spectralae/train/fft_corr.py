@@ -258,6 +258,108 @@ def corr_precompute(x, expout, out0, c0, f0, *, scale_by_dm=True,
     return out
 
 
+def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
+                          axis_name=None, model_axis=None):
+    """Precompute for the case ``expout = x`` AND ``out0 = the model's own
+    two-stage forward of x`` (every steady-state streaming call site).
+
+    When the anchor output is *exactly* the model forward, the anchor
+    mismatch ``G₀ = s1·K̂₀X − O₀`` collapses to the DC-only bias injection
+    (conv_k adds biases at the zero bin only, fft_backproplib.cu:183-184),
+    so relative to :func:`corr_precompute` this drops per burst:
+
+      - the separate ``rfft2(out0)`` (out0 is never materialized at all —
+        neither in pixel nor ω space),
+      - the XG0 plane products and their window transforms (9 of 27
+        planes at D=3), and the E0/G0 split (E0 = continuum + DC scalars),
+
+    while producing the **same T dict** for :func:`corr_iterate`, with the
+    same anchoring precision: the continuum error ``s1·K̂₀X − X`` is still
+    accumulated bin-wise, and the bias DC terms are exact scalars.
+    Equality with the unfused path (out0 = ``_true_forward``) is tested to
+    fp32 tolerance in tests/test_fft_corr.py.
+    """
+    from ..ops import dft
+    nx, ny = x.shape[-2], x.shape[-1]
+    dD = x.shape[-3]
+    dM = c0.shape[0]
+    nk, nl = c0.shape[-2], c0.shape[-1]
+    maps = _lag_maps(nk, nl)
+    P = nk * nl
+    hx2, hy2 = maps["l2ext"]
+    hx4, hy4 = maps["v4ext"]
+    s1 = (1.0 / (dM * dD)) if scale_by_dm else 1.0
+    s2 = (1.0 / dD) if scale_by_dm else 1.0
+    norm = float(nx * ny)
+
+    X = spectral.rfft2(x)                              # [B, D, nx, nyr]
+    Xc = jnp.conj(X)
+    K2 = jnp.einsum("emq,mdr->edqr", f0.reshape(dD, dM, P),
+                    c0.reshape(dM, dD, P)).reshape(dD * dD, P * P)
+    K0taps = (K2 @ jnp.asarray(maps["g_scatter_pair"])
+              ).reshape(dD, dD, 2 * hx2 + 1, 2 * hy2 + 1)
+    K0f = dft.kernel_spectrum(K0taps, nx, ny)
+    # continuum error (Y = X): bin-wise small once trained — anchoring
+    # precision identical to the E0/G0 split.  precision="highest" is
+    # load-bearing: with TPU default (reduced) matmul precision the
+    # rounding of this contraction becomes a phantom ~1e-3·|X| error the
+    # burst would chase (the unfused path is immune — its forward rounding
+    # lands in the *measured* G₀)
+    EG = jnp.einsum("edxy,bdxy->bexy", K0f, X,
+                    precision="highest") * s1 - X
+    # DC bias offset of the true forward vs the continuum: dE0[e] =
+    # norm·(s2·Σ_m f̂(0)·b + p)  (the only place out0 differed)
+    fs0 = jnp.sum(f0.reshape(dD, dM, P), axis=-1)       # [D, M]
+    dE0 = norm * (s2 * (fs0 @ b0) + p0)                 # [D]
+
+    nyr = X.shape[-1]
+    prods_xx = jnp.mean(Xc[:, :, None] * X[:, None],
+                        axis=0).reshape(-1, nx, nyr)
+    prods_eg = jnp.mean(Xc[:, :, None] * EG[:, None],
+                        axis=0).reshape(-1, nx, nyr)
+
+    def windows(prods, hx_, hy_):
+        if model_axis is None:
+            return _corr_windows(prods, nx, ny, hx_, hy_)
+        nm = lax.axis_size(model_axis)
+        nplanes = prods.shape[0]
+        chunk = -(-nplanes // nm)
+        prods_p = jnp.pad(prods, ((0, chunk * nm - nplanes),
+                                  (0, 0), (0, 0)))
+        mine = lax.dynamic_slice_in_dim(
+            prods_p, lax.axis_index(model_axis) * chunk, chunk)
+        win_mine = _corr_windows(mine, nx, ny, hx_, hy_)
+        return lax.all_gather(win_mine, model_axis, axis=0
+                              ).reshape(-1, 2 * hx_ + 1,
+                                        2 * hy_ + 1)[:nplanes]
+
+    XX = windows(prods_xx, hx4, hy4).reshape(dD, dD, -1)
+    EGwin = windows(prods_eg, hx2, hy2).reshape(dD, dD, -1)
+
+    wv = jnp.asarray(_herm_w(nx, ny))
+    SEG = jnp.mean(jnp.sum((EG.real ** 2 + EG.imag ** 2) * wv,
+                           axis=(-2, -1, -3)))          # Σw|E₀+G₀|²
+    X0 = jnp.mean(X[:, :, 0, 0].real, axis=0)           # [D]
+    E_cont0 = jnp.mean(EG[:, :, 0, 0].real, axis=0)     # [D]
+
+    # reconstruct the E₀/G₀ split exactly: G₀ = −dE0 at DC only, so its
+    # lag windows are the constant −X0[d]·dE0[e] (w(DC)=1) and its
+    # energies are pure scalar corrections
+    dc_lag = X0[:, None, None] * dE0[None, :, None]     # [d, e, 1]
+    XG0 = jnp.broadcast_to(-dc_lag, EGwin.shape)
+    XE0 = EGwin + dc_lag
+    GG0 = jnp.sum(dE0 * dE0)
+    EG0 = -jnp.sum((E_cont0 + dE0) * dE0)
+    E0E0 = SEG + jnp.sum(2.0 * E_cont0 * dE0 + dE0 * dE0)
+    E00 = E_cont0 + dE0
+
+    out = dict(XX=XX, XE0=XE0, XG0=XG0, E0E0=E0E0, GG0=GG0, EG0=EG0,
+               X0=X0, Y0=X0, E00=E00)
+    if axis_name is not None:
+        out = jax.tree.map(lambda t: lax.pmean(t, axis_name), out)
+    return out
+
+
 def corr_iterate(T, c, f, b, p, mom=None, *, nx, ny,
                  lr=0.2, alpha=0.9, iters=100, maxdiff=False,
                  w0=1.0, w1=10.0, scale_by_dm=True,
@@ -451,18 +553,40 @@ def burst_corr(x, expout, out0, c, f, b, p, mom=None, *,
     long/converged bursts stay accurate (each segment runs the identical
     reference recursion, so the segmented burst equals the unsegmented
     one in exact arithmetic).  Costs one precompute per segment.
+
+    ``out0=None``: fused anchoring — the anchor output is the model's own
+    biased two-stage forward of ``x``, computed *inside* the precompute as
+    exact DC scalars on top of the continuum (:func:`corr_precompute_fused`
+    — no out0 FFT, no XG0 plane transforms).  Requires ``expout`` None/x
+    (the steady-state streaming contract); reanchor segments then
+    re-anchor without any pixel-space forward round-trip.
     """
+    fused = out0 is None
+    if fused and not (expout is None or expout is x):
+        raise ValueError("out0=None (fused anchor forward) trains against "
+                         "the input; pass expout=None")
     if expout is None:
         expout = x
     if x.ndim == 3:
-        x, expout, out0 = x[None], expout[None], out0[None]
+        x, expout = x[None], expout[None]
+        if not fused:
+            out0 = out0[None]
     nx, ny = x.shape[-2], x.shape[-1]
     vary = (model_axis,) if model_axis else ()
+
+    def precompute(out_cur, c, f, b, p):
+        if out_cur is None:
+            return corr_precompute_fused(x, c, f, b, p,
+                                         scale_by_dm=scale_by_dm,
+                                         axis_name=axis_name,
+                                         model_axis=model_axis)
+        return corr_precompute(x, expout, out_cur, c, f,
+                               scale_by_dm=scale_by_dm,
+                               axis_name=axis_name, model_axis=model_axis)
+
     if iters == 0:
         # zero updates: report mses[0] only (the ω-space paths' semantics)
-        T0 = corr_precompute(x, expout, out0, c, f,
-                             scale_by_dm=scale_by_dm,
-                             axis_name=axis_name, model_axis=model_axis)
+        T0 = precompute(out0, c, f, b, p)
         mse_norm = 1.0 / (c.shape[1] * nx * ny) / (2 * c.shape[0] * nx * ny)
         if mom is None:
             mom = (jnp.zeros_like(c), jnp.zeros_like(f),
@@ -471,9 +595,7 @@ def burst_corr(x, expout, out0, c, f, b, p, mom=None, *,
                               mses=(T0["E0E0"] * mse_norm)[None])
 
     def segment(out_cur, c, f, b, p, mom, seg_iters):
-        T = corr_precompute(x, expout, out_cur, c, f,
-                            scale_by_dm=scale_by_dm,
-                            axis_name=axis_name, model_axis=model_axis)
+        T = precompute(out_cur, c, f, b, p)
         return corr_iterate(T, c, f, b, p, mom, nx=nx, ny=ny, lr=lr,
                             alpha=alpha, iters=seg_iters, maxdiff=maxdiff,
                             w0=w0, w1=w1, scale_by_dm=scale_by_dm,
@@ -495,7 +617,10 @@ def burst_corr(x, expout, out0, c, f, b, p, mom=None, *,
         mses_parts.append(r.mses if not mses_parts else r.mses[1:])
         left -= seg
         if left > 0:
-            out_cur = _true_forward(x, c, f, b, p, scale_by_dm)
+            # fused mode re-anchors inside the next precompute; the
+            # unfused contract recomputes the true forward explicitly
+            out_cur = (None if fused else
+                       _true_forward(x, c, f, b, p, scale_by_dm))
     return FFTBurstResult(c=c, f=f, b=b, p=p, mom=mom,
                           mses=jnp.concatenate(mses_parts))
 

@@ -81,10 +81,11 @@ def stream_bursts(xs: jax.Array, c: jax.Array, f: jax.Array, b: jax.Array,
 
     def one(carry, xk):
         cc, ff, bb, pp, mo = carry
-        out0 = _true_forward(xk, cc, ff, bb, pp, scale_by_dm)
         mo_in = mo if carry_momentum else tuple(
             jnp.zeros_like(t) for t in mo)
-        r = burst_corr(xk, None, out0, cc, ff, bb, pp, mo_in,
+        # out0=None: fused anchoring — the per-frame anchor forward is
+        # folded into the precompute (no out0 FFT, no XG0 transforms)
+        r = burst_corr(xk, None, None, cc, ff, bb, pp, mo_in,
                        lr=lr, alpha=alpha, iters=iters, maxdiff=maxdiff,
                        w0=w0, w1=w1, scale_by_dm=scale_by_dm,
                        axis_name=axis_name,

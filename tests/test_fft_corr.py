@@ -258,6 +258,58 @@ def test_corr_burst_expout_none_equals_explicit():
     np.testing.assert_array_equal(np.asarray(a.mses), np.asarray(b.mses))
 
 
+def test_fused_precompute_matches_unfused():
+    """out0=None fuses the anchor forward into the precompute: the T dict
+    must equal corr_precompute fed the explicit biased two-stage forward
+    (G₀ collapses to the DC bias scalars)."""
+    from spectralae.train.fft_corr import (corr_precompute,
+                                           corr_precompute_fused,
+                                           _true_forward)
+    x, _, enc, dec = setup(nx=16, d=2, m=4)
+    xb = x[None]
+    out0 = _true_forward(xb, enc.c, dec.c, enc.b, dec.b, True)
+    Tu = corr_precompute(xb, xb, out0, enc.c, dec.c)
+    Tf = corr_precompute_fused(xb, enc.c, dec.c, enc.b, dec.b)
+    assert set(Tu) == set(Tf)
+    # the unfused window transform's fp32 noise floor scales with the
+    # |X|·|signal| plane magnitudes it sums, not with the entry values
+    # (G0's windows are tiny numbers extracted from large products) — a
+    # shared absolute floor from the largest lag tensor
+    lag_scale = max(float(np.max(np.abs(np.asarray(Tu[k]))))
+                    for k in ("XX", "XE0", "XG0"))
+    for k in Tu:
+        want = np.asarray(Tu[k])
+        atol = (1e-5 * lag_scale if k in ("XX", "XE0", "XG0")
+                else 1e-5 * float(np.max(np.abs(want))) + 1e-6)
+        np.testing.assert_allclose(np.asarray(Tf[k]), want,
+                                   rtol=2e-3, atol=atol, err_msg=k)
+
+
+@pytest.mark.parametrize("batch,reanchor", [(None, None), (3, None),
+                                            (None, 4)])
+def test_fused_burst_matches_explicit_out0(batch, reanchor):
+    """A full fused burst (out0=None) equals the unfused burst anchored on
+    the explicitly-computed model forward — incl. batched and
+    within-burst reanchoring (which re-anchors without any pixel-space
+    round-trip on the fused path)."""
+    from spectralae.train.fft_corr import _true_forward
+    x, _, enc, dec = setup(b=batch)
+    xb = x if batch else x[None]
+    out0 = _true_forward(xb, enc.c, dec.c, enc.b, dec.b, True)
+    out0 = out0 if batch else out0[0]
+    ref = fft_burst_corr(x, None, out0, enc.c, dec.c, enc.b, dec.b,
+                         lr=0.2, iters=9, reanchor_every=reanchor)
+    got = fft_burst_corr(x, None, None, enc.c, dec.c, enc.b, dec.b,
+                         lr=0.2, iters=9, reanchor_every=reanchor)
+    assert_matches(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_burst_rejects_foreign_expout():
+    x, _, enc, dec = setup()
+    with pytest.raises(ValueError, match="expout"):
+        burst_corr(x, x + 1.0, None, enc.c, dec.c, enc.b, dec.b, iters=3)
+
+
 def test_corr_burst_non_square_grid():
     """nx ≠ ny exercises the separable lag bases' distinct axis handling."""
     cfg = Config(nx=16, ny=24, d=2,
