@@ -206,6 +206,19 @@ def main():
            "fft_burst_400_ms[corr]",
            "fft_backprop_iters_per_sec_256_x400", 400)
 
+    # ---- streaming: 32-frame × 100-iter on-device scan (one dispatch
+    # per stream; per-frame fused re-anchoring — train/streaming.py) ----
+    from spectralae.train.streaming import fft_stream
+    xs32 = jax.device_put(
+        rng.normal(size=(32, 3, 256, 256)).astype(np.float32) * 50)
+
+    def stream_step(xs):
+        r = fft_stream(xs, enc.c, dec.c, enc.b, dec.b, iters=100)
+        return r, xs + r.mses[-1, -1] * 0.0 + 1e-6
+    record(results, time_chained(stream_step, xs32, n=3, trials=5),
+           "fft_stream_32x100_ms",
+           "fft_stream_iters_per_sec_sustained", 32 * 100)
+
     # ---- headline at 512² and 1024² (scaling) ----
     for nxy, iters_n, nlinks in ((512, burst_iters, 10),
                                  (1024, burst_iters, 8)):

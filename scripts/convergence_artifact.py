@@ -1,0 +1,193 @@
+"""Real-data convergence artifact (VERDICT r2 item 7).
+
+Reproducible end-to-end capability proof: train the autoencoder through
+the CLI burst trainer on a *video file* (the reference's actual modality —
+a structured moving scene written to YUV4MPEG2, the cv2-free real-video
+path), then show that the trained net beats the fresh net by a large PSNR
+margin on HELD-OUT frames (a later time segment of the same scene), and
+dump before/after reconstructions.
+
+Outputs (committed under docs/convergence/):
+  summary.json            fresh/trained PSNR on held-out frames + config
+  metrics.jsonl           per-burst on-device MSE trajectories
+  input.png, recon_before.png, recon_after.png, kernels_after.png
+
+Run:  python scripts/convergence_artifact.py  [--steps 250 --batch 4]
+(~1k frame-bursts of 100 iterations each with the defaults).
+"""
+
+import argparse
+import contextlib
+import io
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+NX = 256
+
+
+# ---------------------------------------------------------------- the scene
+
+def scene_frame(t: int, nx: int = NX, seed: int = 42) -> np.ndarray:
+    """A structured, camera-like moving scene (BGR uint8 HWC): drifting
+    multi-scale texture + moving blobs + broadband detail — deterministic
+    in (t, seed), so train/held-out segments are time splits of one
+    'recording'."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(np.arange(nx), np.arange(nx), indexing="ij")
+    # static broadband texture (the "scene"), panned over time
+    tex = np.zeros((2 * nx, 2 * nx), np.float32)
+    r2 = np.random.default_rng(seed + 1)
+    for scale in (4, 8, 16, 32, 64):
+        g = r2.normal(size=(2 * nx // scale + 1, 2 * nx // scale + 1))
+        g = np.kron(g, np.ones((scale, scale)))[:2 * nx, :2 * nx]
+        tex += g * scale ** 0.5
+    tex = (tex - tex.min()) / (tex.ptp() + 1e-9)
+    ox, oy = int(20 * np.sin(0.05 * t)) + nx // 2, (3 * t) % nx
+    pan = tex[oy:oy + nx, ox:ox + nx]
+    chans = []
+    phases = rng.uniform(0, 2 * np.pi, 3)
+    for c in range(3):
+        base = 0.55 * pan + 0.25 * (0.5 + 0.5 * np.sin(
+            0.04 * xx + 0.03 * yy + phases[c] + 0.07 * t))
+        # two moving gaussian blobs per channel
+        for k in range(2):
+            bx = nx / 2 + nx / 3 * np.sin(0.03 * t + 2.1 * k + c)
+            by = nx / 2 + nx / 3 * np.cos(0.021 * t + 1.3 * k + 2 * c)
+            base += 0.35 * np.exp(-(((xx - bx) ** 2 + (yy - by) ** 2)
+                                    / (2 * (nx / 10) ** 2)))
+        chans.append(np.clip(base, 0, 1) * 255)
+    return np.stack(chans, axis=-1).astype(np.uint8)
+
+
+def write_y4m(path: Path, frames: list, nx: int) -> None:
+    """C444 YUV4MPEG2 via the inverse of the reader's BT.601 transform
+    (spectralae.data.pipeline.y4m_video)."""
+    with open(path, "wb") as fh:
+        fh.write(f"YUV4MPEG2 W{nx} H{nx} F25:1 Ip A1:1 C444\n"
+                 .encode("ascii"))
+        for bgr in frames:
+            b, g, r = (bgr[..., i].astype(np.float32) for i in range(3))
+            y = 16.0 + (65.481 * r + 128.553 * g + 24.966 * b) / 255.0
+            u = 128.0 + (-37.797 * r - 74.203 * g + 112.0 * b) / 255.0
+            v = 128.0 + (112.0 * r - 93.786 * g - 18.214 * b) / 255.0
+            fh.write(b"FRAME\n")
+            for plane in (y, u, v):
+                fh.write(np.clip(np.round(plane), 0, 255)
+                         .astype(np.uint8).tobytes())
+
+
+def run_cli(argv) -> str:
+    from spectralae.cli.main import main
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(argv)
+    out = buf.getvalue()
+    sys.stdout.write(out)
+    return out
+
+
+def last_json(out: str) -> dict:
+    for line in reversed(out.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    raise RuntimeError("no JSON line in CLI output")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=250,
+                    help="burst steps (x batch = frame-bursts)")
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--lr", type=float, default=0.2)
+    ap.add_argument("--outdir", default="docs/convergence")
+    ap.add_argument("--workdir", default="/tmp/convergence_artifact")
+    args = ap.parse_args(argv)
+
+    from spectralae.core.runtime import enable_compilation_cache
+    enable_compilation_cache()
+    from spectralae.data import pipeline
+    from spectralae.io import checkpoint as ckpt
+    from spectralae.viz.png import write_png
+    import jax
+    from spectralae.model import autoencoder as model
+
+    work = Path(args.workdir)
+    work.mkdir(parents=True, exist_ok=True)
+    out = Path(args.outdir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    n_train = args.steps * args.batch
+    train_y4m = work / "scene_train.y4m"
+    held_y4m = work / "scene_heldout.y4m"
+    print(f"writing {n_train}-frame training video + 24 held-out frames",
+          flush=True)
+    # training frames loop the time range [0, 200); held-out frames are
+    # t in [200, 224) — unseen motion states of the same scene
+    write_y4m(train_y4m, [scene_frame(t % 200) for t in range(
+        min(n_train, 200))], NX)
+    write_y4m(held_y4m, [scene_frame(200 + t) for t in range(24)], NX)
+
+    ck = work / "ck"
+    metrics = work / "metrics.jsonl"
+    metrics.unlink(missing_ok=True)
+
+    common = ["--nx", str(NX), "--seed", "0"]
+    print("== fresh-net PSNR on held-out frames ==", flush=True)
+    fresh = last_json(run_cli(
+        ["eval", *common, "--source", str(held_y4m), "--steps", "6",
+         "--batch", "4"]))
+
+    print("== training (burst mode) ==", flush=True)
+    run_cli(["train", *common, "--mode", "burst",
+             "--source", str(train_y4m), "--steps", str(args.steps),
+             "--batch", str(args.batch), "--iters", str(args.iters),
+             "--lr", str(args.lr), "--carry-momentum",
+             "--log-every", "5", "--metrics", str(metrics),
+             "--ckpt", str(ck)])
+
+    print("== trained-net PSNR on held-out frames ==", flush=True)
+    trained = last_json(run_cli(
+        ["eval", *common, "--from-ckpt", str(ck),
+         "--source", str(held_y4m), "--steps", "6", "--batch", "4"]))
+
+    # before/after reconstructions of one held-out frame
+    frame = scene_frame(210)
+    x = pipeline.frame_to_tensor(frame)
+    params, spec, _, _ = ckpt.load(ck)
+    from spectralae.core.config import Config, LayerParams
+    from spectralae.core.types import initial_spec, init_params
+    cfg = Config(nx=NX, ny=NX, d=3)
+    spec0 = initial_spec(cfg)
+    params0 = init_params(jax.random.key(0), spec0, cfg.layer.rmax)
+    fwd = jax.jit(lambda p, s, xx: model.forward_fft(p, xx[None], s)[0])
+    rec0 = np.asarray(fwd(params0, spec0.scales, x))
+    rec1 = np.asarray(fwd(params, spec.scales, x))
+    write_png(out / "input.png", pipeline.tensor_to_frame(x))
+    write_png(out / "recon_before.png", pipeline.tensor_to_frame(rec0))
+    write_png(out / "recon_after.png", pipeline.tensor_to_frame(rec1))
+
+    import shutil
+    shutil.copy(metrics, out / "metrics.jsonl")
+    summary = {
+        "scene": "procedural 256x256 video via .y4m (C444), time-split",
+        "train_frames": min(n_train, 200), "heldout_frames": 24,
+        "bursts": args.steps, "batch": args.batch, "iters": args.iters,
+        "lr": args.lr,
+        "fresh": fresh, "trained": trained,
+        "psnr_gain_db": round(trained["psnr_db"] - fresh["psnr_db"], 3),
+    }
+    (out / "summary.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary, indent=2))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -278,9 +278,20 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
     accumulated bin-wise, and the bias DC terms are exact scalars.
     Equality with the unfused path (out0 = ``_true_forward``) is tested to
     fp32 tolerance in tests/test_fft_corr.py.
+
+    ``model_axis`` (tensor parallelism) shards the ENTIRE resolution-
+    scaled pipeline, not just the window transforms: signal FFTs are
+    sharded over the B·D pixel planes, the composed-kernel restricted
+    DFTs and the continuum-error contraction over output channels, and
+    the correlation products + lag windows over plane pairs.  The only
+    resolution-sized collective is one all_gather of the X half-spectra
+    (B·D·nx·nyr complex over ICI); everything gathered afterwards is
+    window/scalar-sized.  Per-device FLOPs of the precompute scale as
+    1/n_model (tests/test_tp_proof.py counts this from the compiled HLO).
     """
     from ..ops import dft
     nx, ny = x.shape[-2], x.shape[-1]
+    B = x.shape[0]
     dD = x.shape[-3]
     dM = c0.shape[0]
     nk, nl = c0.shape[-2], c0.shape[-1]
@@ -291,56 +302,102 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
     s1 = (1.0 / (dM * dD)) if scale_by_dm else 1.0
     s2 = (1.0 / dD) if scale_by_dm else 1.0
     norm = float(nx * ny)
+    nyr = ny // 2 + 1
+    dd = dD * dD
+    ein = functools.partial(jnp.einsum, precision="highest")
 
-    X = spectral.rfft2(x)                              # [B, D, nx, nyr]
-    Xc = jnp.conj(X)
     K2 = jnp.einsum("emq,mdr->edqr", f0.reshape(dD, dM, P),
-                    c0.reshape(dM, dD, P)).reshape(dD * dD, P * P)
+                    c0.reshape(dM, dD, P)).reshape(dd, P * P)
     K0taps = (K2 @ jnp.asarray(maps["g_scatter_pair"])
               ).reshape(dD, dD, 2 * hx2 + 1, 2 * hy2 + 1)
-    K0f = dft.kernel_spectrum(K0taps, nx, ny)
-    # continuum error (Y = X): bin-wise small once trained — anchoring
-    # precision identical to the E0/G0 split.  precision="highest" is
-    # load-bearing: with TPU default (reduced) matmul precision the
-    # rounding of this contraction becomes a phantom ~1e-3·|X| error the
-    # burst would chase (the unfused path is immune — its forward rounding
-    # lands in the *measured* G₀)
-    EG = jnp.einsum("edxy,bdxy->bexy", K0f, X,
-                    precision="highest") * s1 - X
     # DC bias offset of the true forward vs the continuum: dE0[e] =
     # norm·(s2·Σ_m f̂(0)·b + p)  (the only place out0 differed)
     fs0 = jnp.sum(f0.reshape(dD, dM, P), axis=-1)       # [D, M]
     dE0 = norm * (s2 * (fs0 @ b0) + p0)                 # [D]
-
-    nyr = X.shape[-1]
-    prods_xx = jnp.mean(Xc[:, :, None] * X[:, None],
-                        axis=0).reshape(-1, nx, nyr)
-    prods_eg = jnp.mean(Xc[:, :, None] * EG[:, None],
-                        axis=0).reshape(-1, nx, nyr)
-
-    def windows(prods, hx_, hy_):
-        if model_axis is None:
-            return _corr_windows(prods, nx, ny, hx_, hy_)
-        nm = lax.axis_size(model_axis)
-        nplanes = prods.shape[0]
-        chunk = -(-nplanes // nm)
-        prods_p = jnp.pad(prods, ((0, chunk * nm - nplanes),
-                                  (0, 0), (0, 0)))
-        mine = lax.dynamic_slice_in_dim(
-            prods_p, lax.axis_index(model_axis) * chunk, chunk)
-        win_mine = _corr_windows(mine, nx, ny, hx_, hy_)
-        return lax.all_gather(win_mine, model_axis, axis=0
-                              ).reshape(-1, 2 * hx_ + 1,
-                                        2 * hy_ + 1)[:nplanes]
-
-    XX = windows(prods_xx, hx4, hy4).reshape(dD, dD, -1)
-    EGwin = windows(prods_eg, hx2, hy2).reshape(dD, dD, -1)
-
     wv = jnp.asarray(_herm_w(nx, ny))
-    SEG = jnp.mean(jnp.sum((EG.real ** 2 + EG.imag ** 2) * wv,
-                           axis=(-2, -1, -3)))          # Σw|E₀+G₀|²
-    X0 = jnp.mean(X[:, :, 0, 0].real, axis=0)           # [D]
-    E_cont0 = jnp.mean(EG[:, :, 0, 0].real, axis=0)     # [D]
+
+    if model_axis is None:
+        X = spectral.rfft2(x)                          # [B, D, nx, nyr]
+        Xc = jnp.conj(X)
+        K0f = dft.kernel_spectrum(K0taps, nx, ny)
+        # continuum error (Y = X): bin-wise small once trained — anchoring
+        # precision identical to the E0/G0 split.  precision="highest" is
+        # load-bearing: with TPU default (reduced) matmul precision the
+        # rounding of this contraction becomes a phantom ~1e-3·|X| error
+        # the burst would chase (the unfused path is immune — its forward
+        # rounding lands in the *measured* G₀)
+        EG = ein("edxy,bdxy->bexy", K0f, X) * s1 - X
+        prods_xx = jnp.mean(Xc[:, :, None] * X[:, None],
+                            axis=0).reshape(-1, nx, nyr)
+        prods_eg = jnp.mean(Xc[:, :, None] * EG[:, None],
+                            axis=0).reshape(-1, nx, nyr)
+        XX = _corr_windows(prods_xx, nx, ny, hx4, hy4).reshape(dD, dD, -1)
+        EGwin = _corr_windows(prods_eg, nx, ny, hx2, hy2
+                              ).reshape(dD, dD, -1)
+        SEG = jnp.mean(jnp.sum((EG.real ** 2 + EG.imag ** 2) * wv,
+                               axis=(-2, -1, -3)))      # Σw|E₀+G₀|²
+        X0 = jnp.mean(X[:, :, 0, 0].real, axis=0)       # [D]
+        E_cont0 = jnp.mean(EG[:, :, 0, 0].real, axis=0)  # [D]
+    else:
+        nm = lax.axis_size(model_axis)
+        midx = lax.axis_index(model_axis)
+
+        def shard(planes):
+            """Pad a plane stack to nm chunks and take this shard's."""
+            n = planes.shape[0]
+            chunk = -(-n // nm)
+            pp = jnp.pad(planes, ((0, chunk * nm - n),)
+                         + ((0, 0),) * (planes.ndim - 1))
+            return lax.dynamic_slice_in_dim(pp, midx * chunk, chunk), chunk
+
+        def gather(local, n):
+            return lax.all_gather(local, model_axis, axis=0).reshape(
+                (-1,) + local.shape[1:])[:n]
+
+        # 1. signal FFTs sharded over the B·D pixel planes; ONE
+        # resolution-sized all_gather of the half-spectra over ICI
+        pl, _ = shard(x.reshape(B * dD, nx, ny))
+        X = gather(spectral.rfft2(pl), B * dD).reshape(B, dD, nx, nyr)
+        Xc = jnp.conj(X)
+        # 2. composed-kernel restricted DFTs + the continuum-error
+        # contraction, sharded over output channels e (zero-padded rows
+        # yield EG ≡ 0, so they contribute nothing downstream)
+        K0rows, chunk_e = shard(K0taps)            # [chunk_e, D, ·, ·]
+        K0f_l = dft.kernel_spectrum(K0rows, nx, ny)
+        X_e, _ = shard(jnp.moveaxis(X, 1, 0))      # [chunk_e, B, nx, nyr]
+        EGl = (ein("edxy,bdxy->bexy", K0f_l, X) * s1
+               - jnp.moveaxis(X_e, 0, 1))          # [B, chunk_e, nx, nyr]
+        # 3. eg products: all d × this shard's e-chunk, windows at ±2h
+        prods_eg_l = jnp.mean(Xc[:, :, None] * EGl[:, None],
+                              axis=0).reshape(dD * chunk_e, nx, nyr)
+        eg_l = _corr_windows(prods_eg_l, nx, ny, hx2, hy2)
+        n2w = (2 * hx2 + 1) * (2 * hy2 + 1)
+        EGwin = jnp.moveaxis(
+            lax.all_gather(eg_l.reshape(dD, chunk_e, n2w), model_axis,
+                           axis=0), 0, 1).reshape(dD, nm * chunk_e, n2w
+                                                  )[:, :dD]
+        # 4. XX products sharded over the D² plane pairs (rows selected
+        # by one-hot matmuls over the tiny D axis — no gathers)
+        chunk_dd = -(-dd // nm)
+        flat = midx * chunk_dd + jnp.arange(chunk_dd)
+        valid = (flat < dd).astype(jnp.float32)
+        flat_c = jnp.minimum(flat, dd - 1)
+        oh1 = (flat_c[:, None] // dD == jnp.arange(dD)[None, :]
+               ).astype(jnp.float32)
+        oh2 = (flat_c[:, None] % dD == jnp.arange(dD)[None, :]
+               ).astype(jnp.float32)
+        A = jnp.einsum("cd,bdxy->bcxy", oh1, Xc)
+        Bv = jnp.einsum("cd,bdxy->bcxy", oh2, X)
+        prods_xx_l = (jnp.mean(A * Bv, axis=0)
+                      * valid[:, None, None])
+        xx_l = _corr_windows(prods_xx_l, nx, ny, hx4, hy4)
+        XX = gather(xx_l, dd).reshape(dD, dD, -1)
+        # 5. scalars: shard-local partials psum'd over the model axis
+        SEG = lax.psum(jnp.mean(jnp.sum(
+            (EGl.real ** 2 + EGl.imag ** 2) * wv,
+            axis=(-2, -1, -3))), model_axis)
+        X0 = jnp.mean(X[:, :, 0, 0].real, axis=0)
+        E_cont0 = gather(jnp.mean(EGl[:, :, 0, 0].real, axis=0), dD)
 
     # reconstruct the E₀/G₀ split exactly: G₀ = −dE0 at DC only, so its
     # lag windows are the constant −X0[d]·dE0[e] (w(DC)=1) and its

@@ -155,28 +155,66 @@ def distributed_burst(mesh: Mesh, *, lr: float = 0.2, alpha: float = 0.9,
                       use_pallas: bool | None = None,
                       maxdiff: bool = False, w0: float = 1.0,
                       w1: float = 10.0,
-                      reanchor_every: int | None = None):
+                      reanchor_every: int | None = None,
+                      fused: bool = False):
     """Build a jitted multi-chip burst: batch sharded over 'data', params
     replicated.
 
     Default body is the correlation-space burst (train/fft_corr): ONE
     pmean of the lag tensors over 'data' replaces the per-iteration
     gradient collectives, and a >1-sized 'model' axis tensor-shards the
-    resolution-dependent irfft2 precompute (all_gather of tiny
-    correlation planes over ICI) — iterations run replicated and
+    resolution-dependent precompute — iterations run replicated and
     collective-free.  ``use_pallas`` selects the per-iteration ω-space
     bodies (True: fused Pallas; False: jnp einsum) for cross-validation.
+
+    ``fused=True``: the fused-anchor contract (train against the input,
+    anchor = the model's own forward, computed inside the precompute) —
+    the returned callable takes ``run(x, c, f, b, p, mom=None)`` with no
+    expout/out0.  With a >1 'model' axis this shards the ENTIRE
+    resolution-scaled precompute (FFTs, kernel DFTs, products, windows),
+    so per-device FLOPs drop ~1/n_model (tests/test_tp_proof.py).
     """
     if reanchor_every is not None and use_pallas is not None:
         # re-anchoring only exists on the corr body (use_pallas=None);
         # the ω-space cross-validation bodies would silently ignore it
         raise ValueError("reanchor_every requires the default "
                          "(correlation-space) body — drop use_pallas")
+    if fused and use_pallas is not None:
+        raise ValueError("fused anchoring only exists on the default "
+                         "(correlation-space) body — drop use_pallas")
     from jax import shard_map
 
     batch_spec = P("data", None, None, None)
     rep = P()
     n_model = mesh.shape.get("model", 1)
+    model_axis = "model" if n_model > 1 else None
+
+    if fused:
+        from .fft_corr import burst_corr
+
+        def local_fused(x, c, f, b, p, Dc, Df, Db, Dp):
+            return burst_corr(x, None, None, c, f, b, p,
+                              (Dc, Df, Db, Dp), lr=lr, alpha=alpha,
+                              iters=iters, scale_by_dm=scale_by_dm,
+                              maxdiff=maxdiff, w0=w0, w1=w1,
+                              axis_name="data", model_axis=model_axis,
+                              reanchor_every=reanchor_every)
+
+        sharded = shard_map(
+            local_fused, mesh=mesh,
+            in_specs=(batch_spec, rep, rep, rep, rep, rep, rep, rep, rep),
+            out_specs=FFTBurstResult(c=rep, f=rep, b=rep, p=rep,
+                                     mom=(rep, rep, rep, rep), mses=rep),
+            check_vma=False)
+
+        @jax.jit
+        def run_fused(x, c, f, b, p, mom=None):
+            if mom is None:
+                mom = (jnp.zeros_like(c), jnp.zeros_like(f),
+                       jnp.zeros_like(b), jnp.zeros_like(p))
+            return sharded(x, c, f, b, p, *mom)
+
+        return run_fused
 
     def local(x, expout, out0, c, f, b, p, Dc, Df, Db, Dp):
         if use_pallas is None:
@@ -186,7 +224,7 @@ def distributed_burst(mesh: Mesh, *, lr: float = 0.2, alpha: float = 0.9,
                               iters=iters, scale_by_dm=scale_by_dm,
                               maxdiff=maxdiff, w0=w0, w1=w1,
                               axis_name="data",
-                              model_axis="model" if n_model > 1 else None,
+                              model_axis=model_axis,
                               reanchor_every=reanchor_every)
         if use_pallas:
             from .fft_pallas import burst_pallas_fused
