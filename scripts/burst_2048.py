@@ -1,0 +1,73 @@
+"""2048² (16 MP) burst cost: fused vs unfused anchor (VERDICT r2 item 3).
+
+Round 2 measured 9.7 ms/100-iter burst at 2048² — the precompute's signal
+FFTs/plane products re-emerge at 16 MP.  The fused anchor eliminates the
+out0 FFT and the XG0 plane pipeline; this script measures both contracts.
+"""
+
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+_NONCE = np.float32((os.getpid() % 9973) * 1e-7 + (time.time() % 1) * 1e-5)
+
+import jax
+import jax.numpy as jnp
+
+from spectralae.core.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
+from spectralae.train.fft_corr import fft_burst_corr, _true_forward
+
+N, ITERS = 2048, 100
+
+
+def main():
+    rng = np.random.default_rng(0)
+    x0 = jax.device_put(
+        rng.normal(size=(3, N, N)).astype(np.float32) * 50)
+    c = jax.device_put(rng.normal(size=(10, 3, 5, 5)).astype(np.float32))
+    f = jax.device_put(rng.normal(size=(3, 10, 5, 5)).astype(np.float32))
+    b = jax.device_put(rng.normal(size=(10,)).astype(np.float32) * 0.1)
+    p = jax.device_put(rng.normal(size=(3,)).astype(np.float32) * 0.1)
+    out0 = jax.jit(lambda xx: _true_forward(
+        xx[None], c, f, b, p, True)[0])(x0)
+    fetch = lambda a: float(jnp.sum(a))
+    fetch(out0)
+
+    def run_fused(x):
+        r = fft_burst_corr(x, None, None, c, f, b, p, iters=ITERS)
+        return x + r.mses[-1] * 0.0 + 1e-6
+
+    def run_unfused(x):
+        r = fft_burst_corr(x, None, out0, c, f, b, p, iters=ITERS)
+        return x + r.mses[-1] * 0.0 + 1e-6
+
+    for name, fn in (("fused", run_fused), ("unfused", run_unfused)):
+        t0 = time.time()
+        fetch(fn(x0))
+        print(f"{name}: warmup+compile {time.time()-t0:.1f}s", flush=True)
+        samples = []
+        for trial in range(5):
+            x = x0 + (trial + 1) * 1e-5 + _NONCE
+            t0 = time.perf_counter()
+            fetch(x)
+            rt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(6):
+                x = fn(x)
+            fetch(x)
+            samples.append((time.perf_counter() - t0 - rt) / 6)
+        best, med = min(samples), float(np.median(samples))
+        print(f"{name}: best {best*1e3:.2f} ms/burst, median "
+              f"{med*1e3:.2f} ms -> {ITERS/med:,.0f} it/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -107,6 +107,37 @@ def main():
     r_m = train_step(params, opt, xs, spec.scales, lr=0.2, domain="fft")
     check("modern train_step", np.isfinite(float(r_m.loss)))
 
+    # fused anchor vs explicit true-forward anchor — ON TPU this also
+    # validates the reduced-precision choices in the fused precompute
+    # (bf16_3x anchor spectra) against the measured-G0 contract
+    from spectralae.train.fft_corr import _true_forward
+    o0t = jax.jit(lambda xx: _true_forward(
+        xx[None], enc.c, dec.c, enc.b, dec.b, True)[0])(x)
+    r_unf = fft_burst_corr(x, None, o0t, enc.c, dec.c, enc.b, dec.b, **kw)
+    r_fus = fft_burst_corr(x, None, None, enc.c, dec.c, enc.b, dec.b,
+                           **kw)
+    d = float(np.max(np.abs(np.asarray(r_fus.mses)
+                            - np.asarray(r_unf.mses))
+                     / np.maximum(np.abs(np.asarray(r_unf.mses)), 1e-9)))
+    check("burst[fused] vs unfused", d < 1e-3, f"max rel {d:.2e}")
+
+    # streaming scan == sequential fused bursts
+    from spectralae.train.streaming import fft_stream
+    xs4 = jax.device_put(
+        rng.normal(size=(4, 3, 256, 256)).astype(np.float32) * 50)
+    r_st = fft_stream(xs4, enc.c, dec.c, enc.b, dec.b, iters=5)
+    cc, ff, bb2, pp, mo = enc.c, dec.c, enc.b, dec.b, None
+    for k in range(4):
+        r_sq = fft_burst_corr(xs4[k], None, None, cc, ff, bb2, pp, mo,
+                              lr=0.2, iters=5)
+        cc, ff, bb2, pp, mo = r_sq.c, r_sq.f, r_sq.b, r_sq.p, r_sq.mom
+    # norm-relative: elementwise-relative inflates near-zero kernel
+    # entries (TPU scan-vs-dispatch reassociation noise; CPU equality is
+    # tight at 2e-5 in tests/test_streaming.py)
+    d = float(np.max(np.abs(np.asarray(r_st.c) - np.asarray(cc)))
+              / np.max(np.abs(np.asarray(cc))))
+    check("stream scan vs sequential", d < 1e-3, f"norm rel {d:.2e}")
+
     # burst convergence end-to-end
     t0 = time.perf_counter()
     r100 = fft_burst_pallas(x, x, out0, enc.c, dec.c, enc.b, dec.b,

@@ -251,6 +251,76 @@ def _train_bursts(args):
         print(f"checkpoint written to {args.ckpt}", flush=True)
 
 
+def _train_stream(args):
+    """Streaming burst training: K frames × one fused burst each, in ONE
+    on-device ``lax.scan`` (train/streaming.py — ~170k inner-iters/s
+    sustained vs ~60k for per-burst dispatch).
+
+    Contract: trains stage pair 0 on its pooled input activation (for
+    pair 0 that is just ``pool(frame)`` — no forward needed), with the
+    anchor output being the pair's own two-stage forward (the fused
+    re-anchoring each frame).  This differs from ``--mode burst`` only in
+    the anchor: burst mode anchors on the full-net reconstruction
+    (pool-mismatched by reference design, autoencoder.cpp:169), stream
+    mode on the pair's exact forward — the steady-state contract the
+    correlation burst's precision decomposition is built for.
+    """
+    import jax
+    import jax.numpy as jnp
+    from ..core.types import ConvStage
+    from ..data import pipeline
+    from ..io import checkpoint as ckpt
+    from ..ops import coord
+    from ..train.streaming import fft_stream
+    if args.train_pair not in ("0", "all"):
+        raise SystemExit("--mode stream trains pair 0 (its input "
+                         "activation needs no forward); use --mode burst "
+                         "for inner pairs")
+    eng = _make_engine(args)
+    params, spec = eng.params, eng.spec
+    pf = pipeline.DevicePrefetcher(_source(args), args.nx, args.ny,
+                                   batch=args.batch)
+    metrics = Path(args.metrics) if args.metrics else None
+    k_frames = args.stream_k
+    enc, dec = params.pair(0)
+    c, f, b, p = enc.c, dec.c, enc.b, dec.b
+    mom = None
+    step_i = 0
+    buf = []
+    for batch in pf:
+        if step_i >= args.steps:
+            break
+        buf.append(coord.pool(batch, spec.scales[0]))
+        if len(buf) < k_frames and step_i + len(buf) < args.steps:
+            continue
+        xs = jnp.stack(buf)
+        buf = []
+        r = fft_stream(xs, c, f, b, p, mom, lr=args.lr, alpha=args.alpha,
+                       iters=args.iters, maxdiff=args.maxdiff,
+                       carry_momentum=args.carry_momentum,
+                       reanchor_every=args.reanchor or None)
+        c, f, b, p = r.c, r.f, r.b, r.p
+        if args.carry_momentum:
+            mom = r.mom
+        mses = np.asarray(r.mses, dtype=np.float64)
+        for k in range(xs.shape[0]):
+            if (step_i + k) % args.log_every == 0:
+                rec = {"step": step_i + k, "pair": 0,
+                       "mse0": float(mses[k, 0]),
+                       "mseN": float(mses[k, -1])}
+                print(json.dumps(rec), flush=True)
+                if metrics:
+                    with metrics.open("a") as fh:
+                        fh.write(json.dumps(rec) + "\n")
+        step_i += xs.shape[0]
+    pf.close()
+    params = params.replace_pair(0, ConvStage(c=c, b=b),
+                                 ConvStage(c=f, b=p))
+    if args.ckpt:
+        ckpt.save(args.ckpt, params, spec, None, extra={"step": step_i})
+        print(f"checkpoint written to {args.ckpt}", flush=True)
+
+
 def cmd_train(args):
     import contextlib
     import jax
@@ -265,6 +335,8 @@ def cmd_train(args):
     with trace_ctx:
         if args.mode == "burst":
             return _train_bursts(args)
+        if args.mode == "stream":
+            return _train_stream(args)
         return _train_steps(args)
 
 
@@ -617,9 +689,15 @@ def main(argv=None):
                         "update; the rest are optax optimizers (step mode "
                         "only; optax state checkpoints to optax.npz)")
     p.add_argument("--domain", choices=("fft", "coord"), default="fft")
-    p.add_argument("--mode", choices=("step", "burst"), default="step",
+    p.add_argument("--mode", choices=("step", "burst", "stream"),
+                   default="step",
                    help="step: batched autodiff training; burst: the "
-                        "reference's per-frame 100-iteration FFT bursts")
+                        "reference's per-frame 100-iteration FFT bursts; "
+                        "stream: K frames x one fused burst each in a "
+                        "single on-device scan (fastest steady-state "
+                        "trainer; pair 0)")
+    p.add_argument("--stream-k", type=int, default=16,
+                   help="stream mode: frames per on-device scan")
     p.add_argument("--train-pair", default="0",
                    help="burst mode: stage pair to train (the 'z'/'x' "
                         "focus), or 'all' for a round-robin sweep over "

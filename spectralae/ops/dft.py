@@ -49,27 +49,27 @@ def _axis_bases(nk: int, nl: int, nx: int, ny: int):
             herm)
 
 
-def kernel_spectrum(c: jax.Array, nx: int, ny: int) -> jax.Array:
+def kernel_spectrum(c: jax.Array, nx: int, ny: int,
+                    precision=None) -> jax.Array:
     """``rfft2(kernel_pad(c))`` as two per-axis matmuls.
 
     c: ``[..., Nk, Nl]`` real → ``[..., Nx, Ny//2+1]`` complex.
+    ``precision``: pass ``"highest"`` when the spectrum anchors a
+    cancellation-sensitive decomposition (the fused corr precompute) —
+    TPU default matmul precision rounds the tap operands to bf16, and an
+    anchor-spectrum error is never measured back.
     """
     nk, nl = c.shape[-2], c.shape[-1]
     cx, sx, cy, sy = map(jnp.asarray, _axis_bases(nk, nl, nx, ny)[:4])
+    ein = functools.partial(jnp.einsum,
+                            preferred_element_type=jnp.float32,
+                            precision=precision)
     # columns first: T = c · e^{-iθy}   [..., Nk, Nyr]
-    tr = jnp.einsum("...kl,ly->...ky", c, cy,
-                    preferred_element_type=jnp.float32)
-    ti = -jnp.einsum("...kl,ly->...ky", c, sy,
-                     preferred_element_type=jnp.float32)
+    tr = ein("...kl,ly->...ky", c, cy)
+    ti = -ein("...kl,ly->...ky", c, sy)
     # rows: C = e^{-iθx} · T            [..., Nx, Nyr]
-    re = (jnp.einsum("kx,...ky->...xy", cx, tr,
-                     preferred_element_type=jnp.float32)
-          + jnp.einsum("kx,...ky->...xy", sx, ti,
-                       preferred_element_type=jnp.float32))
-    im = (jnp.einsum("kx,...ky->...xy", cx, ti,
-                     preferred_element_type=jnp.float32)
-          - jnp.einsum("kx,...ky->...xy", sx, tr,
-                       preferred_element_type=jnp.float32))
+    re = ein("kx,...ky->...xy", cx, tr) + ein("kx,...ky->...xy", sx, ti)
+    im = ein("kx,...ky->...xy", cx, ti) - ein("kx,...ky->...xy", sx, tr)
     return jax.lax.complex(re, im)
 
 

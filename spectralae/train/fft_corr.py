@@ -140,15 +140,34 @@ def _lag_basis(nx: int, ny: int, hx: int, hy: int):
 def _corr_windows(prods, nx, ny, hx, hy):
     """Centered lag windows ``[planes, 2hx+1, 2hy+1]`` of the circular
     cross-correlations whose half-spectra are ``prods [planes, nx, nyr]``
-    (complex).  See :func:`_lag_basis`."""
+    (complex).  See :func:`_lag_basis`.
+
+    MXU shaping: the y-stage (the FLOP bulk — it contracts the full
+    half-spectrum row length) runs as ONE stacked real matmul
+    ``[p·nx, 2·nyr] @ [2·nyr, 2·vy]`` computing [sr si] together, instead
+    of four narrow width-vy einsums — same FLOPs, 4× fewer and 2× wider
+    matmuls (vy is 9–17, far under the 128 MXU lane tile).  The x-stage
+    output is window-sized and negligible.
+    """
     bxc, bxs, byc, bys = (jnp.asarray(t)
                           for t in _lag_basis(nx, ny, hx, hy))
+    p, _, nyr = prods.shape
+    vy = byc.shape[1]
     pr, pi = prods.real, prods.imag
     # full-f32 accumulation (TPU's default matmul precision is reduced;
-    # these long-axis reductions feed cancellation-sensitive tensors)
+    # these long-axis reductions feed cancellation-sensitive tensors).
+    # Measured at 2048²: dropping to "high" (bf16_3x) changes nothing —
+    # the stage is HBM-bound, not pass-count-bound — so keep the safest
+    # setting
     ein = functools.partial(jnp.einsum, precision="highest")
-    sr = ein("pxy,yv->pxv", pr, byc) - ein("pxy,yv->pxv", pi, bys)
-    si = ein("pxy,yv->pxv", pr, bys) + ein("pxy,yv->pxv", pi, byc)
+    #   sr = pr·byc − pi·bys ,  si = pr·bys + pi·byc
+    # = [pr pi] (contraction-stacked) @ [[byc bys], [−bys byc]]
+    ops = jnp.concatenate([pr, pi], axis=-1)          # [p, nx, 2nyr]
+    basis = jnp.concatenate(
+        [jnp.concatenate([byc, bys], axis=1),
+         jnp.concatenate([-bys, byc], axis=1)], axis=0)  # [2nyr, 2vy]
+    s = ein("pxz,zw->pxw", ops, basis)                # [p, nx, 2vy]
+    sr, si = s[..., :vy], s[..., vy:]
     return ein("pxv,xu->puv", sr, bxc) - ein("pxv,xu->puv", si, bxs)
 
 
@@ -319,7 +338,11 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
     if model_axis is None:
         X = spectral.rfft2(x)                          # [B, D, nx, nyr]
         Xc = jnp.conj(X)
-        K0f = dft.kernel_spectrum(K0taps, nx, ny)
+        # "high" (bf16_3x, ~1e-6 rel) — anchor-spectrum rounding is
+        # never measured back, but "highest" compiles pathologically
+        # at 16 MP on this toolchain
+        K0f = dft.kernel_spectrum(K0taps, nx, ny,
+                                  precision="high")
         # continuum error (Y = X): bin-wise small once trained — anchoring
         # precision identical to the E0/G0 split.  precision="highest" is
         # load-bearing: with TPU default (reduced) matmul precision the
@@ -363,7 +386,8 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
         # contraction, sharded over output channels e (zero-padded rows
         # yield EG ≡ 0, so they contribute nothing downstream)
         K0rows, chunk_e = shard(K0taps)            # [chunk_e, D, ·, ·]
-        K0f_l = dft.kernel_spectrum(K0rows, nx, ny)
+        K0f_l = dft.kernel_spectrum(K0rows, nx, ny,
+                                    precision="high")
         X_e, _ = shard(jnp.moveaxis(X, 1, 0))      # [chunk_e, B, nx, nyr]
         EGl = (ein("edxy,bdxy->bexy", K0f_l, X) * s1
                - jnp.moveaxis(X_e, 0, 1))          # [B, chunk_e, nx, nyr]

@@ -476,6 +476,32 @@ def test_cli_train_burst_mode(tmp_path, capsys):
     assert extra["step"] == 2
 
 
+def test_cli_train_stream_mode(tmp_path, capsys):
+    """stream mode: K frames per on-device scan, per-frame burst MSEs
+    logged, checkpoint written and resumable by eval."""
+    import json as _json
+    from spectralae.cli.main import main
+    ck = tmp_path / "ck"
+    main(["train", "--nx", "16", "--steps", "5", "--batch", "2",
+          "--mode", "stream", "--stream-k", "3", "--iters", "6",
+          "--log-every", "1", "--carry-momentum", "--ckpt", str(ck)])
+    out = capsys.readouterr().out
+    recs = [_json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    steps = [r["step"] for r in recs if "mseN" in r]
+    assert steps == [0, 1, 2, 3, 4]      # 3-frame scan + 2-frame scan
+    assert all(np.isfinite(r["mseN"]) for r in recs if "mseN" in r)
+    assert (ck / "manifest.json").exists()
+    main(["eval", "--from-ckpt", str(ck), "--steps", "1", "--batch", "1"])
+    assert "psnr_db" in capsys.readouterr().out
+
+
+def test_cli_train_stream_mode_rejects_inner_pair(tmp_path):
+    from spectralae.cli.main import main
+    with pytest.raises(SystemExit, match="pair 0"):
+        main(["train", "--nx", "16", "--steps", "2", "--mode", "stream",
+              "--layers", "2", "--train-pair", "1"])
+
+
 def test_cli_train_burst_trains_selected_pair_at_pooled_resolution(
         tmp_path, capsys):
     """--train-pair selects the pair; the burst consumes the pair's pooled

@@ -310,6 +310,27 @@ def test_fused_burst_rejects_foreign_expout():
         burst_corr(x, x + 1.0, None, enc.c, dec.c, enc.b, dec.b, iters=3)
 
 
+def test_fused_burst_matches_dft_at_large_grid():
+    """VERDICT r2 item 3 'done' criterion: corr-vs-dft equality at a
+    large (non-square) grid through the fused path — the whole chain
+    signal FFT → fused anchor → lag windows → iterations against the
+    literal ω-space recursion."""
+    from spectralae.train.fft_corr import _true_forward
+    cfg = Config(nx=256, ny=384, d=2,
+                 layer=LayerParams(depth=3, lk=1, ll=1, scale=1, rmax=0.5))
+    spec = initial_spec(cfg)
+    params = init_params(jax.random.key(9), spec, 0.5)
+    x = jnp.asarray(np.random.default_rng(9).normal(
+        size=(2, 256, 384)).astype(np.float32)) * 50
+    enc, dec = params.pair(0)
+    out0 = _true_forward(x[None], enc.c, dec.c, enc.b, dec.b, True)[0]
+    ref = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
+                    lr=0.2, iters=5, impl="dft")
+    got = fft_burst_corr(x, None, None, enc.c, dec.c, enc.b, dec.b,
+                         lr=0.2, iters=5)
+    assert_matches(got, ref)
+
+
 def test_corr_burst_non_square_grid():
     """nx ≠ ny exercises the separable lag bases' distinct axis handling."""
     cfg = Config(nx=16, ny=24, d=2,
