@@ -46,7 +46,7 @@ def scene_frame(t: int, nx: int = NX, seed: int = 42) -> np.ndarray:
         g = r2.normal(size=(2 * nx // scale + 1, 2 * nx // scale + 1))
         g = np.kron(g, np.ones((scale, scale)))[:2 * nx, :2 * nx]
         tex += g * scale ** 0.5
-    tex = (tex - tex.min()) / (tex.ptp() + 1e-9)
+    tex = (tex - tex.min()) / (np.ptp(tex) + 1e-9)
     ox, oy = int(20 * np.sin(0.05 * t)) + nx // 2, (3 * t) % nx
     pan = tex[oy:oy + nx, ox:ox + nx]
     chans = []
@@ -106,7 +106,11 @@ def main(argv=None):
                     help="burst steps (x batch = frame-bursts)")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=100)
-    ap.add_argument("--lr", type=float, default=0.2)
+    ap.add_argument("--lr", type=float, default=0.05)
+    ap.add_argument("--carry-momentum", action="store_true",
+                    help="carry inertia across bursts (diverges on "
+                         "moving scenes at high lr; off by default)")
+    ap.add_argument("--reanchor", type=int, default=25)
     ap.add_argument("--outdir", default="docs/convergence")
     ap.add_argument("--workdir", default="/tmp/convergence_artifact")
     args = ap.parse_args(argv)
@@ -146,12 +150,15 @@ def main(argv=None):
          "--batch", "4"]))
 
     print("== training (burst mode) ==", flush=True)
-    run_cli(["train", *common, "--mode", "burst",
-             "--source", str(train_y4m), "--steps", str(args.steps),
-             "--batch", str(args.batch), "--iters", str(args.iters),
-             "--lr", str(args.lr), "--carry-momentum",
-             "--log-every", "5", "--metrics", str(metrics),
-             "--ckpt", str(ck)])
+    train_args = ["train", *common, "--mode", "burst",
+                  "--source", str(train_y4m), "--steps", str(args.steps),
+                  "--batch", str(args.batch), "--iters", str(args.iters),
+                  "--lr", str(args.lr), "--reanchor", str(args.reanchor),
+                  "--log-every", "5", "--metrics", str(metrics),
+                  "--ckpt", str(ck)]
+    if args.carry_momentum:
+        train_args.append("--carry-momentum")
+    run_cli(train_args)
 
     print("== trained-net PSNR on held-out frames ==", flush=True)
     trained = last_json(run_cli(
@@ -167,9 +174,12 @@ def main(argv=None):
     cfg = Config(nx=NX, ny=NX, d=3)
     spec0 = initial_spec(cfg)
     params0 = init_params(jax.random.key(0), spec0, cfg.layer.rmax)
-    fwd = jax.jit(lambda p, s, xx: model.forward_fft(p, xx[None], s)[0])
-    rec0 = np.asarray(fwd(params0, spec0.scales, x))
-    rec1 = np.asarray(fwd(params, spec.scales, x))
+    rec0 = np.asarray(jax.jit(
+        lambda pp, xx: model.forward_fft(pp, xx[None], spec0.scales)[0]
+    )(params0, x))
+    rec1 = np.asarray(jax.jit(
+        lambda pp, xx: model.forward_fft(pp, xx[None], spec.scales)[0]
+    )(params, x))
     write_png(out / "input.png", pipeline.tensor_to_frame(x))
     write_png(out / "recon_before.png", pipeline.tensor_to_frame(rec0))
     write_png(out / "recon_after.png", pipeline.tensor_to_frame(rec1))
