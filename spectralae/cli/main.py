@@ -272,10 +272,10 @@ def _train_stream(args):
     from ..io import checkpoint as ckpt
     from ..ops import coord
     from ..train.streaming import fft_stream
-    if args.train_pair not in ("0", "all"):
+    if args.train_pair != "0":
         raise SystemExit("--mode stream trains pair 0 (its input "
                          "activation needs no forward); use --mode burst "
-                         "for inner pairs")
+                         "for inner pairs or --train-pair all sweeps")
     eng = _make_engine(args)
     params, spec = eng.params, eng.spec
     pf = pipeline.DevicePrefetcher(_source(args), args.nx, args.ny,
@@ -287,12 +287,9 @@ def _train_stream(args):
     mom = None
     step_i = 0
     buf = []
-    for batch in pf:
-        if step_i >= args.steps:
-            break
-        buf.append(coord.pool(batch, spec.scales[0]))
-        if len(buf) < k_frames and step_i + len(buf) < args.steps:
-            continue
+
+    def flush():
+        nonlocal c, f, b, p, mom, step_i, buf
         xs = jnp.stack(buf)
         buf = []
         r = fft_stream(xs, c, f, b, p, mom, lr=args.lr, alpha=args.alpha,
@@ -313,6 +310,18 @@ def _train_stream(args):
                     with metrics.open("a") as fh:
                         fh.write(json.dumps(rec) + "\n")
         step_i += xs.shape[0]
+
+    for batch in pf:
+        if step_i >= args.steps:
+            break
+        buf.append(coord.pool(batch, spec.scales[0]))
+        if len(buf) < k_frames and step_i + len(buf) < args.steps:
+            continue
+        flush()
+    if buf:
+        # a finite source ended mid-block: train on the remainder rather
+        # than dropping buffered frames
+        flush()
     pf.close()
     params = params.replace_pair(0, ConvStage(c=c, b=b),
                                  ConvStage(c=f, b=p))

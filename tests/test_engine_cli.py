@@ -502,6 +502,29 @@ def test_cli_train_stream_mode_rejects_inner_pair(tmp_path):
               "--layers", "2", "--train-pair", "1"])
 
 
+def test_cli_train_stream_finite_source_trains_remainder(tmp_path,
+                                                         capsys):
+    """A finite source ending mid-block must not drop buffered frames —
+    the partial block trains (5-frame .npy, stream-k 4 -> blocks 4+1)."""
+    import json as _json
+    frames = np.random.default_rng(0).integers(
+        0, 255, size=(5, 16, 16, 3)).astype(np.uint8)
+    src = tmp_path / "v.npy"
+    np.save(src, frames)
+    from spectralae.cli.main import main
+    main(["train", "--nx", "16", "--steps", "100", "--batch", "1",
+          "--mode", "stream", "--stream-k", "4", "--iters", "4",
+          "--log-every", "1", "--source", str(src),
+          "--ckpt", str(tmp_path / "ck")])
+    out = capsys.readouterr().out
+    recs = [_json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    steps = [r["step"] for r in recs if "mseN" in r]
+    assert steps == [0, 1, 2, 3, 4]   # all 5 frames trained
+    from spectralae.io import checkpoint as ckpt
+    _, _, _, extra = ckpt.load(tmp_path / "ck")
+    assert int(extra["step"]) == 5
+
+
 def test_cli_train_burst_trains_selected_pair_at_pooled_resolution(
         tmp_path, capsys):
     """--train-pair selects the pair; the burst consumes the pair's pooled
