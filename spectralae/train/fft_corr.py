@@ -166,7 +166,10 @@ def _corr_windows(prods, nx, ny, hx, hy):
     basis = jnp.concatenate(
         [jnp.concatenate([byc, bys], axis=1),
          jnp.concatenate([-bys, byc], axis=1)], axis=0)  # [2nyr, 2vy]
-    s = ein("pxz,zw->pxw", ops, basis)                # [p, nx, 2vy]
+    # flattened to ONE [p·nx, 2nyr] @ [2nyr, 2vy] matmul (a batched
+    # einsum over p lowers to p narrow matmuls)
+    s = ein("rz,zw->rw", ops.reshape(p * ops.shape[1], -1),
+            basis).reshape(p, -1, 2 * vy)             # [p, nx, 2vy]
     sr, si = s[..., :vy], s[..., vy:]
     return ein("pxv,xu->puv", sr, bxc) - ein("pxv,xu->puv", si, bxs)
 
@@ -217,7 +220,9 @@ def corr_precompute(x, expout, out0, c0, f0, *, scale_by_dm=True,
               ).reshape(dD, dD, 2 * hx2 + 1, 2 * hy2 + 1)
     K0f = dft.kernel_spectrum(K0taps, nx, ny)          # [D, D, nx, nyr]
     s1 = (1.0 / (dM * dD)) if scale_by_dm else 1.0
-    O0fwd = jnp.einsum("edxy,bdxy->bexy", K0f, X) * s1
+    # elementwise d-reduce: D is far below the MXU tile, the VPU is
+    # natively fp32, and this avoids matmul-emulation passes at 16 MP
+    O0fwd = jnp.sum(K0f[None] * X[:, None], axis=2) * s1
     G0 = O0fwd - O0
     # batch-averaged correlation tensors (Hermitian products ⇒ real); the
     # mean over B commutes with the transform, so average the bin-wise
@@ -344,12 +349,14 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
         K0f = dft.kernel_spectrum(K0taps, nx, ny,
                                   precision="high")
         # continuum error (Y = X): bin-wise small once trained — anchoring
-        # precision identical to the E0/G0 split.  precision="highest" is
-        # load-bearing: with TPU default (reduced) matmul precision the
-        # rounding of this contraction becomes a phantom ~1e-3·|X| error
-        # the burst would chase (the unfused path is immune — its forward
-        # rounding lands in the *measured* G₀)
-        EG = ein("edxy,bdxy->bexy", K0f, X) * s1 - X
+        # precision identical to the E0/G0 split.  Full precision is
+        # load-bearing (a rounded anchor is a phantom the burst chases,
+        # unlike the unfused path whose forward rounding lands in the
+        # *measured* G₀), so the d-contraction runs as an elementwise
+        # broadcast-multiply-reduce: D=3 is far below the MXU tile, and
+        # the VPU is natively fp32 — exact without the 6-pass "highest"
+        # matmul emulation (2.8 → ~0.5 ms at 16 MP)
+        EG = jnp.sum(K0f[None] * X[:, None], axis=2) * s1 - X
         prods_xx = jnp.mean(Xc[:, :, None] * X[:, None],
                             axis=0).reshape(-1, nx, nyr)
         prods_eg = jnp.mean(Xc[:, :, None] * EG[:, None],
@@ -389,7 +396,8 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
         K0f_l = dft.kernel_spectrum(K0rows, nx, ny,
                                     precision="high")
         X_e, _ = shard(jnp.moveaxis(X, 1, 0))      # [chunk_e, B, nx, nyr]
-        EGl = (ein("edxy,bdxy->bexy", K0f_l, X) * s1
+        # elementwise d-reduce (native-fp32 VPU; see the unsharded body)
+        EGl = (jnp.sum(K0f_l[None] * X[:, None], axis=2) * s1
                - jnp.moveaxis(X_e, 0, 1))          # [B, chunk_e, nx, nyr]
         # 3. eg products: all d × this shard's e-chunk, windows at ±2h
         prods_eg_l = jnp.mean(Xc[:, :, None] * EGl[:, None],
