@@ -73,6 +73,22 @@ def main():
     err = float(conv_check(x, ck, bb))
     check("pallas conv_k", err < 1e-5, f"rel err {err:.2e}")
 
+    # fused pair-product+window Pallas kernel vs the XLA path, on-TPU
+    from spectralae.train.fft_corr import corr_precompute_fused
+
+    @jax.jit
+    def pw_check(xx):
+        T0 = corr_precompute_fused(xx[None], enc.c, dec.c, enc.b, dec.b,
+                                   pallas_windows=False)
+        T1 = corr_precompute_fused(xx[None], enc.c, dec.c, enc.b, dec.b,
+                                   pallas_windows=True)
+        errs = [jnp.linalg.norm(T1[k] - T0[k])
+                / (jnp.linalg.norm(T0[k]) + 1e-30) for k in sorted(T0)]
+        return jnp.max(jnp.stack(errs))
+
+    err = float(pw_check(x))
+    check("pallas corr windows", err < 1e-5, f"norm rel {err:.2e}")
+
     # burst implementations agree
     kw = dict(lr=0.2, iters=5)
     r_jnp = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,

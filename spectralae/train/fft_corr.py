@@ -283,7 +283,8 @@ def corr_precompute(x, expout, out0, c0, f0, *, scale_by_dm=True,
 
 
 def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
-                          axis_name=None, model_axis=None):
+                          axis_name=None, model_axis=None,
+                          pallas_windows=None):
     """Precompute for the case ``expout = x`` AND ``out0 = the model's own
     two-stage forward of x`` (every steady-state streaming call site).
 
@@ -340,9 +341,17 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
     dE0 = norm * (s2 * (fs0 @ b0) + p0)                 # [D]
     wv = jnp.asarray(_herm_w(nx, ny))
 
+    if pallas_windows is None:
+        # the fused Pallas window kernel pays off once the [D², nx, nyr]
+        # product planes stop fitting in cache-ish sizes and their HBM
+        # round-trip dominates (measured at 16 MP); below that the XLA
+        # path is already dispatch-bound
+        from ..ops.pallas_kernels import _on_tpu
+        pallas_windows = (model_axis is None and _on_tpu()
+                          and nx * ny >= 2 * 1024 * 1024)
+
     if model_axis is None:
         X = spectral.rfft2(x)                          # [B, D, nx, nyr]
-        Xc = jnp.conj(X)
         # "high" (bf16_3x, ~1e-6 rel) — anchor-spectrum rounding is
         # never measured back, but "highest" compiles pathologically
         # at 16 MP on this toolchain
@@ -357,13 +366,25 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
         # the VPU is natively fp32 — exact without the 6-pass "highest"
         # matmul emulation (2.8 → ~0.5 ms at 16 MP)
         EG = jnp.sum(K0f[None] * X[:, None], axis=2) * s1 - X
-        prods_xx = jnp.mean(Xc[:, :, None] * X[:, None],
-                            axis=0).reshape(-1, nx, nyr)
-        prods_eg = jnp.mean(Xc[:, :, None] * EG[:, None],
-                            axis=0).reshape(-1, nx, nyr)
-        XX = _corr_windows(prods_xx, nx, ny, hx4, hy4).reshape(dD, dD, -1)
-        EGwin = _corr_windows(prods_eg, nx, ny, hx2, hy2
-                              ).reshape(dD, dD, -1)
+        if pallas_windows:
+            # fused pair-product+window kernel: the product planes live
+            # only in VMEM (ops/pallas_windows.py) — bin-wise f32
+            # accumulation, same anchoring-precision contract
+            from ..ops.pallas_windows import corr_pair_windows
+            XX = corr_pair_windows(X, X, nx, ny, hx4, hy4
+                                   ).reshape(dD, dD, -1)
+            EGwin = corr_pair_windows(X, EG, nx, ny, hx2, hy2
+                                      ).reshape(dD, dD, -1)
+        else:
+            Xc = jnp.conj(X)
+            prods_xx = jnp.mean(Xc[:, :, None] * X[:, None],
+                                axis=0).reshape(-1, nx, nyr)
+            prods_eg = jnp.mean(Xc[:, :, None] * EG[:, None],
+                                axis=0).reshape(-1, nx, nyr)
+            XX = _corr_windows(prods_xx, nx, ny, hx4, hy4
+                               ).reshape(dD, dD, -1)
+            EGwin = _corr_windows(prods_eg, nx, ny, hx2, hy2
+                                  ).reshape(dD, dD, -1)
         SEG = jnp.mean(jnp.sum((EG.real ** 2 + EG.imag ** 2) * wv,
                                axis=(-2, -1, -3)))      # Σw|E₀+G₀|²
         X0 = jnp.mean(X[:, :, 0, 0].real, axis=0)       # [D]

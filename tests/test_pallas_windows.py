@@ -1,0 +1,87 @@
+"""Equality tests for the fused pair-product+window Pallas kernel.
+
+``ops/pallas_windows.corr_pair_windows`` must reproduce the XLA
+formulation used by the burst precompute (train/fft_corr.py:360-366):
+materialize the pairwise correlation half-spectra, then take centered
+lag windows via ``_corr_windows``.  The kernel fuses the two so the
+product planes never reach HBM; these tests pin it to the reference
+formulation bit-for-f32-tolerance on CPU (interpret mode), including
+the masked partial final x-tile and odd-ny half-spectra.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from spectralae.ops.pallas_windows import corr_pair_windows
+from spectralae.train import fft_corr
+
+
+def _rand_spec(rng, B, C, nx, nyr):
+    return jnp.asarray(rng.standard_normal((B, C, nx, nyr))
+                       + 1j * rng.standard_normal((B, C, nx, nyr))
+                       ).astype(jnp.complex64)
+
+
+def _ref(X, Z, nx, ny, hx, hy):
+    D, E = X.shape[1], Z.shape[1]
+    prods = jnp.mean(jnp.conj(X)[:, :, None] * Z[:, None],
+                     axis=0).reshape(D * E, nx, X.shape[-1])
+    return fft_corr._corr_windows(prods, nx, ny, hx, hy).reshape(
+        D, E, 2 * hx + 1, 2 * hy + 1)
+
+
+def _norm_rel(a, b):
+    return float(jnp.linalg.norm(a - b) / (jnp.linalg.norm(b) + 1e-30))
+
+
+@pytest.mark.parametrize("B,D,E,nx,ny,hx,hy", [
+    (2, 3, 3, 32, 32, 4, 4),      # square, one x-tile
+    (1, 2, 3, 24, 16, 3, 2),      # cross-correlation, D != E
+    (3, 1, 1, 16, 18, 5, 5),      # window wider than grid/2 (aliasing)
+    (2, 2, 2, 16, 19, 2, 3),      # odd ny (nyr = 10)
+])
+def test_matches_xla_formulation(B, D, E, nx, ny, hx, hy):
+    rng = np.random.default_rng(hash((B, D, E, nx, ny)) % 2**31)
+    nyr = ny // 2 + 1
+    X = _rand_spec(rng, B, D, nx, nyr)
+    Z = _rand_spec(rng, B, E, nx, nyr)
+    got = corr_pair_windows(X, Z, nx, ny, hx, hy)
+    want = _ref(X, Z, nx, ny, hx, hy)
+    assert got.shape == (D, E, 2 * hx + 1, 2 * hy + 1)
+    assert _norm_rel(got, want) < 1e-6
+
+
+def test_autocorrelation_same_object():
+    rng = np.random.default_rng(7)
+    X = _rand_spec(rng, 2, 3, 32, 17)
+    got = corr_pair_windows(X, X, 32, 32, 4, 4)
+    want = _ref(X, X, 32, 32, 4, 4)
+    assert _norm_rel(got, want) < 1e-6
+
+
+def test_fused_precompute_equality():
+    # full corr_precompute_fused T dict: Pallas windows vs the XLA path
+    rng = np.random.default_rng(3)
+    B, D, M, n = 2, 3, 4, 16
+    x = jnp.asarray(rng.standard_normal((B, D, n, n)), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((M, D, 3, 3)) * 0.3, jnp.float32)
+    f = jnp.asarray(rng.standard_normal((D, M, 3, 3)) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((M,)) * 0.1, jnp.float32)
+    p = jnp.asarray(rng.standard_normal((D,)) * 0.1, jnp.float32)
+    T0 = fft_corr.corr_precompute_fused(x, c, f, b, p,
+                                        pallas_windows=False)
+    T1 = fft_corr.corr_precompute_fused(x, c, f, b, p,
+                                        pallas_windows=True)
+    for k in T0:
+        assert _norm_rel(T1[k], T0[k]) < 1e-6, k
+
+
+def test_partial_final_x_tile_masked():
+    # nx=160 -> TX=128, second tile has 32 valid rows + 96 masked
+    rng = np.random.default_rng(11)
+    nx, ny = 160, 16
+    X = _rand_spec(rng, 1, 2, nx, ny // 2 + 1)
+    got = corr_pair_windows(X, X, nx, ny, 3, 3)
+    want = _ref(X, X, nx, ny, 3, 3)
+    assert _norm_rel(got, want) < 1e-6
