@@ -133,11 +133,34 @@ def main():
                                     iters=100)
         return r, x + r.mses[-1] * 1e-12
 
+    from spectralae.ops.pallas_windows import corr_pair_windows
+
+    @jax.jit
+    def _xxwin_pl(X_in, x):
+        X = X_in + x[..., :1, :1] * 1e-9
+        return corr_pair_windows(X, X, N, N, hx4, hy4)
+
+    def st_xxwin_pl(x):
+        w = _xxwin_pl(X_c, x)
+        return w, x + w.reshape(-1)[0] * 1e-9
+
+    @jax.jit
+    def _egwin_pl(X_in, EG_in, x):
+        X = X_in + x[..., :1, :1] * 1e-9
+        EG = EG_in + x[..., :1, :1] * 1e-9
+        return corr_pair_windows(X, EG, N, N, hx2, hy2)
+
+    def st_egwin_pl(x):
+        w = _egwin_pl(X_c, EG_c, x)
+        return w, x + w.reshape(-1)[0] * 1e-9
+
     for name, st in (("rfft2(x) [3 planes]", st_fft),
                      ("K0f spectra [9 planes]", st_k0f),
                      ("EG contraction", st_eg),
                      ("XX products+windows (±4h)", st_xxwin),
                      ("EG products+windows (±2h)", st_egwin),
+                     ("XX windows pallas (±4h)", st_xxwin_pl),
+                     ("EG windows pallas (±2h)", st_egwin_pl),
                      ("SEG scalar", st_seg),
                      ("full fused precompute (iters=0)", st_pre),
                      ("full fused burst (iters=100)", st_full)):

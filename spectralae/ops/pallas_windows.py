@@ -171,3 +171,200 @@ def corr_pair_windows(X, Z, nx: int, ny: int, hx: int, hy: int, *,
     )(*ins, top, bot, bcx, bsx)
     W = acc1[:, :, :vy] - acc2[:, :, vy:]
     return (W / B).reshape(D, E, vx, vy)
+
+
+def _make_anchor_kernel(D: int, TX: int, nx: int, s1: float):
+    hi = jax.lax.Precision.HIGHEST
+    # Mosaic only lowers DEFAULT/HIGHEST dots; the anchor-spectrum
+    # x-stage contracts K=nk2 (~9) so HIGHEST costs nothing here,
+    # unlike XLA's full-grid kernel_spectrum where it compiles
+    # pathologically at 16 MP
+    kp = hi
+
+    def dot(a, b, prec=hi):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=prec)
+
+    def xdot(a, b):
+        # contract the shared TX axis (axis 0 of both)
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi)
+
+    def kernel(xr_ref, xi_ref, tr_ref, ti_ref, cxt_ref, sxt_ref,
+               w_ref, top2_ref, bot2_ref, bc2_ref, bs2_ref,
+               top4_ref, bot4_ref, bc4_ref, bs4_ref,
+               xx1_ref, xx2_ref, eg1_ref, eg2_ref, seg_ref, e0_ref):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+
+        @pl.when(jnp.logical_and(b == 0, i == 0))
+        def _():
+            for r in (xx1_ref, xx2_ref, eg1_ref, eg2_ref, seg_ref,
+                      e0_ref):
+                r[:] = jnp.zeros_like(r)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TX, 1), 0) + i * TX
+        mask = rows < nx
+        nyr_b = w_ref.shape[1]
+        # DC bin = global row 0, lane 0 (real-signal spectra: real there)
+        mask00 = jnp.logical_and(
+            rows == 0,
+            jax.lax.broadcasted_iota(jnp.int32, (1, nyr_b), 1) == 0)
+        w = w_ref[:]
+        top2, bot2 = top2_ref[:], bot2_ref[:]
+        top4, bot4 = top4_ref[:], bot4_ref[:]
+        bc2 = jnp.where(mask, bc2_ref[:], 0.0)
+        bs2 = jnp.where(mask, bs2_ref[:], 0.0)
+        bc4 = jnp.where(mask, bc4_ref[:], 0.0)
+        bs4 = jnp.where(mask, bs4_ref[:], 0.0)
+        cxt, sxt = cxt_ref[:], sxt_ref[:]
+        xr = [xr_ref[0, d] for d in range(D)]
+        xi = [xi_ref[0, d] for d in range(D)]
+
+        for e in range(D):
+            # EG_e = s1·Σ_d K̂₀[e,d]·X_d − X_e, built in VMEM; the anchor
+            # spectra tiles come from the tap partials: K̂ = e^{-iθx}·T
+            egr = -xr[e]
+            egi = -xi[e]
+            for d in range(D):
+                p = e * D + d
+                tr = tr_ref[p]
+                ti = ti_ref[p]
+                kr = dot(cxt, tr, kp) + dot(sxt, ti, kp)
+                ki = dot(cxt, ti, kp) - dot(sxt, tr, kp)
+                egr = egr + s1 * (kr * xr[d] - ki * xi[d])
+                egi = egi + s1 * (kr * xi[d] + ki * xr[d])
+            # scalars: Σw|EG|² and the DC-bin real part (batch-summed;
+            # caller divides by B)
+            seg_ref[:] += jnp.sum(jnp.where(mask, w * (egr * egr
+                                                       + egi * egi), 0.0)
+                                  ).reshape(1, 1)
+            e0c = jnp.sum(jnp.where(mask00, egr, 0.0))
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1)
+            e0_ref[:] += jnp.where(lane == e, e0c, 0.0)
+            # EG windows: conj(X_d')·EG_e at ±2h, pair layout [d', e]
+            for d2 in range(D):
+                pr = jnp.where(mask, xr[d2] * egr + xi[d2] * egi, 0.0)
+                pi_ = jnp.where(mask, xr[d2] * egi - xi[d2] * egr, 0.0)
+                s = dot(pr, top2) + dot(pi_, bot2)
+                q = d2 * D + e
+                eg1_ref[q] += xdot(bc2, s)
+                eg2_ref[q] += xdot(bs2, s)
+
+        # XX windows: conj(X_d)·X_e at ±4h
+        for d in range(D):
+            for e in range(D):
+                pr = jnp.where(mask, xr[d] * xr[e] + xi[d] * xi[e], 0.0)
+                pi_ = jnp.where(mask, xr[d] * xi[e] - xi[d] * xr[e], 0.0)
+                s = dot(pr, top4) + dot(pi_, bot4)
+                q = d * D + e
+                xx1_ref[q] += xdot(bc4, s)
+                xx2_ref[q] += xdot(bs4, s)
+
+    return kernel
+
+
+def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
+                   s1: float, *, interpret: bool | None = None):
+    """Whole fused-anchor precompute pass in one Pallas kernel.
+
+    Given the signal half-spectra ``X [B, D, nx, nyr]`` and the composed
+    anchor taps ``K0taps [D, D, 2hx2+1, 2hy2+1]``, returns
+
+    - ``XX  [D, D, 4hx+1, 4hy+1]`` — lag windows of conj(X_d)·X_e,
+    - ``EGw [D, D, 2hx+1, 2hy+1]`` — lag windows of conj(X_d)·EG_e,
+    - ``seg`` — mean_b Σ_ω w·|EG|² (summed over channels),
+    - ``e0  [D]`` — mean_b EG[b, :, 0, 0].real,
+
+    where ``EG = s1·K̂₀X − X`` is the continuum anchor error
+    (train/fft_corr.py corr_precompute_fused).  Neither the anchor
+    spectra ``K̂₀`` ([D², nx, nyr] — 2×151 MB at 16 MP) nor the EG
+    planes ever reach HBM: the spectra tiles are generated on the fly
+    from the separable tap partials (ops/dft.kernel_spectrum's
+    factorization), EG lives per x-tile in VMEM, and the correlation
+    products feed the stacked window contractions directly.
+
+    Equality vs the XLA formulation: tests/test_pallas_windows.py.
+    """
+    from ..train.fft_corr import _lag_basis
+    from . import dft
+    if interpret is None:
+        interpret = not _on_tpu()
+    B, D = X.shape[0], X.shape[1]
+    nyr = X.shape[-1]
+    dd = D * D
+    nk2, nl2 = K0taps.shape[-2], K0taps.shape[-1]
+    hx4, hy4 = 2 * hx2, 2 * hy2
+
+    # y-stage tap partials T = taps·e^{-iθy} (tiny, XLA): [D², nk2, nyr]
+    cx, sx, cy, sy = map(jnp.asarray,
+                         dft._axis_bases(nk2, nl2, nx, ny)[:4])
+    taps = K0taps.reshape(dd, nk2, nl2)
+    tr = jnp.einsum("pkl,ly->pky", taps, cy, precision="highest")
+    ti = -jnp.einsum("pkl,ly->pky", taps, sy, precision="highest")
+
+    bxc2, bxs2, byc2, bys2 = _lag_basis(nx, ny, hx2, hy2)
+    bxc4, bxs4, byc4, bys4 = _lag_basis(nx, ny, hx4, hy4)
+    vx2, vy2 = bxc2.shape[1], byc2.shape[1]
+    vx4, vy4 = bxc4.shape[1], byc4.shape[1]
+    top2 = jnp.asarray(np.concatenate([byc2, bys2], axis=1))
+    bot2 = jnp.asarray(np.concatenate([-bys2, byc2], axis=1))
+    top4 = jnp.asarray(np.concatenate([byc4, bys4], axis=1))
+    bot4 = jnp.asarray(np.concatenate([-bys4, byc4], axis=1))
+    from .spectral import _hermitian_weights
+    wrow = jnp.asarray(_hermitian_weights(nx, ny))[None, :]
+
+    # x-tile sizing: X re/im double-buffered + K̂/EG tile transients
+    nyr_pad = -(-nyr // 128) * 128
+    TX = 128
+    while TX > 32 and (2 * 2 * D + 8) * TX * nyr_pad * 4 > 11 * 2 ** 20:
+        TX //= 2
+    TX = min(TX, nx)
+    grid = (B, pl.cdiv(nx, TX))
+
+    def planes():
+        return pl.BlockSpec((1, D, TX, nyr), lambda b, i: (b, 0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda b, i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    def xmajor(ncol):
+        return pl.BlockSpec((TX, ncol), lambda b, i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((dd, vx4, 2 * vy4), jnp.float32),
+        jax.ShapeDtypeStruct((dd, vx4, 2 * vy4), jnp.float32),
+        jax.ShapeDtypeStruct((dd, vx2, 2 * vy2), jnp.float32),
+        jax.ShapeDtypeStruct((dd, vx2, 2 * vy2), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, D), jnp.float32),
+    ]
+    out_specs = [const((dd, vx4, 2 * vy4)), const((dd, vx4, 2 * vy4)),
+                 const((dd, vx2, 2 * vy2)), const((dd, vx2, 2 * vy2)),
+                 const((1, 1)), const((1, D))]
+    xx1, xx2, eg1, eg2, seg, e0 = pl.pallas_call(
+        _make_anchor_kernel(D, TX, nx, float(s1)),
+        grid=grid,
+        in_specs=[planes(), planes(),
+                  const((dd, nk2, nyr)), const((dd, nk2, nyr)),
+                  xmajor(nk2), xmajor(nk2),
+                  const((1, nyr)),
+                  const((nyr, 2 * vy2)), const((nyr, 2 * vy2)),
+                  xmajor(vx2), xmajor(vx2),
+                  const((nyr, 2 * vy4)), const((nyr, 2 * vy4)),
+                  xmajor(vx4), xmajor(vx4)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(X.real, X.imag, tr, ti, jnp.asarray(cx.T), jnp.asarray(sx.T),
+      wrow, top2, bot2, jnp.asarray(bxc2), jnp.asarray(bxs2),
+      top4, bot4, jnp.asarray(bxc4), jnp.asarray(bxs4))
+    XX = (xx1[:, :, :vy4] - xx2[:, :, vy4:]) / B
+    EGw = (eg1[:, :, :vy2] - eg2[:, :, vy2:]) / B
+    return (XX.reshape(D, D, vx4, vy4), EGw.reshape(D, D, vx2, vy2),
+            seg[0, 0] / B, e0[0] / B)

@@ -352,30 +352,33 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
 
     if model_axis is None:
         X = spectral.rfft2(x)                          # [B, D, nx, nyr]
-        # "high" (bf16_3x, ~1e-6 rel) — anchor-spectrum rounding is
-        # never measured back, but "highest" compiles pathologically
-        # at 16 MP on this toolchain
-        K0f = dft.kernel_spectrum(K0taps, nx, ny,
-                                  precision="high")
-        # continuum error (Y = X): bin-wise small once trained — anchoring
-        # precision identical to the E0/G0 split.  Full precision is
-        # load-bearing (a rounded anchor is a phantom the burst chases,
-        # unlike the unfused path whose forward rounding lands in the
-        # *measured* G₀), so the d-contraction runs as an elementwise
-        # broadcast-multiply-reduce: D=3 is far below the MXU tile, and
-        # the VPU is natively fp32 — exact without the 6-pass "highest"
-        # matmul emulation (2.8 → ~0.5 ms at 16 MP)
-        EG = jnp.sum(K0f[None] * X[:, None], axis=2) * s1 - X
         if pallas_windows:
-            # fused pair-product+window kernel: the product planes live
-            # only in VMEM (ops/pallas_windows.py) — bin-wise f32
-            # accumulation, same anchoring-precision contract
-            from ..ops.pallas_windows import corr_pair_windows
-            XX = corr_pair_windows(X, X, nx, ny, hx4, hy4
-                                   ).reshape(dD, dD, -1)
-            EGwin = corr_pair_windows(X, EG, nx, ny, hx2, hy2
-                                      ).reshape(dD, dD, -1)
+            # single-pass Pallas precompute (ops/pallas_windows.py):
+            # anchor spectra generated per x-tile from the tap partials,
+            # EG built in VMEM, windows + Σw|EG|² + DC scalars emitted
+            # in one read of X — bin-wise f32 accumulation, same
+            # anchoring-precision contract as the XLA path
+            from ..ops.pallas_windows import anchor_windows
+            XXw, EGw, SEG, E_cont0 = anchor_windows(
+                X, K0taps, nx, ny, hx2, hy2, s1)
+            XX = XXw.reshape(dD, dD, -1)
+            EGwin = EGw.reshape(dD, dD, -1)
         else:
+            # "high" (bf16_3x, ~1e-6 rel) — anchor-spectrum rounding is
+            # never measured back, but "highest" compiles pathologically
+            # at 16 MP on this toolchain
+            K0f = dft.kernel_spectrum(K0taps, nx, ny,
+                                      precision="high")
+            # continuum error (Y = X): bin-wise small once trained —
+            # anchoring precision identical to the E0/G0 split.  Full
+            # precision is load-bearing (a rounded anchor is a phantom
+            # the burst chases, unlike the unfused path whose forward
+            # rounding lands in the *measured* G₀), so the d-contraction
+            # runs as an elementwise broadcast-multiply-reduce: D=3 is
+            # far below the MXU tile, and the VPU is natively fp32 —
+            # exact without the 6-pass "highest" matmul emulation
+            # (2.8 → ~0.5 ms at 16 MP)
+            EG = jnp.sum(K0f[None] * X[:, None], axis=2) * s1 - X
             Xc = jnp.conj(X)
             prods_xx = jnp.mean(Xc[:, :, None] * X[:, None],
                                 axis=0).reshape(-1, nx, nyr)
@@ -385,10 +388,10 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
                                ).reshape(dD, dD, -1)
             EGwin = _corr_windows(prods_eg, nx, ny, hx2, hy2
                                   ).reshape(dD, dD, -1)
-        SEG = jnp.mean(jnp.sum((EG.real ** 2 + EG.imag ** 2) * wv,
-                               axis=(-2, -1, -3)))      # Σw|E₀+G₀|²
+            SEG = jnp.mean(jnp.sum((EG.real ** 2 + EG.imag ** 2) * wv,
+                                   axis=(-2, -1, -3)))  # Σw|E₀+G₀|²
+            E_cont0 = jnp.mean(EG[:, :, 0, 0].real, axis=0)  # [D]
         X0 = jnp.mean(X[:, :, 0, 0].real, axis=0)       # [D]
-        E_cont0 = jnp.mean(EG[:, :, 0, 0].real, axis=0)  # [D]
     else:
         nm = lax.axis_size(model_axis)
         midx = lax.axis_index(model_axis)
