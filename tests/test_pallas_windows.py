@@ -116,3 +116,37 @@ def test_partial_final_x_tile_masked():
     got = corr_pair_windows(X, X, nx, ny, 3, 3)
     want = _ref(X, X, nx, ny, 3, 3)
     assert _norm_rel(got, want) < 1e-6
+
+
+def test_scan_of_pallas_precompute():
+    # the streaming driver wraps the burst in lax.scan; at >=2M pixels the
+    # precompute auto-selects anchor_windows, so scan-of-pallas_call must
+    # compile and match a host loop of per-frame bursts (weights carried)
+    import jax
+    from jax import lax
+
+    rng = np.random.default_rng(5)
+    K, B, D, M, n = 3, 1, 2, 3, 16
+    xs = jnp.asarray(rng.standard_normal((K, B, D, n, n)), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((M, D, 3, 3)) * 0.3, jnp.float32)
+    f = jnp.asarray(rng.standard_normal((D, M, 3, 3)) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((M,)) * 0.1, jnp.float32)
+    p = jnp.asarray(rng.standard_normal((D,)) * 0.1, jnp.float32)
+
+    def step(carry, xk):
+        cc, ff, bb, pp = carry
+        T = fft_corr.corr_precompute_fused(xk, cc, ff, bb, pp,
+                                           pallas_windows=True)
+        r = fft_corr.corr_iterate(T, cc, ff, bb, pp, nx=n, ny=n,
+                                  iters=5, lr=1e-3)
+        return (r.c, r.f, r.b, r.p), r.mses
+
+    (cN, fN, bN, pN), mses = jax.jit(
+        lambda xs: lax.scan(step, (c, f, b, p), xs))(xs)
+
+    carry = (c, f, b, p)
+    for k in range(K):
+        carry, want_mses = step(carry, xs[k])
+        assert _norm_rel(mses[k], want_mses) < 1e-6
+    for got, want in zip((cN, fN, bN, pN), carry):
+        assert _norm_rel(got, want) < 1e-6
