@@ -248,6 +248,27 @@ def main():
                f"fft_burst_100_ms_{nxy}",
                f"fft_backprop_iters_per_sec_{nxy}", iters_n)
 
+    # ---- 2048² (16 MP), fused anchor (out0=None): at this size the
+    # precompute auto-routes through the single-pass Pallas kernel
+    # (ops/pallas_windows.anchor_windows) ----
+    cfg2k = Config(nx=2048, ny=2048, d=3,
+                   layer=LayerParams(depth=10, lk=1, ll=1, scale=2,
+                                     rmax=3.0))
+    spec2k = initial_spec(cfg2k)
+    params2k = init_params(jax.random.key(0), spec2k, 1.0)
+    enc2k, dec2k = params2k.pair(0)
+    x2k = jax.device_put(
+        rng.normal(size=(3, 2048, 2048)).astype(np.float32) * 50)
+
+    def burst_16mp(x, e=enc2k, d_=dec2k):
+        r = fft_burst_corr(x, None, None, e.c, d_.c, e.b, d_.b, lr=0.2,
+                           iters=burst_iters)
+        return r, x + r.mses[-1] * 0.0 + 1e-6
+    record(results, time_chained(burst_16mp, x2k, n=5),
+           "fft_burst_100_ms_2048",
+           "fft_backprop_iters_per_sec_2048", burst_iters)
+    del x2k
+
     # ---- forward passes, 3-layer net, batch 1 ----
     fwd_fft3 = jax.jit(lambda x: model.forward_fft(params3, x, spec3.scales))
 
