@@ -266,7 +266,8 @@ def _make_anchor_kernel(D: int, TX: int, nx: int, s1: float):
 
 
 def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
-                   s1: float, *, interpret: bool | None = None):
+                   s1: float, *, interpret: bool | None = None,
+                   row_slab=None):
     """Whole fused-anchor precompute pass in one Pallas kernel.
 
     Given the signal half-spectra ``X [B, D, nx, nyr]`` and the composed
@@ -285,6 +286,17 @@ def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
     factorization), EG lives per x-tile in VMEM, and the correlation
     products feed the stacked window contractions directly.
 
+    ``row_slab``: a (possibly traced) global start row.  When given,
+    ``X`` is an x-row *slab* ``[B, D, nx_l, nyr]`` of the full spectra
+    (rows ``row_slab .. row_slab+nx_l``, zero-padded past ``nx``) and
+    the outputs are this slab's **partial sums** — exact because every
+    emitted quantity is linear (windows) or additive (seg) over x-rows.
+    Summing the partials over a disjoint cover of ``[0, nx)`` reproduces
+    the full call bit-for-f32; this is how the tensor-parallel precompute
+    shards the kernel (train/fft_corr.py model_axis + psum).  The ``e0``
+    output is only meaningful for the slab containing global row 0 — the
+    TP caller computes the DC scalars directly instead.
+
     Equality vs the XLA formulation: tests/test_pallas_windows.py.
     """
     from ..train.fft_corr import _lag_basis
@@ -292,6 +304,7 @@ def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
     if interpret is None:
         interpret = not _on_tpu()
     B, D = X.shape[0], X.shape[1]
+    nx_l = X.shape[-2]
     nyr = X.shape[-1]
     dd = D * D
     nk2, nl2 = K0taps.shape[-2], K0taps.shape[-1]
@@ -315,13 +328,25 @@ def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
     from .spectral import _hermitian_weights
     wrow = jnp.asarray(_hermitian_weights(nx, ny))[None, :]
 
+    # x-major operands (phases/bases built for the GLOBAL grid); in slab
+    # mode take this slab's rows — zero-pad first so an end slab reads
+    # inert rows, keeping every emitted partial exact
+    xmaj = [jnp.asarray(cx.T), jnp.asarray(sx.T),
+            jnp.asarray(bxc2), jnp.asarray(bxs2),
+            jnp.asarray(bxc4), jnp.asarray(bxs4)]
+    if row_slab is not None:
+        xmaj = [jax.lax.dynamic_slice_in_dim(
+            jnp.pad(a, ((0, nx_l), (0, 0))), row_slab, nx_l)
+            for a in xmaj]
+    cxT, sxT, bxc2, bxs2, bxc4, bxs4 = xmaj
+
     # x-tile sizing: X re/im double-buffered + K̂/EG tile transients
     nyr_pad = -(-nyr // 128) * 128
     TX = 128
     while TX > 32 and (2 * 2 * D + 8) * TX * nyr_pad * 4 > 11 * 2 ** 20:
         TX //= 2
-    TX = min(TX, nx)
-    grid = (B, pl.cdiv(nx, TX))
+    TX = min(TX, nx_l)
+    grid = (B, pl.cdiv(nx_l, TX))
 
     def planes():
         return pl.BlockSpec((1, D, TX, nyr), lambda b, i: (b, 0, i, 0),
@@ -348,7 +373,7 @@ def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
                  const((dd, vx2, 2 * vy2)), const((dd, vx2, 2 * vy2)),
                  const((1, 1)), const((1, D))]
     xx1, xx2, eg1, eg2, seg, e0 = pl.pallas_call(
-        _make_anchor_kernel(D, TX, nx, float(s1)),
+        _make_anchor_kernel(D, TX, nx_l, float(s1)),
         grid=grid,
         in_specs=[planes(), planes(),
                   const((dd, nk2, nyr)), const((dd, nk2, nyr)),
@@ -361,9 +386,9 @@ def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(X.real, X.imag, tr, ti, jnp.asarray(cx.T), jnp.asarray(sx.T),
-      wrow, top2, bot2, jnp.asarray(bxc2), jnp.asarray(bxs2),
-      top4, bot4, jnp.asarray(bxc4), jnp.asarray(bxs4))
+    )(X.real, X.imag, tr, ti, cxT, sxT,
+      wrow, top2, bot2, bxc2, bxs2,
+      top4, bot4, bxc4, bxs4)
     XX = (xx1[:, :, :vy4] - xx2[:, :, vy4:]) / B
     EGw = (eg1[:, :, :vy2] - eg2[:, :, vy2:]) / B
     return (XX.reshape(D, D, vx4, vy4), EGw.reshape(D, D, vx2, vy2),

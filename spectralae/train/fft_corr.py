@@ -282,6 +282,59 @@ def corr_precompute(x, expout, out0, c0, f0, *, scale_by_dm=True,
     return out
 
 
+def _tp_xla_windows(X, K0taps, nx, ny, nyr, B, dD, dd, hx2, hy2, hx4,
+                    hy4, s1, wv, nm, midx, shard, gather, model_axis):
+    """Model-sharded XLA window pipeline (the pre-Pallas TP body).
+
+    Shards the continuum-error contraction over output channels e, the
+    EG products over d×(e-chunk), and the XX products over the D² plane
+    pairs; returns (XX, EGwin, SEG, X0, E_cont0)."""
+    from ..ops import dft
+    Xc = jnp.conj(X)
+    # 2. composed-kernel restricted DFTs + the continuum-error
+    # contraction, sharded over output channels e (zero-padded rows
+    # yield EG ≡ 0, so they contribute nothing downstream)
+    K0rows, chunk_e = shard(K0taps)            # [chunk_e, D, ·, ·]
+    K0f_l = dft.kernel_spectrum(K0rows, nx, ny,
+                                precision="high")
+    X_e, _ = shard(jnp.moveaxis(X, 1, 0))      # [chunk_e, B, nx, nyr]
+    # elementwise d-reduce (native-fp32 VPU; see the unsharded body)
+    EGl = (jnp.sum(K0f_l[None] * X[:, None], axis=2) * s1
+           - jnp.moveaxis(X_e, 0, 1))          # [B, chunk_e, nx, nyr]
+    # 3. eg products: all d × this shard's e-chunk, windows at ±2h
+    prods_eg_l = jnp.mean(Xc[:, :, None] * EGl[:, None],
+                          axis=0).reshape(dD * chunk_e, nx, nyr)
+    eg_l = _corr_windows(prods_eg_l, nx, ny, hx2, hy2)
+    n2w = (2 * hx2 + 1) * (2 * hy2 + 1)
+    EGwin = jnp.moveaxis(
+        lax.all_gather(eg_l.reshape(dD, chunk_e, n2w), model_axis,
+                       axis=0), 0, 1).reshape(dD, nm * chunk_e, n2w
+                                              )[:, :dD]
+    # 4. XX products sharded over the D² plane pairs (rows selected
+    # by one-hot matmuls over the tiny D axis — no gathers)
+    chunk_dd = -(-dd // nm)
+    flat = midx * chunk_dd + jnp.arange(chunk_dd)
+    valid = (flat < dd).astype(jnp.float32)
+    flat_c = jnp.minimum(flat, dd - 1)
+    oh1 = (flat_c[:, None] // dD == jnp.arange(dD)[None, :]
+           ).astype(jnp.float32)
+    oh2 = (flat_c[:, None] % dD == jnp.arange(dD)[None, :]
+           ).astype(jnp.float32)
+    A = jnp.einsum("cd,bdxy->bcxy", oh1, Xc)
+    Bv = jnp.einsum("cd,bdxy->bcxy", oh2, X)
+    prods_xx_l = (jnp.mean(A * Bv, axis=0)
+                  * valid[:, None, None])
+    xx_l = _corr_windows(prods_xx_l, nx, ny, hx4, hy4)
+    XX = gather(xx_l, dd).reshape(dD, dD, -1)
+    # 5. scalars: shard-local partials psum'd over the model axis
+    SEG = lax.psum(jnp.mean(jnp.sum(
+        (EGl.real ** 2 + EGl.imag ** 2) * wv,
+        axis=(-2, -1, -3))), model_axis)
+    X0 = jnp.mean(X[:, :, 0, 0].real, axis=0)
+    E_cont0 = gather(jnp.mean(EGl[:, :, 0, 0].real, axis=0), dD)
+    return XX, EGwin, SEG, X0, E_cont0
+
+
 def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
                           axis_name=None, model_axis=None,
                           pallas_windows=None):
@@ -345,10 +398,10 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
         # the fused Pallas window kernel pays off once the [D², nx, nyr]
         # product planes stop fitting in cache-ish sizes and their HBM
         # round-trip dominates (measured at 16 MP); below that the XLA
-        # path is already dispatch-bound
+        # path is already dispatch-bound.  Applies to both the unsharded
+        # and the model-sharded (x-slab) body.
         from ..ops.pallas_kernels import _on_tpu
-        pallas_windows = (model_axis is None and _on_tpu()
-                          and nx * ny >= 2 * 1024 * 1024)
+        pallas_windows = _on_tpu() and nx * ny >= 2 * 1024 * 1024
 
     if model_axis is None:
         X = spectral.rfft2(x)                          # [B, D, nx, nyr]
@@ -412,48 +465,35 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
         # resolution-sized all_gather of the half-spectra over ICI
         pl, _ = shard(x.reshape(B * dD, nx, ny))
         X = gather(spectral.rfft2(pl), B * dD).reshape(B, dD, nx, nyr)
-        Xc = jnp.conj(X)
-        # 2. composed-kernel restricted DFTs + the continuum-error
-        # contraction, sharded over output channels e (zero-padded rows
-        # yield EG ≡ 0, so they contribute nothing downstream)
-        K0rows, chunk_e = shard(K0taps)            # [chunk_e, D, ·, ·]
-        K0f_l = dft.kernel_spectrum(K0rows, nx, ny,
-                                    precision="high")
-        X_e, _ = shard(jnp.moveaxis(X, 1, 0))      # [chunk_e, B, nx, nyr]
-        # elementwise d-reduce (native-fp32 VPU; see the unsharded body)
-        EGl = (jnp.sum(K0f_l[None] * X[:, None], axis=2) * s1
-               - jnp.moveaxis(X_e, 0, 1))          # [B, chunk_e, nx, nyr]
-        # 3. eg products: all d × this shard's e-chunk, windows at ±2h
-        prods_eg_l = jnp.mean(Xc[:, :, None] * EGl[:, None],
-                              axis=0).reshape(dD * chunk_e, nx, nyr)
-        eg_l = _corr_windows(prods_eg_l, nx, ny, hx2, hy2)
-        n2w = (2 * hx2 + 1) * (2 * hy2 + 1)
-        EGwin = jnp.moveaxis(
-            lax.all_gather(eg_l.reshape(dD, chunk_e, n2w), model_axis,
-                           axis=0), 0, 1).reshape(dD, nm * chunk_e, n2w
-                                                  )[:, :dD]
-        # 4. XX products sharded over the D² plane pairs (rows selected
-        # by one-hot matmuls over the tiny D axis — no gathers)
-        chunk_dd = -(-dd // nm)
-        flat = midx * chunk_dd + jnp.arange(chunk_dd)
-        valid = (flat < dd).astype(jnp.float32)
-        flat_c = jnp.minimum(flat, dd - 1)
-        oh1 = (flat_c[:, None] // dD == jnp.arange(dD)[None, :]
-               ).astype(jnp.float32)
-        oh2 = (flat_c[:, None] % dD == jnp.arange(dD)[None, :]
-               ).astype(jnp.float32)
-        A = jnp.einsum("cd,bdxy->bcxy", oh1, Xc)
-        Bv = jnp.einsum("cd,bdxy->bcxy", oh2, X)
-        prods_xx_l = (jnp.mean(A * Bv, axis=0)
-                      * valid[:, None, None])
-        xx_l = _corr_windows(prods_xx_l, nx, ny, hx4, hy4)
-        XX = gather(xx_l, dd).reshape(dD, dD, -1)
-        # 5. scalars: shard-local partials psum'd over the model axis
-        SEG = lax.psum(jnp.mean(jnp.sum(
-            (EGl.real ** 2 + EGl.imag ** 2) * wv,
-            axis=(-2, -1, -3))), model_axis)
-        X0 = jnp.mean(X[:, :, 0, 0].real, axis=0)
-        E_cont0 = gather(jnp.mean(EGl[:, :, 0, 0].real, axis=0), dD)
+
+        if pallas_windows:
+            # single-pass Pallas kernel sharded over x-row slabs: every
+            # device holds the gathered X, runs anchor_windows on its
+            # slab (partials are exact — see its docstring), and the
+            # window/scalar accumulators psum over the model axis.
+            # DC scalars are computed directly (K̂₀ at ω=0 is the plain
+            # tap sum) — the kernel's e0 is slab-local and unused here.
+            from ..ops.pallas_windows import anchor_windows
+            chunk_x = -(-nx // nm)
+            Xp = jnp.pad(X, ((0, 0), (0, 0),
+                             (0, chunk_x * nm - nx), (0, 0)))
+            Xl = lax.dynamic_slice_in_dim(Xp, midx * chunk_x, chunk_x,
+                                          axis=2)
+            XXw, EGw, SEGl, _ = anchor_windows(
+                Xl, K0taps, nx, ny, hx2, hy2, s1,
+                row_slab=midx * chunk_x)
+            XX = lax.psum(XXw, model_axis).reshape(dD, dD, -1)
+            EGwin = lax.psum(EGw, model_axis).reshape(dD, dD, -1)
+            SEG = lax.psum(SEGl, model_axis)
+            Xdc = X[:, :, 0, 0].real                     # [B, D]
+            X0 = jnp.mean(Xdc, axis=0)
+            ksum = jnp.sum(K0taps, axis=(-2, -1))        # [e, d]
+            E_cont0 = jnp.mean(
+                s1 * jnp.einsum("ed,bd->be", ksum, Xdc) - Xdc, axis=0)
+        else:
+            XX, EGwin, SEG, X0, E_cont0 = _tp_xla_windows(
+                X, K0taps, nx, ny, nyr, B, dD, dd, hx2, hy2, hx4, hy4,
+                s1, wv, nm, midx, shard, gather, model_axis)
 
     # reconstruct the E₀/G₀ split exactly: G₀ = −dE0 at DC only, so its
     # lag windows are the constant −X0[d]·dE0[e] (w(DC)=1) and its
@@ -648,7 +688,8 @@ def burst_corr(x, expout, out0, c, f, b, p, mom=None, *,
                lr=0.2, alpha=0.9, iters=100, maxdiff=False,
                w0=1.0, w1=10.0, scale_by_dm=True,
                axis_name=None, model_axis=None,
-               reanchor_every=None) -> FFTBurstResult:
+               reanchor_every=None,
+               pallas_windows=None) -> FFTBurstResult:
     """Correlation-space burst; semantics of ``fft_burst``/``fft_burst_dp``.
 
     ``x/expout/out0``: ``[D, h, w]`` or batched ``[B, D, h, w]`` (gradients
@@ -678,6 +719,10 @@ def burst_corr(x, expout, out0, c, f, b, p, mom=None, *,
     if fused and not (expout is None or expout is x):
         raise ValueError("out0=None (fused anchor forward) trains against "
                          "the input; pass expout=None")
+    if pallas_windows is not None and not fused:
+        raise ValueError("pallas_windows only exists on the fused-anchor "
+                         "precompute (out0=None) — drop it or the "
+                         "explicit out0")
     if expout is None:
         expout = x
     if x.ndim == 3:
@@ -692,7 +737,8 @@ def burst_corr(x, expout, out0, c, f, b, p, mom=None, *,
             return corr_precompute_fused(x, c, f, b, p,
                                          scale_by_dm=scale_by_dm,
                                          axis_name=axis_name,
-                                         model_axis=model_axis)
+                                         model_axis=model_axis,
+                                         pallas_windows=pallas_windows)
         return corr_precompute(x, expout, out_cur, c, f,
                                scale_by_dm=scale_by_dm,
                                axis_name=axis_name, model_axis=model_axis)
@@ -741,4 +787,4 @@ def burst_corr(x, expout, out0, c, f, b, p, mom=None, *,
 fft_burst_corr = jax.jit(
     burst_corr,
     static_argnames=("iters", "maxdiff", "scale_by_dm", "axis_name",
-                     "model_axis", "reanchor_every"))
+                     "model_axis", "reanchor_every", "pallas_windows"))

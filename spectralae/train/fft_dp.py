@@ -156,7 +156,8 @@ def distributed_burst(mesh: Mesh, *, lr: float = 0.2, alpha: float = 0.9,
                       maxdiff: bool = False, w0: float = 1.0,
                       w1: float = 10.0,
                       reanchor_every: int | None = None,
-                      fused: bool = False):
+                      fused: bool = False,
+                      pallas_windows: bool | None = None):
     """Build a jitted multi-chip burst: batch sharded over 'data', params
     replicated.
 
@@ -182,6 +183,9 @@ def distributed_burst(mesh: Mesh, *, lr: float = 0.2, alpha: float = 0.9,
     if fused and use_pallas is not None:
         raise ValueError("fused anchoring only exists on the default "
                          "(correlation-space) body — drop use_pallas")
+    if pallas_windows is not None and not fused:
+        raise ValueError("pallas_windows selects the fused-anchor "
+                         "precompute kernel — requires fused=True")
     from jax import shard_map
 
     batch_spec = P("data", None, None, None)
@@ -198,7 +202,8 @@ def distributed_burst(mesh: Mesh, *, lr: float = 0.2, alpha: float = 0.9,
                               iters=iters, scale_by_dm=scale_by_dm,
                               maxdiff=maxdiff, w0=w0, w1=w1,
                               axis_name="data", model_axis=model_axis,
-                              reanchor_every=reanchor_every)
+                              reanchor_every=reanchor_every,
+                              pallas_windows=pallas_windows)
 
         sharded = shard_map(
             local_fused, mesh=mesh,

@@ -186,3 +186,62 @@ def test_anchor_windows_partial_final_x_tile():
     assert _norm_rel(got_eg, want_eg) < 1e-6
     assert _norm_rel(got_seg, want_seg) < 1e-6
     assert _norm_rel(got_e0, want_e0) < 1e-6
+
+
+def test_anchor_windows_row_slab_partials_sum():
+    # slab partials over a disjoint row cover must sum to the full call
+    # (the TP sharding contract; windows/seg are linear over x-rows)
+    from spectralae.ops.pallas_windows import anchor_windows
+    from spectralae.ops import spectral
+
+    rng = np.random.default_rng(17)
+    B, D, nx, ny, nk2 = 2, 2, 24, 16, 5
+    hx2 = hy2 = nk2 // 2
+    s1 = 1.0 / (4 * D)
+    x = jnp.asarray(rng.standard_normal((B, D, nx, ny)), jnp.float32)
+    taps = jnp.asarray(rng.standard_normal((D, D, nk2, nk2)) * 0.2,
+                       jnp.float32)
+    X = spectral.rfft2(x)
+    want_xx, want_eg, want_seg, _ = anchor_windows(
+        X, taps, nx, ny, hx2, hy2, s1)
+
+    chunk = 10                      # 24 rows -> slabs of 10/10/4(+6 pad)
+    Xp = jnp.pad(X, ((0, 0), (0, 0), (0, 3 * chunk - nx), (0, 0)))
+    parts = [anchor_windows(Xp[:, :, i * chunk:(i + 1) * chunk], taps,
+                            nx, ny, hx2, hy2, s1, row_slab=i * chunk)
+             for i in range(3)]
+    got_xx = sum(p[0] for p in parts)
+    got_eg = sum(p[1] for p in parts)
+    got_seg = sum(p[2] for p in parts)
+    assert _norm_rel(got_xx, want_xx) < 1e-6
+    assert _norm_rel(got_eg, want_eg) < 1e-6
+    assert _norm_rel(got_seg, want_seg) < 1e-6
+
+
+@pytest.mark.parametrize("nd,nm", [(2, 4), (4, 2)])
+def test_tp_pallas_burst_matches_single_device(nd, nm):
+    # DPxTP with the slab-sharded Pallas precompute reproduces the
+    # single-device fused burst
+    import jax
+    from spectralae.dist.mesh import make_mesh
+    from spectralae.train.fft_dp import distributed_burst
+    from spectralae.train.fft_corr import fft_burst_corr
+
+    if len(jax.devices()) < nd * nm:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(23)
+    B, D, M, N = 4, 2, 3, 16
+    xs = jnp.asarray(rng.normal(size=(B, D, N, N)), jnp.float32)
+    enc_c = jnp.asarray(rng.normal(size=(M, D, 3, 3)) * .3, jnp.float32)
+    dec_c = jnp.asarray(rng.normal(size=(D, M, 3, 3)) * .3, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(M,)) * .1, jnp.float32)
+    p = jnp.asarray(rng.normal(size=(D,)) * .1, jnp.float32)
+    want = fft_burst_corr(xs, None, None, enc_c, dec_c, b, p,
+                          lr=0.2, iters=5)
+    got = distributed_burst(make_mesh(nd, nm), lr=0.2, iters=5,
+                            fused=True, pallas_windows=True)(
+        xs, enc_c, dec_c, b, p)
+    for name in ("c", "f", "b", "p", "mses"):
+        np.testing.assert_allclose(np.asarray(getattr(got, name)),
+                                   np.asarray(getattr(want, name)),
+                                   rtol=3e-5, atol=1e-6, err_msg=name)
