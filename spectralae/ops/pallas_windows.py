@@ -104,6 +104,24 @@ def _make_kernel(D: int, E: int, TX: int, nx: int, same: bool):
     return kernel
 
 
+def _window_basis(nx, ny, hx, hy):
+    """Host-side packing of the lag-window bases for the in-kernel
+    cos/sin split: returns (top [nyr, 2vy], bot, bcx [nx, vx], bsx,
+    vx, vy).  The kernel accumulates ``acc1 = bcxᵀ·(p·top)`` and
+    ``acc2 = bsxᵀ·(p·bot)``; :func:`_combine_windows` folds them."""
+    from ..train.fft_corr import _lag_basis
+    bxc, bxs, byc, bys = _lag_basis(nx, ny, hx, hy)
+    vx, vy = bxc.shape[1], byc.shape[1]
+    top = jnp.asarray(np.concatenate([byc, bys], axis=1))
+    bot = jnp.asarray(np.concatenate([-bys, byc], axis=1))
+    return top, bot, jnp.asarray(bxc), jnp.asarray(bxs), vx, vy
+
+
+def _combine_windows(acc1, acc2, vy, B):
+    """Fold the stacked cos/sin accumulators into batch-mean windows."""
+    return (acc1[:, :, :vy] - acc2[:, :, vy:]) / B
+
+
 def corr_pair_windows(X, Z, nx: int, ny: int, hx: int, hy: int, *,
                       interpret: bool | None = None):
     """Batch-mean centered lag windows of ``conj(X[b,d])·Z[b,e]``.
@@ -118,19 +136,13 @@ def corr_pair_windows(X, Z, nx: int, ny: int, hx: int, hy: int, *,
 
     which is the equality tested in tests/test_pallas_windows.py.
     """
-    from ..train.fft_corr import _lag_basis
     if interpret is None:
         interpret = not _on_tpu()
     B, D = X.shape[0], X.shape[1]
     E = Z.shape[1]
     nyr = X.shape[-1]
     same = Z is X
-    bxc, bxs, byc, bys = _lag_basis(nx, ny, hx, hy)
-    vx, vy = bxc.shape[1], byc.shape[1]
-    top = jnp.asarray(np.concatenate([byc, bys], axis=1))      # [nyr, 2vy]
-    bot = jnp.asarray(np.concatenate([-bys, byc], axis=1))
-    bcx = jnp.asarray(bxc)                                     # [nx, vx]
-    bsx = jnp.asarray(bxs)
+    top, bot, bcx, bsx, vx, vy = _window_basis(nx, ny, hx, hy)
 
     # x-tile: largest of 128/64/32 whose double-buffered input blocks fit
     # the ~16 MB scoped VMEM (re+im stacks of D [+E] channels, lane-padded
@@ -169,21 +181,19 @@ def corr_pair_windows(X, Z, nx: int, ny: int, hx: int, hy: int, *,
         out_shape=[jax.ShapeDtypeStruct((D * E, vx, 2 * vy), jnp.float32)] * 2,
         interpret=interpret,
     )(*ins, top, bot, bcx, bsx)
-    W = acc1[:, :, :vy] - acc2[:, :, vy:]
-    return (W / B).reshape(D, E, vx, vy)
+    return _combine_windows(acc1, acc2, vy, B).reshape(D, E, vx, vy)
 
 
 def _make_anchor_kernel(D: int, TX: int, nx: int, s1: float):
+    # Mosaic only lowers DEFAULT/HIGHEST dots; everything here runs
+    # HIGHEST — the anchor-spectrum x-stage contracts K=nk2 (~9) so it
+    # costs nothing, unlike XLA's full-grid kernel_spectrum where
+    # "highest" compiles pathologically at 16 MP
     hi = jax.lax.Precision.HIGHEST
-    # Mosaic only lowers DEFAULT/HIGHEST dots; the anchor-spectrum
-    # x-stage contracts K=nk2 (~9) so HIGHEST costs nothing here,
-    # unlike XLA's full-grid kernel_spectrum where it compiles
-    # pathologically at 16 MP
-    kp = hi
 
-    def dot(a, b, prec=hi):
+    def dot(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                       precision=prec)
+                       precision=hi)
 
     def xdot(a, b):
         # contract the shared TX axis (axis 0 of both)
@@ -231,8 +241,8 @@ def _make_anchor_kernel(D: int, TX: int, nx: int, s1: float):
                 p = e * D + d
                 tr = tr_ref[p]
                 ti = ti_ref[p]
-                kr = dot(cxt, tr, kp) + dot(sxt, ti, kp)
-                ki = dot(cxt, ti, kp) - dot(sxt, tr, kp)
+                kr = dot(cxt, tr) + dot(sxt, ti)
+                ki = dot(cxt, ti) - dot(sxt, tr)
                 egr = egr + s1 * (kr * xr[d] - ki * xi[d])
                 egi = egi + s1 * (kr * xi[d] + ki * xr[d])
             # scalars: Σw|EG|² and the DC-bin real part (batch-summed;
@@ -299,7 +309,6 @@ def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
 
     Equality vs the XLA formulation: tests/test_pallas_windows.py.
     """
-    from ..train.fft_corr import _lag_basis
     from . import dft
     if interpret is None:
         interpret = not _on_tpu()
@@ -308,6 +317,10 @@ def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
     nyr = X.shape[-1]
     dd = D * D
     nk2, nl2 = K0taps.shape[-2], K0taps.shape[-1]
+    if (nk2, nl2) != (2 * hx2 + 1, 2 * hy2 + 1):
+        raise ValueError(
+            f"hx2/hy2 must be the composed-tap half-extents: K0taps is "
+            f"{nk2}x{nl2} taps but got hx2={hx2}, hy2={hy2}")
     hx4, hy4 = 2 * hx2, 2 * hy2
 
     # y-stage tap partials T = taps·e^{-iθy} (tiny, XLA): [D², nk2, nyr]
@@ -317,14 +330,8 @@ def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
     tr = jnp.einsum("pkl,ly->pky", taps, cy, precision="highest")
     ti = -jnp.einsum("pkl,ly->pky", taps, sy, precision="highest")
 
-    bxc2, bxs2, byc2, bys2 = _lag_basis(nx, ny, hx2, hy2)
-    bxc4, bxs4, byc4, bys4 = _lag_basis(nx, ny, hx4, hy4)
-    vx2, vy2 = bxc2.shape[1], byc2.shape[1]
-    vx4, vy4 = bxc4.shape[1], byc4.shape[1]
-    top2 = jnp.asarray(np.concatenate([byc2, bys2], axis=1))
-    bot2 = jnp.asarray(np.concatenate([-bys2, byc2], axis=1))
-    top4 = jnp.asarray(np.concatenate([byc4, bys4], axis=1))
-    bot4 = jnp.asarray(np.concatenate([-bys4, byc4], axis=1))
+    top2, bot2, bxc2, bxs2, vx2, vy2 = _window_basis(nx, ny, hx2, hy2)
+    top4, bot4, bxc4, bxs4, vx4, vy4 = _window_basis(nx, ny, hx4, hy4)
     from .spectral import _hermitian_weights
     wrow = jnp.asarray(_hermitian_weights(nx, ny))[None, :]
 
@@ -332,8 +339,7 @@ def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
     # mode take this slab's rows — zero-pad first so an end slab reads
     # inert rows, keeping every emitted partial exact
     xmaj = [jnp.asarray(cx.T), jnp.asarray(sx.T),
-            jnp.asarray(bxc2), jnp.asarray(bxs2),
-            jnp.asarray(bxc4), jnp.asarray(bxs4)]
+            bxc2, bxs2, bxc4, bxs4]
     if row_slab is not None:
         xmaj = [jax.lax.dynamic_slice_in_dim(
             jnp.pad(a, ((0, nx_l), (0, 0))), row_slab, nx_l)
@@ -389,7 +395,7 @@ def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
     )(X.real, X.imag, tr, ti, cxT, sxT,
       wrow, top2, bot2, bxc2, bxs2,
       top4, bot4, bxc4, bxs4)
-    XX = (xx1[:, :, :vy4] - xx2[:, :, vy4:]) / B
-    EGw = (eg1[:, :, :vy2] - eg2[:, :, vy2:]) / B
+    XX = _combine_windows(xx1, xx2, vy4, B)
+    EGw = _combine_windows(eg1, eg2, vy2, B)
     return (XX.reshape(D, D, vx4, vy4), EGw.reshape(D, D, vx2, vy2),
             seg[0, 0] / B, e0[0] / B)

@@ -398,10 +398,13 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
         # the fused Pallas window kernel pays off once the [D², nx, nyr]
         # product planes stop fitting in cache-ish sizes and their HBM
         # round-trip dominates (measured at 16 MP); below that the XLA
-        # path is already dispatch-bound.  Applies to both the unsharded
-        # and the model-sharded (x-slab) body.
+        # path is already dispatch-bound.  The model-sharded x-slab
+        # variant stays opt-in (pallas_windows=True): it is equality-
+        # tested on the virtual mesh but this rig cannot hardware-prove
+        # Mosaic-under-shard_map on real multi-chip ICI.
         from ..ops.pallas_kernels import _on_tpu
-        pallas_windows = _on_tpu() and nx * ny >= 2 * 1024 * 1024
+        pallas_windows = (model_axis is None and _on_tpu()
+                          and nx * ny >= 2 * 1024 * 1024)
 
     if model_axis is None:
         X = spectral.rfft2(x)                          # [B, D, nx, nyr]
@@ -488,8 +491,10 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
             Xdc = X[:, :, 0, 0].real                     # [B, D]
             X0 = jnp.mean(Xdc, axis=0)
             ksum = jnp.sum(K0taps, axis=(-2, -1))        # [e, d]
+            # near-total cancellation once trained — same anchoring-
+            # precision invariant as the EG contraction ("highest")
             E_cont0 = jnp.mean(
-                s1 * jnp.einsum("ed,bd->be", ksum, Xdc) - Xdc, axis=0)
+                s1 * ein("ed,bd->be", ksum, Xdc) - Xdc, axis=0)
         else:
             XX, EGwin, SEG, X0, E_cont0 = _tp_xla_windows(
                 X, K0taps, nx, ny, nyr, B, dD, dd, hx2, hy2, hx4, hy4,

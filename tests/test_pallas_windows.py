@@ -64,6 +64,7 @@ def test_autocorrelation_same_object():
     (2, 3, 16, 16, 9),
     (1, 2, 24, 24, 5),
     (1, 2, 16, 19, 5),     # odd ny (nyr = 10)
+    (1, 2, 160, 16, 5),    # nx=160 -> TX=128: masked partial final tile
 ])
 def test_anchor_windows_matches_xla(B, D, n, ny, nk2):
     # one-pass kernel (spectra from tap partials + in-VMEM EG) vs the
@@ -154,38 +155,6 @@ def test_scan_of_pallas_precompute():
         assert _norm_rel(mses[k], want_mses) < 1e-6
     for got, want in zip((cN, fN, bN, pN), carry):
         assert _norm_rel(got, want) < 1e-6
-
-
-def test_anchor_windows_partial_final_x_tile():
-    # nx=160 -> TX=128, second x-tile carries 32 valid + 96 masked rows;
-    # pins the row masking of the basis slices, the DC-bin mask, and the
-    # Σw|EG|² accumulation across tiles
-    from spectralae.ops.pallas_windows import anchor_windows
-    from spectralae.ops import dft, spectral
-
-    rng = np.random.default_rng(13)
-    B, D, nx, ny, nk2 = 1, 2, 160, 16, 5
-    hx2 = hy2 = nk2 // 2
-    s1 = 1.0 / (4 * D)
-    x = jnp.asarray(rng.standard_normal((B, D, nx, ny)), jnp.float32)
-    taps = jnp.asarray(rng.standard_normal((D, D, nk2, nk2)) * 0.2,
-                       jnp.float32)
-    X = spectral.rfft2(x)
-    got_xx, got_eg, got_seg, got_e0 = anchor_windows(
-        X, taps, nx, ny, hx2, hy2, s1)
-
-    K0f = dft.kernel_spectrum(taps, nx, ny, precision="highest")
-    EG = jnp.sum(K0f[None] * X[:, None], axis=2) * s1 - X
-    want_xx = _ref(X, X, nx, ny, 2 * hx2, 2 * hy2)
-    want_eg = _ref(X, EG, nx, ny, hx2, hy2)
-    wv = jnp.asarray(spectral._hermitian_weights(nx, ny))
-    want_seg = jnp.mean(jnp.sum((EG.real ** 2 + EG.imag ** 2) * wv,
-                                axis=(-2, -1, -3)))
-    want_e0 = jnp.mean(EG[:, :, 0, 0].real, axis=0)
-    assert _norm_rel(got_xx, want_xx) < 1e-6
-    assert _norm_rel(got_eg, want_eg) < 1e-6
-    assert _norm_rel(got_seg, want_seg) < 1e-6
-    assert _norm_rel(got_e0, want_e0) < 1e-6
 
 
 def test_anchor_windows_row_slab_partials_sum():
