@@ -262,9 +262,13 @@ def _make_anchor_kernel(D: int, TX: int, nx: int, s1: float):
                 eg1_ref[q] += xdot(bc2, s)
                 eg2_ref[q] += xdot(bs2, s)
 
-        # XX windows: conj(X_d)·X_e at ±4h
+        # XX windows: conj(X_d)·X_e at ±4h, upper pairs d ≤ e only —
+        # swapping d,e conjugates the product plane, and the window
+        # transform of a conjugated plane is the lag-reversed window
+        # (cos even / sin odd in the lag), so the wrapper mirrors
+        # W[e,d](l) = W[d,e](−l) instead of paying D(D−1)/2 dot chains
         for d in range(D):
-            for e in range(D):
+            for e in range(d, D):
                 pr = jnp.where(mask, xr[d] * xr[e] + xi[d] * xi[e], 0.0)
                 pi_ = jnp.where(mask, xr[d] * xi[e] - xi[d] * xr[e], 0.0)
                 s = dot(pr, top4) + dot(pi_, bot4)
@@ -395,7 +399,12 @@ def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
     )(X.real, X.imag, tr, ti, cxT, sxT,
       wrow, top2, bot2, bxc2, bxs2,
       top4, bot4, bxc4, bxs4)
-    XX = _combine_windows(xx1, xx2, vy4, B)
+    XXu = _combine_windows(xx1, xx2, vy4, B).reshape(D, D, vx4, vy4)
+    # mirror the skipped lower pairs: W[e,d](l) = W[d,e](−l)
+    lower = (jnp.arange(D)[:, None] > jnp.arange(D)[None, :]
+             )[:, :, None, None]
+    XX = jnp.where(lower,
+                   jnp.flip(jnp.swapaxes(XXu, 0, 1), axis=(-2, -1)), XXu)
     EGw = _combine_windows(eg1, eg2, vy2, B)
-    return (XX.reshape(D, D, vx4, vy4), EGw.reshape(D, D, vx2, vy2),
+    return (XX, EGw.reshape(D, D, vx2, vy2),
             seg[0, 0] / B, e0[0] / B)
