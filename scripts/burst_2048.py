@@ -29,6 +29,13 @@ N, ITERS = 2048, 100
 
 
 def main():
+    global N
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=N,
+                    help="grid edge (4096 exercises the omega_y-chunked "
+                         "kernel; 64 MP needs it to fit scoped VMEM)")
+    N = ap.parse_args().n
     rng = np.random.default_rng(0)
     x0 = jax.device_put(
         rng.normal(size=(3, N, N)).astype(np.float32) * 50)

@@ -201,7 +201,8 @@ def _make_anchor_kernel(D: int, TX: int, nx: int, s1: float):
             a, b, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=hi)
 
-    def kernel(xr_ref, xi_ref, tr_ref, ti_ref, cxt_ref, sxt_ref,
+    def kernel(xr_ref, xi_ref, taps_ref, cy_ref, sy_ref,
+               cxt_ref, sxt_ref,
                w_ref, top2_ref, bot2_ref, bc2_ref, bs2_ref,
                top4_ref, bot4_ref, bc4_ref, bs4_ref,
                xx1_ref, xx2_ref, eg1_ref, eg2_ref, seg_ref, e0_ref):
@@ -229,18 +230,23 @@ def _make_anchor_kernel(D: int, TX: int, nx: int, s1: float):
         bc4 = jnp.where(mask, bc4_ref[:], 0.0)
         bs4 = jnp.where(mask, bs4_ref[:], 0.0)
         cxt, sxt = cxt_ref[:], sxt_ref[:]
+        cy, sy = cy_ref[:], sy_ref[:]
         xr = [xr_ref[0, d] for d in range(D)]
         xi = [xi_ref[0, d] for d in range(D)]
 
         for e in range(D):
             # EG_e = s1·Σ_d K̂₀[e,d]·X_d − X_e, built in VMEM; the anchor
-            # spectra tiles come from the tap partials: K̂ = e^{-iθx}·T
+            # spectra tiles come from the y-stage tap partials
+            # T = taps·e^{-iθy}, themselves rebuilt here from the tiny
+            # taps — [D², nk, nyr] partials would cost 12 MB of scoped
+            # VMEM at 64 MP, two [nk, nl]×[nl, nyr] dots cost ~nothing
             egr = -xr[e]
             egi = -xi[e]
             for d in range(D):
                 p = e * D + d
-                tr = tr_ref[p]
-                ti = ti_ref[p]
+                taps_p = taps_ref[p]
+                tr = dot(taps_p, cy)
+                ti = -dot(taps_p, sy)
                 kr = dot(cxt, tr) + dot(sxt, ti)
                 ki = dot(cxt, ti) - dot(sxt, tr)
                 egr = egr + s1 * (kr * xr[d] - ki * xi[d])
@@ -281,7 +287,7 @@ def _make_anchor_kernel(D: int, TX: int, nx: int, s1: float):
 
 def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
                    s1: float, *, interpret: bool | None = None,
-                   row_slab=None):
+                   row_slab=None, y_chunk: int = 1152):
     """Whole fused-anchor precompute pass in one Pallas kernel.
 
     Given the signal half-spectra ``X [B, D, nx, nyr]`` and the composed
@@ -327,12 +333,12 @@ def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
             f"{nk2}x{nl2} taps but got hx2={hx2}, hy2={hy2}")
     hx4, hy4 = 2 * hx2, 2 * hy2
 
-    # y-stage tap partials T = taps·e^{-iθy} (tiny, XLA): [D², nk2, nyr]
+    # the kernel rebuilds the y-stage tap partials T = taps·e^{-iθy}
+    # per pair from these tiny operands (a [D², nk, nyr] T array would
+    # cost 12 MB of scoped VMEM at 64 MP and OOM the kernel stack)
     cx, sx, cy, sy = map(jnp.asarray,
                          dft._axis_bases(nk2, nl2, nx, ny)[:4])
     taps = K0taps.reshape(dd, nk2, nl2)
-    tr = jnp.einsum("pkl,ly->pky", taps, cy, precision="highest")
-    ti = -jnp.einsum("pkl,ly->pky", taps, sy, precision="highest")
 
     top2, bot2, bxc2, bxs2, vx2, vy2 = _window_basis(nx, ny, hx2, hy2)
     top4, bot4, bxc4, bxs4, vx4, vy4 = _window_basis(nx, ny, hx4, hy4)
@@ -350,17 +356,23 @@ def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
             for a in xmaj]
     cxT, sxT, bxc2, bxs2, bxc4, bxs4 = xmaj
 
+    # ω_y chunking: Mosaic's scoped-VMEM working set (input blocks,
+    # lane-padded y-bases, and the unrolled-loop temporaries) all scale
+    # with the kernel's y width; above the proven 16 MP width the call
+    # splits the ω_y axis into static chunks — every emitted quantity is
+    # bin-local, so chunk partials sum exactly (same algebra as the
+    # x-row slabs) and e0 is read from the DC-containing chunk
+    n_chunks = max(1, -(-nyr // y_chunk))
+    edges = [round(c * nyr / n_chunks) for c in range(n_chunks + 1)]
+    nyr_c_max = max(b - a for a, b in zip(edges, edges[1:]))
+
     # x-tile sizing: X re/im double-buffered + K̂/EG tile transients
-    nyr_pad = -(-nyr // 128) * 128
+    nyr_pad = -(-nyr_c_max // 128) * 128
     TX = 128
     while TX > 32 and (2 * 2 * D + 8) * TX * nyr_pad * 4 > 11 * 2 ** 20:
         TX //= 2
     TX = min(TX, nx_l)
     grid = (B, pl.cdiv(nx_l, TX))
-
-    def planes():
-        return pl.BlockSpec((1, D, TX, nyr), lambda b, i: (b, 0, i, 0),
-                            memory_space=pltpu.VMEM)
 
     def const(shape):
         nd = len(shape)
@@ -382,23 +394,34 @@ def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
     out_specs = [const((dd, vx4, 2 * vy4)), const((dd, vx4, 2 * vy4)),
                  const((dd, vx2, 2 * vy2)), const((dd, vx2, 2 * vy2)),
                  const((1, 1)), const((1, D))]
-    xx1, xx2, eg1, eg2, seg, e0 = pl.pallas_call(
-        _make_anchor_kernel(D, TX, nx_l, float(s1)),
-        grid=grid,
-        in_specs=[planes(), planes(),
-                  const((dd, nk2, nyr)), const((dd, nk2, nyr)),
-                  xmajor(nk2), xmajor(nk2),
-                  const((1, nyr)),
-                  const((nyr, 2 * vy2)), const((nyr, 2 * vy2)),
-                  xmajor(vx2), xmajor(vx2),
-                  const((nyr, 2 * vy4)), const((nyr, 2 * vy4)),
-                  xmajor(vx4), xmajor(vx4)],
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(X.real, X.imag, tr, ti, cxT, sxT,
-      wrow, top2, bot2, bxc2, bxs2,
-      top4, bot4, bxc4, bxs4)
+
+    def chunk_call(a, b_):
+        ny_c = b_ - a
+        planes = pl.BlockSpec((1, D, TX, ny_c), lambda b, i: (b, 0, i, 0),
+                              memory_space=pltpu.VMEM)
+        Xc = X[..., a:b_]
+        return pl.pallas_call(
+            _make_anchor_kernel(D, TX, nx_l, float(s1)),
+            grid=grid,
+            in_specs=[planes, planes,
+                      const((dd, nk2, nl2)),
+                      const((nl2, ny_c)), const((nl2, ny_c)),
+                      xmajor(nk2), xmajor(nk2),
+                      const((1, ny_c)),
+                      const((ny_c, 2 * vy2)), const((ny_c, 2 * vy2)),
+                      xmajor(vx2), xmajor(vx2),
+                      const((ny_c, 2 * vy4)), const((ny_c, 2 * vy4)),
+                      xmajor(vx4), xmajor(vx4)],
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(Xc.real, Xc.imag, taps, cy[:, a:b_], sy[:, a:b_], cxT, sxT,
+          wrow[:, a:b_], top2[a:b_], bot2[a:b_], bxc2, bxs2,
+          top4[a:b_], bot4[a:b_], bxc4, bxs4)
+
+    parts = [chunk_call(a, b_) for a, b_ in zip(edges, edges[1:])]
+    xx1, xx2, eg1, eg2, seg = (sum(p[i] for p in parts) for i in range(5))
+    e0 = parts[0][5]        # the DC bin (ω_y = 0) lives in chunk 0
     XXu = _combine_windows(xx1, xx2, vy4, B).reshape(D, D, vx4, vy4)
     # mirror the skipped lower pairs: W[e,d](l) = W[d,e](−l)
     lower = (jnp.arange(D)[:, None] > jnp.arange(D)[None, :]

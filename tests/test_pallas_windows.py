@@ -214,3 +214,24 @@ def test_tp_pallas_burst_matches_single_device(nd, nm):
         np.testing.assert_allclose(np.asarray(getattr(got, name)),
                                    np.asarray(getattr(want, name)),
                                    rtol=3e-5, atol=1e-6, err_msg=name)
+
+
+def test_anchor_windows_y_chunked():
+    # ω_y chunking (the 64 MP scoped-VMEM escape hatch) must reproduce
+    # the single-chunk call: chunk partials are bin-local sums, e0 from
+    # the DC-containing chunk
+    from spectralae.ops.pallas_windows import anchor_windows
+    from spectralae.ops import spectral
+
+    rng = np.random.default_rng(29)
+    B, D, nx, ny, nk2 = 1, 2, 16, 24, 5
+    hx2 = hy2 = nk2 // 2
+    s1 = 1.0 / (4 * D)
+    x = jnp.asarray(rng.standard_normal((B, D, nx, ny)), jnp.float32)
+    taps = jnp.asarray(rng.standard_normal((D, D, nk2, nk2)) * 0.2,
+                       jnp.float32)
+    X = spectral.rfft2(x)          # nyr = 13
+    want = anchor_windows(X, taps, nx, ny, hx2, hy2, s1)
+    got = anchor_windows(X, taps, nx, ny, hx2, hy2, s1, y_chunk=5)
+    for g, w in zip(got, want):
+        assert _norm_rel(g, w) < 1e-6
