@@ -89,6 +89,26 @@ def main():
     err = float(pw_check(x))
     check("pallas corr windows", err < 1e-5, f"norm rel {err:.2e}")
 
+    # omega_y-chunked anchor kernel (the 64 MP scoped-VMEM layout) vs
+    # the single-chunk call, compiled on real TPU at small scale
+    from spectralae.ops.pallas_windows import anchor_windows
+    from spectralae.ops import spectral as _spectral
+
+    @jax.jit
+    def yc_check(xx):
+        X = _spectral.rfft2(xx[None])
+        taps = jax.random.normal(jax.random.key(0),
+                                 (xx.shape[0], xx.shape[0], 9, 9)) * 0.1
+        n = xx.shape[-1]
+        a = anchor_windows(X, taps, n, n, 4, 4, 0.1)
+        b_ = anchor_windows(X, taps, n, n, 4, 4, 0.1, y_chunk=7)
+        return jnp.max(jnp.stack(
+            [jnp.linalg.norm(u - v) / (jnp.linalg.norm(v) + 1e-30)
+             for u, v in zip(b_, a)]))
+
+    err = float(yc_check(x))
+    check("anchor windows y-chunked", err < 1e-5, f"norm rel {err:.2e}")
+
     # burst implementations agree
     kw = dict(lr=0.2, iters=5)
     r_jnp = fft_burst(x, x, out0, enc.c, dec.c, enc.b, dec.b,
