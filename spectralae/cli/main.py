@@ -211,8 +211,14 @@ def _train_bursts(args):
     # zeroed per burst (reference semantics) unless --carry-momentum
     moms = {n_l: None for n_l in pairs}
     last_step = 0
+    # failure detection (SURVEY.md §5.3), as in _train_steps: params/moms
+    # last verified finite at a log step — rolled back to (and saved) on
+    # divergence.  The mses fetch is a host↔device sync, so the check
+    # rides the log cadence only
+    good_params, good_moms, good_step = params, dict(moms), 0
+    diverged = False
     for step_i, batch in enumerate(pf):
-        if step_i >= args.steps:
+        if step_i >= args.steps or diverged:
             break
         last_step = step_i + 1
         for n_l in pairs:
@@ -238,6 +244,17 @@ def _train_bursts(args):
                 # (fft_backproplib.cu:1463-1464) — collected on-device,
                 # emitted once per burst
                 mses = np.asarray(res.mses, dtype=np.float64)
+                if not np.isfinite(mses).all():
+                    # the trajectory certifies this burst's updates; a
+                    # non-finite entry poisons res.c/f/b/p — roll back
+                    print(json.dumps({"step": step_i, "pair": n_l,
+                                      "error": "non-finite mse",
+                                      "mseN": float(mses[-1])}),
+                          flush=True)
+                    params, moms = good_params, good_moms
+                    last_step = good_step
+                    diverged = True
+                    break
                 rec = {"step": step_i, "pair": n_l,
                        "mse0": float(mses[0]), "mseN": float(mses[-1]),
                        "mses": [float(v) for v in mses]}
@@ -245,6 +262,9 @@ def _train_bursts(args):
                 if metrics:
                     with metrics.open("a") as fh:
                         fh.write(json.dumps(rec) + "\n")
+        if not diverged and step_i % args.log_every == 0:
+            good_params, good_moms, good_step = (params, dict(moms),
+                                                 last_step)
     pf.close()
     if args.ckpt:
         ckpt.save(args.ckpt, params, spec, None, extra={"step": last_step})
@@ -296,10 +316,20 @@ def _train_stream(args):
                        iters=args.iters, maxdiff=args.maxdiff,
                        carry_momentum=args.carry_momentum,
                        reanchor_every=args.reanchor or None)
+        mses = np.asarray(r.mses, dtype=np.float64)
+        if not np.isfinite(mses).all():
+            # failure detection (SURVEY.md §5.3): the per-frame MSE
+            # trajectories certify the block's updates — on a non-finite
+            # entry keep the block-start weights (c/f/b/p/mom untouched)
+            # so the final checkpoint stays finite, and halt
+            bad = int(np.argwhere(~np.isfinite(mses).all(axis=1))[0, 0])
+            print(json.dumps({"step": step_i + bad, "pair": 0,
+                              "error": "non-finite mse",
+                              "mseN": float(mses[bad, -1])}), flush=True)
+            return False
         c, f, b, p = r.c, r.f, r.b, r.p
         if args.carry_momentum:
             mom = r.mom
-        mses = np.asarray(r.mses, dtype=np.float64)
         for k in range(xs.shape[0]):
             if (step_i + k) % args.log_every == 0:
                 rec = {"step": step_i + k, "pair": 0,
@@ -310,15 +340,19 @@ def _train_stream(args):
                     with metrics.open("a") as fh:
                         fh.write(json.dumps(rec) + "\n")
         step_i += xs.shape[0]
+        return True
 
+    diverged = False
     for batch in pf:
         if step_i >= args.steps:
             break
         buf.append(coord.pool(batch, spec.scales[0]))
         if len(buf) < k_frames and step_i + len(buf) < args.steps:
             continue
-        flush()
-    if buf:
+        if not flush():
+            diverged = True
+            break
+    if buf and not diverged:
         # a finite source ended mid-block: train on the remainder rather
         # than dropping buffered frames
         flush()

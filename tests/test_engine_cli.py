@@ -525,6 +525,74 @@ def test_cli_train_stream_finite_source_trains_remainder(tmp_path,
     assert int(extra["step"]) == 5
 
 
+def test_cli_burst_divergence_rolls_back(tmp_path, capsys, monkeypatch):
+    """A non-finite burst trajectory halts burst mode and the final
+    checkpoint rolls back to the last log-verified params (§5.3, mirroring
+    the steps trainer's divergence guarantee)."""
+    import jax
+    import jax.numpy as jnp
+    from spectralae.cli.main import main
+    from spectralae.io import checkpoint as ckpt
+    from spectralae.train import fft_dp
+    calls = {"n": 0}
+    orig = fft_dp.fft_burst_dp
+
+    def bad(*a, **kw):
+        calls["n"] += 1
+        r = orig(*a, **kw)
+        if calls["n"] >= 3:     # bursts 1-2 fine; burst 3 diverges
+            return r._replace(c=jnp.full_like(r.c, jnp.nan),
+                              mses=jnp.full_like(r.mses, jnp.nan))
+        return r
+
+    monkeypatch.setattr("spectralae.train.fft_dp.fft_burst_dp", bad)
+    ck = tmp_path / "ck"
+    main(["train", "--nx", "16", "--steps", "5", "--batch", "1",
+          "--mode", "burst", "--iters", "4", "--log-every", "1",
+          "--ckpt", str(ck)])
+    out = capsys.readouterr().out
+    assert "non-finite mse" in out
+    assert calls["n"] == 3      # halted at the diverged burst
+    params, _, _, extra = ckpt.load(ck)
+    assert int(extra["step"]) == 2
+    for leaf in jax.tree.leaves(params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_cli_stream_divergence_keeps_finite_ckpt(tmp_path, capsys,
+                                                 monkeypatch):
+    """A non-finite per-frame MSE inside a stream block halts stream mode;
+    the block's (poisoned) weights are discarded and the checkpoint keeps
+    the block-start params."""
+    import jax
+    import jax.numpy as jnp
+    from spectralae.cli.main import main
+    from spectralae.io import checkpoint as ckpt
+    from spectralae.train import streaming
+    calls = {"n": 0}
+    orig = streaming.fft_stream
+
+    def bad(*a, **kw):
+        calls["n"] += 1
+        r = orig(*a, **kw)
+        if calls["n"] >= 2:     # block 1 fine; block 2 diverges
+            return r._replace(c=jnp.full_like(r.c, jnp.nan),
+                              mses=jnp.full_like(r.mses, jnp.nan))
+        return r
+
+    monkeypatch.setattr("spectralae.train.streaming.fft_stream", bad)
+    ck = tmp_path / "ck"
+    main(["train", "--nx", "16", "--steps", "6", "--batch", "1",
+          "--mode", "stream", "--stream-k", "2", "--iters", "4",
+          "--log-every", "1", "--ckpt", str(ck)])
+    out = capsys.readouterr().out
+    assert "non-finite mse" in out
+    params, _, _, extra = ckpt.load(ck)
+    assert int(extra["step"]) == 2      # only block 1's frames applied
+    for leaf in jax.tree.leaves(params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
 def test_cli_train_burst_trains_selected_pair_at_pooled_resolution(
         tmp_path, capsys):
     """--train-pair selects the pair; the burst consumes the pair's pooled
