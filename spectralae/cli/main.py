@@ -627,20 +627,46 @@ def cmd_serve(args):
                       "platforms": m.manifest["platforms"]}), flush=True)
 
 
+def _probe_backend(timeout_s: float) -> dict:
+    """Backend init (jax.devices()) in a daemon thread with a deadline.
+
+    A dead remote-device path (e.g. this rig's TPU tunnel going down)
+    hangs PJRT client init *forever* — a diagnostic tool must report
+    that, not become the second hung process.  The thread is a daemon so
+    a timed-out probe can't block interpreter exit."""
+    import threading
+    out = {}
+
+    def probe():
+        try:
+            import jax
+            out["backend"] = jax.default_backend()
+            out["devices"] = [str(d) for d in jax.devices()]
+            out["process"] = f"{jax.process_index()}/{jax.process_count()}"
+        except Exception as e:          # report, never raise — diagnostic
+            out["backend_error"] = f"{type(e).__name__}: {e}"
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        return {"backend_error": f"backend init still hung after "
+                                 f"{timeout_s:g}s — remote device tunnel "
+                                 "down? (retry, or use JAX_PLATFORMS=cpu)"}
+    return out
+
+
 def cmd_doctor(args):
     """Environment diagnostic: devices, compile cache, native lib, deps —
     and (unless --no-device) a tiny jitted matmul round-trip to prove the
-    device path end to end."""
+    device path end to end.  Backend init is time-bounded so a dead
+    device tunnel yields a report, not a hang."""
     import jax
-    import jax.numpy as jnp
     from ..core.runtime import cache_dir
     from ..data import native
     info = {
         "jax": jax.__version__,
         "numpy": np.__version__,
-        "backend": jax.default_backend(),
-        "devices": [str(d) for d in jax.devices()],
-        "process": f"{jax.process_index()}/{jax.process_count()}",
         "compile_cache": str(cache_dir()),
         "native_lib": {
             "available": native.available(),
@@ -649,6 +675,7 @@ def cmd_doctor(args):
             "png_unfilter": native.has_png_unfilter(),
         },
     }
+    info.update(_probe_backend(args.device_timeout))
     try:
         import optax
         info["optax"] = optax.__version__
@@ -659,8 +686,9 @@ def cmd_doctor(args):
         info["opencv"] = cv2.__version__
     except ImportError:
         info["opencv"] = None
-    if not args.no_device:
+    if not args.no_device and "devices" in info:
         import time as _t
+        import jax.numpy as jnp
         t0 = _t.perf_counter()
         v = float(jnp.sum(jax.jit(lambda a: a @ a)(jnp.ones((128, 128)))))
         info["device_check"] = {"ok": v == 128.0 * 128 * 128,
@@ -859,6 +887,10 @@ def main(argv=None):
                                       "cache, native lib, deps)")
     p.add_argument("--no-device", action="store_true",
                    help="skip the jitted device round-trip check")
+    p.add_argument("--device-timeout", type=float, default=60.0,
+                   help="seconds to wait for backend init before reporting "
+                        "the device path as hung (a down tunnel hangs PJRT "
+                        "init forever)")
     p.set_defaults(fn=cmd_doctor)
 
     p = sub.add_parser("bench", help="run the benchmark harness")

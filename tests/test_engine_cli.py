@@ -773,6 +773,27 @@ def test_cli_doctor(capsys):
     assert info["device_check"]["ok"] is True
 
 
+def test_cli_doctor_reports_hung_backend(capsys, monkeypatch):
+    """A dead device tunnel hangs PJRT init forever; doctor must report
+    within --device-timeout instead of hanging (observed live on this
+    rig's axon tunnel), and skip the device round-trip.  The probe's
+    first backend call is blocked to simulate the hang; the real
+    thread+deadline machinery runs."""
+    import json as _json
+    import threading
+    import jax
+    from spectralae.cli.main import main
+
+    # the leaked daemon thread parks here until interpreter exit
+    monkeypatch.setattr(jax, "default_backend",
+                        lambda: threading.Event().wait())
+    main(["doctor", "--device-timeout", "0.2"])
+    info = _json.loads(capsys.readouterr().out)
+    assert "hung" in info["backend_error"]
+    assert "device_check" not in info
+    assert info["native_lib"]["available"] in (True, False)
+
+
 def test_patch_smaller_capped_at_one_pixel():
     """'2' must not shrink the training crop below 1 px (the reference
     increments unbounded and degenerates — quirk-fixed)."""
