@@ -276,14 +276,18 @@ def _train_stream(args):
     on-device ``lax.scan`` (train/streaming.py — ~170k inner-iters/s
     sustained vs ~60k for per-burst dispatch).
 
-    Contract: trains stage pair 0 on its pooled input activation (for
-    pair 0 that is just ``pool(frame)`` — no forward needed), with the
-    anchor output being the pair's own two-stage forward (the fused
-    re-anchoring each frame).  This differs from ``--mode burst`` only in
-    the anchor: burst mode anchors on the full-net reconstruction
-    (pool-mismatched by reference design, autoencoder.cpp:169), stream
-    mode on the pair's exact forward — the steady-state contract the
-    correlation burst's precision decomposition is built for.
+    Contract: trains the selected stage pair on its pooled input
+    activation, with the anchor output being the pair's own two-stage
+    forward (the fused re-anchoring each frame).  Pair 0 feeds on
+    ``pool(frame)`` directly (no forward needed); an inner pair's
+    activation is computed from the frozen outer encoder stages *inside*
+    the scan (train/streaming.py::stream_bursts_pair — the same
+    activation burst mode trains on).  This differs from ``--mode
+    burst`` only in the anchor: burst mode anchors on the full-net
+    reconstruction (pool-mismatched by reference design,
+    autoencoder.cpp:169), stream mode on the pair's exact forward — the
+    steady-state contract the correlation burst's precision
+    decomposition is built for.
     """
     import jax
     import jax.numpy as jnp
@@ -291,18 +295,22 @@ def _train_stream(args):
     from ..data import pipeline
     from ..io import checkpoint as ckpt
     from ..ops import coord
-    from ..train.streaming import fft_stream
-    if args.train_pair != "0":
-        raise SystemExit("--mode stream trains pair 0 (its input "
-                         "activation needs no forward); use --mode burst "
-                         "for inner pairs or --train-pair all sweeps")
+    from ..train.streaming import fft_stream, fft_stream_pair
+    if args.train_pair == "all":
+        raise SystemExit("--mode stream trains one pair per run (outer "
+                         "stages must stay frozen inside the scan); use "
+                         "--mode burst for --train-pair all sweeps")
     eng = _make_engine(args)
     params, spec = eng.params, eng.spec
+    n_l = int(args.train_pair)
+    if not 0 <= n_l < spec.n_pairs:
+        raise SystemExit(f"--train-pair {n_l} out of range "
+                         f"(net has {spec.n_pairs} pairs)")
     pf = pipeline.DevicePrefetcher(_source(args), args.nx, args.ny,
                                    batch=args.batch)
     metrics = Path(args.metrics) if args.metrics else None
     k_frames = args.stream_k
-    enc, dec = params.pair(0)
+    enc, dec = params.pair(n_l)
     c, f, b, p = enc.c, dec.c, enc.b, dec.b
     mom = None
     step_i = 0
@@ -312,10 +320,23 @@ def _train_stream(args):
         nonlocal c, f, b, p, mom, step_i, buf
         xs = jnp.stack(buf)
         buf = []
-        r = fft_stream(xs, c, f, b, p, mom, lr=args.lr, alpha=args.alpha,
-                       iters=args.iters, maxdiff=args.maxdiff,
-                       carry_momentum=args.carry_momentum,
-                       reanchor_every=args.reanchor or None)
+        if n_l == 0:
+            r = fft_stream(xs, c, f, b, p, mom, lr=args.lr,
+                           alpha=args.alpha, iters=args.iters,
+                           maxdiff=args.maxdiff,
+                           carry_momentum=args.carry_momentum,
+                           reanchor_every=args.reanchor or None)
+        else:
+            # inner pair: params carries the CURRENT pair weights so the
+            # frozen outer stages come from the same tree the engine built
+            r = fft_stream_pair(xs, params.replace_pair(
+                                    n_l, ConvStage(c=c, b=b),
+                                    ConvStage(c=f, b=p)),
+                                spec.scales, n_l, mom=mom, lr=args.lr,
+                                alpha=args.alpha, iters=args.iters,
+                                maxdiff=args.maxdiff,
+                                carry_momentum=args.carry_momentum,
+                                reanchor_every=args.reanchor or None)
         mses = np.asarray(r.mses, dtype=np.float64)
         if not np.isfinite(mses).all():
             # failure detection (SURVEY.md §5.3): the per-frame MSE
@@ -323,7 +344,7 @@ def _train_stream(args):
             # entry keep the block-start weights (c/f/b/p/mom untouched)
             # so the final checkpoint stays finite, and halt
             bad = int(np.argwhere(~np.isfinite(mses).all(axis=1))[0, 0])
-            print(json.dumps({"step": step_i + bad, "pair": 0,
+            print(json.dumps({"step": step_i + bad, "pair": n_l,
                               "error": "non-finite mse",
                               "mseN": float(mses[bad, -1])}), flush=True)
             return False
@@ -332,7 +353,7 @@ def _train_stream(args):
             mom = r.mom
         for k in range(xs.shape[0]):
             if (step_i + k) % args.log_every == 0:
-                rec = {"step": step_i + k, "pair": 0,
+                rec = {"step": step_i + k, "pair": n_l,
                        "mse0": float(mses[k, 0]),
                        "mseN": float(mses[k, -1])}
                 print(json.dumps(rec), flush=True)
@@ -346,7 +367,9 @@ def _train_stream(args):
     for batch in pf:
         if step_i >= args.steps:
             break
-        buf.append(coord.pool(batch, spec.scales[0]))
+        # pair 0 streams its pooled input directly; an inner pair streams
+        # raw frames — the scan computes its activation per frame
+        buf.append(coord.pool(batch, spec.scales[0]) if n_l == 0 else batch)
         if len(buf) < k_frames and step_i + len(buf) < args.steps:
             continue
         if not flush():
@@ -357,7 +380,7 @@ def _train_stream(args):
         # than dropping buffered frames
         flush()
     pf.close()
-    params = params.replace_pair(0, ConvStage(c=c, b=b),
+    params = params.replace_pair(n_l, ConvStage(c=c, b=b),
                                  ConvStage(c=f, b=p))
     if args.ckpt:
         ckpt.save(args.ckpt, params, spec, None, extra={"step": step_i})
@@ -766,13 +789,14 @@ def main(argv=None):
                         "reference's per-frame 100-iteration FFT bursts; "
                         "stream: K frames x one fused burst each in a "
                         "single on-device scan (fastest steady-state "
-                        "trainer; pair 0)")
+                        "trainer)")
     p.add_argument("--stream-k", type=int, default=16,
                    help="stream mode: frames per on-device scan")
     p.add_argument("--train-pair", default="0",
-                   help="burst mode: stage pair to train (the 'z'/'x' "
-                        "focus), or 'all' for a round-robin sweep over "
-                        "every pair per batch")
+                   help="burst/stream mode: stage pair to train (the "
+                        "'z'/'x' focus); 'all' (burst only) round-robins "
+                        "every pair per batch — inner pairs' activations "
+                        "come from the frozen outer stages")
     p.add_argument("--iters", type=int, default=100,
                    help="burst mode: inner iterations per burst (the "
                         "reference hard-codes 100, fft_backproplib.cu:1446)")

@@ -102,6 +102,73 @@ fft_stream = jax.jit(
                      "reanchor_every", "axis_name"))
 
 
+def _pair_input(params, xk, scales, n_l: int, scale_by_dm: bool = True):
+    """Pooled input activation of stage pair ``n_l`` for a batch of frames
+    — ``forward_fft(return_layers=True)`` layers ``[2·n_l+1]`` (the burst
+    trainers' input contract, cli/main.py _train_bursts), computed from
+    only the stages it depends on: encoder stages ``0..n_l−1`` plus the
+    pair's own spectral pooling.  Those outer stages are frozen during a
+    stream, so this is safe to evaluate per frame inside the scan."""
+    from ..ops import spectral
+    nx, ny = xk.shape[-2], xk.shape[-1]
+    X = spectral.rfft2(xk)
+    cx, cy = nx, ny
+    for i in range(n_l):
+        X, cx, cy = spectral.spectral_pool(X, cx, cy, scales[i])
+        C = spectral.kernel_rfft(params.stages[i].c, cx, cy)
+        X = spectral.spectral_conv(X, C, params.stages[i].b, cx, cy,
+                                   scale_by_dm=scale_by_dm)
+    X, cx, cy = spectral.spectral_pool(X, cx, cy, scales[n_l])
+    return spectral.irfft2(X, (cx, cy))
+
+
+def stream_bursts_pair(xs: jax.Array, params, scales, n_l: int, *,
+                       mom: tuple | None = None,
+                       lr: float = 0.2, alpha: float = 0.9,
+                       iters: int = 100, maxdiff: bool = False,
+                       w0: float = 1.0, w1: float = 10.0,
+                       scale_by_dm: bool = True,
+                       carry_momentum: bool = True,
+                       reanchor_every: int | None = None,
+                       axis_name: str | None = None) -> StreamResult:
+    """:func:`stream_bursts` for an *inner* stage pair of a deeper net.
+
+    Each scan step first computes the pair's pooled input activation from
+    the frozen outer encoder stages (:func:`_pair_input` — the same
+    activation burst mode trains on), then runs the fused-anchor burst on
+    the pair.  Outer stages never update, so the whole K-frame stream
+    stays one ``lax.scan``.  Returns the trained pair as a StreamResult
+    (c/f/b/p of pair ``n_l`` only)."""
+    enc, dec = params.pair(n_l)
+    c, f, b, p = enc.c, dec.c, enc.b, dec.b
+    if mom is None:
+        mom = (jnp.zeros_like(c), jnp.zeros_like(f),
+               jnp.zeros_like(b), jnp.zeros_like(p))
+    if xs.ndim == 4:
+        xs = xs[:, None]
+
+    def one(carry, xk):
+        cc, ff, bb, pp, mo = carry
+        in_b = _pair_input(params, xk, scales, n_l, scale_by_dm)
+        mo_in = mo if carry_momentum else tuple(
+            jnp.zeros_like(t) for t in mo)
+        r = burst_corr(in_b, None, None, cc, ff, bb, pp, mo_in,
+                       lr=lr, alpha=alpha, iters=iters, maxdiff=maxdiff,
+                       w0=w0, w1=w1, scale_by_dm=scale_by_dm,
+                       axis_name=axis_name,
+                       reanchor_every=reanchor_every)
+        return (r.c, r.f, r.b, r.p, r.mom), r.mses
+
+    (c, f, b, p, mom), mses = lax.scan(one, (c, f, b, p, mom), xs)
+    return StreamResult(c=c, f=f, b=b, p=p, mom=mom, mses=mses)
+
+
+fft_stream_pair = jax.jit(
+    stream_bursts_pair,
+    static_argnames=("scales", "n_l", "iters", "maxdiff", "scale_by_dm",
+                     "carry_momentum", "reanchor_every", "axis_name"))
+
+
 def stream_reference_loop(xs, c, f, b, p, mom=None, *, lr=0.2, alpha=0.9,
                           iters=100, maxdiff=False, w0=1.0, w1=10.0,
                           scale_by_dm=True, carry_momentum=True,

@@ -495,11 +495,45 @@ def test_cli_train_stream_mode(tmp_path, capsys):
     assert "psnr_db" in capsys.readouterr().out
 
 
-def test_cli_train_stream_mode_rejects_inner_pair(tmp_path):
+def test_cli_train_stream_mode_rejects_all_sweep(tmp_path):
     from spectralae.cli.main import main
-    with pytest.raises(SystemExit, match="pair 0"):
+    with pytest.raises(SystemExit, match="one pair per run"):
         main(["train", "--nx", "16", "--steps", "2", "--mode", "stream",
-              "--layers", "2", "--train-pair", "1"])
+              "--layers", "2", "--train-pair", "all"])
+
+
+def test_cli_train_stream_mode_inner_pair(tmp_path, capsys):
+    """--mode stream --train-pair 1: the inner pair's activation is
+    computed from the frozen outer stages inside the scan; only the inner
+    pair's params change and its within-frame MSEs fall."""
+    import json as _json
+    from spectralae.cli.main import main
+    from spectralae.io import checkpoint as ckpt
+    ck = tmp_path / "ck"
+    main(["train", "--nx", "32", "--layers", "2", "--steps", "4",
+          "--batch", "2", "--mode", "stream", "--stream-k", "2",
+          "--iters", "6", "--train-pair", "1", "--log-every", "1",
+          "--carry-momentum", "--ckpt", str(ck)])
+    out = capsys.readouterr().out
+    recs = [_json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    recs = [r for r in recs if "mseN" in r]
+    assert [r["step"] for r in recs] == [0, 1, 2, 3]
+    assert all(r["pair"] == 1 for r in recs)
+    assert all(r["mseN"] < r["mse0"] for r in recs)
+    params, spec, _, extra = ckpt.load(ck)
+    assert int(extra["step"]) == 4
+    # outer pair untouched: equals the same CLI config's fresh params
+    # (a 0-step run checkpoints the engine's initial weights)
+    ck0 = tmp_path / "ck0"
+    main(["train", "--nx", "32", "--layers", "2", "--steps", "0",
+          "--batch", "2", "--mode", "stream", "--train-pair", "1",
+          "--ckpt", str(ck0)])
+    capsys.readouterr()
+    fresh, _, _, _ = ckpt.load(ck0)
+    np.testing.assert_array_equal(np.asarray(params.stages[0].c),
+                                  np.asarray(fresh.stages[0].c))
+    assert not np.array_equal(np.asarray(params.stages[1].c),
+                              np.asarray(fresh.stages[1].c))
 
 
 def test_cli_train_stream_finite_source_trains_remainder(tmp_path,

@@ -74,3 +74,65 @@ def test_stream_maxdiff_smoke():
     r = fft_stream(xs, c, f, b, p, iters=4, maxdiff=True)
     for leaf in (r.c, r.f, r.b, r.p):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def _deep_net(nx=16, d=3, depth=4, seed=0):
+    from spectralae.core.config import Config, LayerParams
+    from spectralae.core.types import initial_spec, init_params
+    cfg = Config(nx=nx, ny=nx, d=d,
+                 layer=LayerParams(depth=depth, lk=0, ll=0, scale=2,
+                                   rmax=0.4))
+    spec = initial_spec(cfg).add_pair(cfg.layer)
+    params = init_params(jax.random.key(seed), spec, cfg.layer.rmax)
+    return params, spec
+
+
+def test_pair_input_matches_forward_layers():
+    """_pair_input == forward_fft(return_layers=True)'s pooled-input
+    activation layers[2·n_l+1] — the burst trainers' input contract."""
+    from spectralae.model import autoencoder as model
+    from spectralae.train.streaming import _pair_input
+    params, spec = _deep_net()
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 3, 16, 16)).astype(np.float32))
+    _, layers = jax.jit(lambda p, xx: model.forward_fft(
+        p, xx, spec.scales, return_layers=True))(params, x)
+    for n_l in range(spec.n_pairs):
+        got = jax.jit(lambda p, xx, n=n_l: _pair_input(
+            p, xx, spec.scales, n))(params, x)
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(layers[2 * n_l + 1]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_stream_pair_equals_sequential_inner_bursts():
+    """stream_bursts_pair(n_l=1) == the per-frame host loop
+    [pair activation via forward layers → fused burst → carry]."""
+    from spectralae.model import autoencoder as model
+    from spectralae.train.fft_corr import burst_corr
+    from spectralae.train.streaming import fft_stream_pair
+    params, spec = _deep_net()
+    n_l = 1
+    rng = np.random.default_rng(2)
+    xs = jnp.asarray(rng.normal(size=(3, 2, 3, 16, 16)).astype(np.float32))
+    got = fft_stream_pair(xs, params, spec.scales, n_l, iters=6)
+
+    fwd = jax.jit(lambda p, xx: model.forward_fft(
+        p, xx, spec.scales, return_layers=True))
+    enc, dec = params.pair(n_l)
+    c, f, b, p = enc.c, dec.c, enc.b, dec.b
+    mom = tuple(jnp.zeros_like(t) for t in (c, f, b, p))
+    mses = []
+    for k in range(xs.shape[0]):
+        # outer stages frozen: any pair weights give the same layers[2n+1]
+        _, layers = fwd(params, xs[k])
+        r = burst_corr(layers[2 * n_l + 1], None, None, c, f, b, p, mom,
+                       iters=6)
+        c, f, b, p, mom = r.c, r.f, r.b, r.p, r.mom
+        mses.append(r.mses)
+    np.testing.assert_allclose(np.asarray(got.c), np.asarray(c),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(f),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.mses), np.stack(mses),
+                               rtol=2e-5, atol=1e-7)
