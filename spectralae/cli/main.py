@@ -282,9 +282,12 @@ def _train_stream(args):
     ``pool(frame)`` directly (no forward needed); an inner pair's
     activation is computed from the frozen outer encoder stages *inside*
     the scan (train/streaming.py::stream_bursts_pair — the same
-    activation burst mode trains on).  This differs from ``--mode
-    burst`` only in the anchor: burst mode anchors on the full-net
-    reconstruction (pool-mismatched by reference design,
+    activation burst mode trains on).  ``--train-pair all`` round-robins
+    the pairs one flush block at a time (outer stages stay frozen within
+    each block; each block sees every previously trained pair — the
+    engine user's 'z'/'x' + '1' sweep at stream throughput).  This
+    differs from ``--mode burst`` only in the anchor: burst mode anchors
+    on the full-net reconstruction (pool-mismatched by reference design,
     autoencoder.cpp:169), stream mode on the pair's exact forward — the
     steady-state contract the correlation burst's precision
     decomposition is built for.
@@ -296,43 +299,49 @@ def _train_stream(args):
     from ..io import checkpoint as ckpt
     from ..ops import coord
     from ..train.streaming import fft_stream, fft_stream_pair
-    if args.train_pair == "all":
-        raise SystemExit("--mode stream trains one pair per run (outer "
-                         "stages must stay frozen inside the scan); use "
-                         "--mode burst for --train-pair all sweeps")
     eng = _make_engine(args)
     params, spec = eng.params, eng.spec
-    n_l = int(args.train_pair)
-    if not 0 <= n_l < spec.n_pairs:
-        raise SystemExit(f"--train-pair {n_l} out of range "
-                         f"(net has {spec.n_pairs} pairs)")
+    sweep = args.train_pair == "all"
+    if sweep:
+        pairs = list(range(spec.n_pairs))
+    else:
+        n_sel = int(args.train_pair)
+        if not 0 <= n_sel < spec.n_pairs:
+            raise SystemExit(f"--train-pair {n_sel} out of range "
+                             f"(net has {spec.n_pairs} pairs)")
+        pairs = [n_sel]
     pf = pipeline.DevicePrefetcher(_source(args), args.nx, args.ny,
                                    batch=args.batch)
     metrics = Path(args.metrics) if args.metrics else None
     k_frames = args.stream_k
-    enc, dec = params.pair(n_l)
-    c, f, b, p = enc.c, dec.c, enc.b, dec.b
-    mom = None
+    # per-pair momentum (zeroed on pair switch unless carried — the
+    # engine's _reset_pair_opt_state semantics, burst mode's moms dict)
+    moms = {n: None for n in pairs}
     step_i = 0
+    block_i = 0     # sweep mode round-robins one pair per flush block
     buf = []
 
     def flush():
-        nonlocal c, f, b, p, mom, step_i, buf
+        nonlocal params, step_i, block_i, buf
         xs = jnp.stack(buf)
         buf = []
-        if n_l == 0:
-            r = fft_stream(xs, c, f, b, p, mom, lr=args.lr,
-                           alpha=args.alpha, iters=args.iters,
+        n_l = pairs[block_i % len(pairs)]
+        block_i += 1
+        if not sweep and n_l == 0:
+            # pair 0, single-pair mode: the buffered frames are already
+            # its pooled input — no forward inside the scan at all
+            enc, dec = params.pair(0)
+            r = fft_stream(xs, enc.c, dec.c, enc.b, dec.b, moms[0],
+                           lr=args.lr, alpha=args.alpha, iters=args.iters,
                            maxdiff=args.maxdiff,
                            carry_momentum=args.carry_momentum,
                            reanchor_every=args.reanchor or None)
         else:
-            # inner pair: params carries the CURRENT pair weights so the
-            # frozen outer stages come from the same tree the engine built
-            r = fft_stream_pair(xs, params.replace_pair(
-                                    n_l, ConvStage(c=c, b=b),
-                                    ConvStage(c=f, b=p)),
-                                spec.scales, n_l, mom=mom, lr=args.lr,
+            # the pair's activation comes from the frozen outer stages,
+            # computed per frame inside the scan (sweep blocks see every
+            # previously trained pair through the updated params tree)
+            r = fft_stream_pair(xs, params, spec.scales, n_l,
+                                mom=moms[n_l], lr=args.lr,
                                 alpha=args.alpha, iters=args.iters,
                                 maxdiff=args.maxdiff,
                                 carry_momentum=args.carry_momentum,
@@ -341,16 +350,17 @@ def _train_stream(args):
         if not np.isfinite(mses).all():
             # failure detection (SURVEY.md §5.3): the per-frame MSE
             # trajectories certify the block's updates — on a non-finite
-            # entry keep the block-start weights (c/f/b/p/mom untouched)
+            # entry keep the block-start weights (params/moms untouched)
             # so the final checkpoint stays finite, and halt
             bad = int(np.argwhere(~np.isfinite(mses).all(axis=1))[0, 0])
             print(json.dumps({"step": step_i + bad, "pair": n_l,
                               "error": "non-finite mse",
                               "mseN": float(mses[bad, -1])}), flush=True)
             return False
-        c, f, b, p = r.c, r.f, r.b, r.p
+        params = params.replace_pair(n_l, ConvStage(c=r.c, b=r.b),
+                                     ConvStage(c=r.f, b=r.p))
         if args.carry_momentum:
-            mom = r.mom
+            moms[n_l] = r.mom
         for k in range(xs.shape[0]):
             if (step_i + k) % args.log_every == 0:
                 rec = {"step": step_i + k, "pair": n_l,
@@ -363,13 +373,15 @@ def _train_stream(args):
         step_i += xs.shape[0]
         return True
 
+    pool0_direct = not sweep and pairs[0] == 0
     diverged = False
     for batch in pf:
         if step_i >= args.steps:
             break
-        # pair 0 streams its pooled input directly; an inner pair streams
-        # raw frames — the scan computes its activation per frame
-        buf.append(coord.pool(batch, spec.scales[0]) if n_l == 0 else batch)
+        # pair-0-only mode streams its pooled input directly; otherwise
+        # raw frames — the scan computes each pair's activation per frame
+        buf.append(coord.pool(batch, spec.scales[0]) if pool0_direct
+                   else batch)
         if len(buf) < k_frames and step_i + len(buf) < args.steps:
             continue
         if not flush():
@@ -380,8 +392,6 @@ def _train_stream(args):
         # than dropping buffered frames
         flush()
     pf.close()
-    params = params.replace_pair(n_l, ConvStage(c=c, b=b),
-                                 ConvStage(c=f, b=p))
     if args.ckpt:
         ckpt.save(args.ckpt, params, spec, None, extra={"step": step_i})
         print(f"checkpoint written to {args.ckpt}", flush=True)
@@ -794,9 +804,10 @@ def main(argv=None):
                    help="stream mode: frames per on-device scan")
     p.add_argument("--train-pair", default="0",
                    help="burst/stream mode: stage pair to train (the "
-                        "'z'/'x' focus); 'all' (burst only) round-robins "
-                        "every pair per batch — inner pairs' activations "
-                        "come from the frozen outer stages")
+                        "'z'/'x' focus); 'all' round-robins every pair — "
+                        "per batch in burst mode, per flush block in "
+                        "stream mode; inner pairs' activations come from "
+                        "the frozen outer stages")
     p.add_argument("--iters", type=int, default=100,
                    help="burst mode: inner iterations per burst (the "
                         "reference hard-codes 100, fft_backproplib.cu:1446)")

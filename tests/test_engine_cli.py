@@ -495,11 +495,35 @@ def test_cli_train_stream_mode(tmp_path, capsys):
     assert "psnr_db" in capsys.readouterr().out
 
 
-def test_cli_train_stream_mode_rejects_all_sweep(tmp_path):
+def test_cli_train_stream_mode_all_sweep(tmp_path, capsys):
+    """--mode stream --train-pair all: flush blocks round-robin the pairs
+    (block 1 -> pair 0, block 2 -> pair 1, ...), every pair's params end
+    up trained, and each block's MSEs fall."""
+    import json as _json
     from spectralae.cli.main import main
-    with pytest.raises(SystemExit, match="one pair per run"):
-        main(["train", "--nx", "16", "--steps", "2", "--mode", "stream",
-              "--layers", "2", "--train-pair", "all"])
+    from spectralae.io import checkpoint as ckpt
+    ck = tmp_path / "ck"
+    main(["train", "--nx", "32", "--layers", "2", "--steps", "8",
+          "--batch", "1", "--mode", "stream", "--stream-k", "2",
+          "--iters", "6", "--train-pair", "all", "--log-every", "1",
+          "--ckpt", str(ck)])
+    out = capsys.readouterr().out
+    recs = [_json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    recs = [r for r in recs if "mseN" in r]
+    # 8 frames / 2 per block -> 4 blocks, pairs 0,1,0,1
+    assert [r["pair"] for r in recs] == [0, 0, 1, 1, 0, 0, 1, 1]
+    assert all(r["mseN"] < r["mse0"] for r in recs)
+    params, spec, _, extra = ckpt.load(ck)
+    assert int(extra["step"]) == 8
+    ck0 = tmp_path / "ck0"
+    main(["train", "--nx", "32", "--layers", "2", "--steps", "0",
+          "--batch", "1", "--mode", "stream", "--train-pair", "all",
+          "--ckpt", str(ck0)])
+    capsys.readouterr()
+    fresh, _, _, _ = ckpt.load(ck0)
+    for i in range(len(params.stages)):
+        assert not np.array_equal(np.asarray(params.stages[i].c),
+                                  np.asarray(fresh.stages[i].c)), i
 
 
 def test_cli_train_stream_mode_inner_pair(tmp_path, capsys):
