@@ -105,6 +105,36 @@ def test_pair_input_matches_forward_layers():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_stream_pair_dp_equals_single_device():
+    """Inner-pair streaming under data parallelism (per-frame batch
+    sharded over 'data', lag tensors pmean'd) equals the single-device
+    batched stream."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from spectralae.dist.mesh import make_mesh
+    from spectralae.train.streaming import (StreamResult, fft_stream_pair,
+                                            stream_bursts_pair)
+    params, spec = _deep_net()
+    ndev = len(jax.devices())
+    rng = np.random.default_rng(4)
+    xs = jnp.asarray(rng.normal(size=(2, ndev, 3, 16, 16))
+                     .astype(np.float32))
+    want = fft_stream_pair(xs, params, spec.scales, 1, iters=5)
+    mesh = make_mesh(n_data=ndev, n_model=1)
+    sharded = shard_map(
+        lambda xs_, pp: stream_bursts_pair(xs_, pp, spec.scales, 1,
+                                           iters=5, axis_name="data"),
+        mesh=mesh, in_specs=(P(None, "data"), P()),
+        out_specs=StreamResult(c=P(), f=P(), b=P(), p=P(),
+                               mom=(P(), P(), P(), P()), mses=P()),
+        check_vma=False)
+    got = jax.jit(sharded)(xs, params)
+    np.testing.assert_allclose(np.asarray(got.c), np.asarray(want.c),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.mses), np.asarray(want.mses),
+                               rtol=2e-5, atol=1e-7)
+
+
 def test_stream_pair_equals_sequential_inner_bursts():
     """stream_bursts_pair(n_l=1) == the per-frame host loop
     [pair activation via forward layers → fused burst → carry]."""
