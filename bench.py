@@ -96,6 +96,12 @@ def time_chained(step, x0, n=20, warmup=1, trials=5) -> Timing:
             # distinct chain per trial AND per process — a repeated chain
             # would be deduplicated by the relay and time ~0
             x = x0 + (trial + 1) * 1e-5 + _NONCE
+            # force the eager chain-input op off the clock: fetching a
+            # cold x folds its materialization into fetch_rt, and under
+            # host CPU load that overshoot exceeded whole short chains
+            # (total − fetch_rt went negative and valid rows were
+            # discarded as sub-floor)
+            _fetch_scalar(x)
             t0 = time.perf_counter()
             _fetch_scalar(x)
             fetch_rt = time.perf_counter() - t0
@@ -107,13 +113,24 @@ def time_chained(step, x0, n=20, warmup=1, trials=5) -> Timing:
             samples.append(max(total - fetch_rt, 1e-9) / n_links)
         return samples
 
+    def keep(samples):
+        # tunnel noise is strictly additive, so genuine samples only ever
+        # sit ABOVE device time; sub-floor values are calibration/dedup
+        # artifacts of that one trial — drop them, not the whole row
+        return [s for s in samples if s >= FLOOR_S]
+
     samples = run_chains(n)
-    if min(samples) < FLOOR_S:
-        # below the tunnel's measurement resolution (round-trip jitter
-        # swallowed the chain) — retry amortized over a much longer chain
+    good = keep(samples)
+    if not good:
+        # every trial below the tunnel's measurement resolution — retry
+        # amortized over a much longer chain
         samples = run_chains(n * 8)
-    return Timing(best=min(samples), median=float(np.median(samples)),
-                  valid=min(samples) >= FLOOR_S)
+        good = keep(samples)
+    if not good:
+        return Timing(best=min(samples), median=float(np.median(samples)),
+                      valid=False)
+    return Timing(best=min(good), median=float(np.median(good)),
+                  valid=True)
 
 
 def record(results, timing: Timing, ms_key: str, rate_key: str | None = None,

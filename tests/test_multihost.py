@@ -34,7 +34,10 @@ def test_two_process_train_and_burst():
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=240)
+            # generous: the workers pass in ~36s on an idle host, but under
+            # a parallel (xdist) suite the 2×4-virtual-device init + gloo
+            # handshake contends with compile-heavy peers and 240s tripped
+            out, err = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
