@@ -298,10 +298,15 @@ def _train_stream(args):
     from ..data import pipeline
     from ..io import checkpoint as ckpt
     from ..ops import coord
-    from ..train.streaming import fft_stream, fft_stream_pair
+    from ..train.streaming import (fft_stream, fft_stream_pair,
+                                   fft_stream_sweep)
     eng = _make_engine(args)
     params, spec = eng.params, eng.spec
     sweep = args.train_pair == "all"
+    frame_sweep = sweep and args.pair_sweep == "frame"
+    if args.pair_sweep == "frame" and not sweep:
+        raise SystemExit("--pair-sweep frame requires --train-pair all "
+                         "(a single selected pair has nothing to sweep)")
     if sweep:
         pairs = list(range(spec.n_pairs))
     else:
@@ -317,14 +322,51 @@ def _train_stream(args):
     # per-pair momentum (zeroed on pair switch unless carried — the
     # engine's _reset_pair_opt_state semantics, burst mode's moms dict)
     moms = {n: None for n in pairs}
+    sweep_moms = None   # frame-sweep mode: per-pair tuples, pair order
     step_i = 0
     block_i = 0     # sweep mode round-robins one pair per flush block
     buf = []
+
+    def flush_frame_sweep(xs):
+        """--pair-sweep frame: every pair trains on every frame, inside
+        one scan (train/streaming.py::stream_bursts_sweep)."""
+        nonlocal params, sweep_moms, step_i
+        r = fft_stream_sweep(xs, params, spec.scales, moms=sweep_moms,
+                             lr=args.lr, alpha=args.alpha, iters=args.iters,
+                             maxdiff=args.maxdiff,
+                             carry_momentum=args.carry_momentum,
+                             reanchor_every=args.reanchor or None)
+        mses = np.asarray(r.mses, dtype=np.float64)   # [K, n_pairs, it+1]
+        if not np.isfinite(mses).all():
+            bad = int(np.argwhere(
+                ~np.isfinite(mses).all(axis=(1, 2)))[0, 0])
+            print(json.dumps({"step": step_i + bad, "pair": "all",
+                              "error": "non-finite mse",
+                              "mseN": float(mses[bad, -1, -1])}),
+                  flush=True)
+            return False
+        params = r.params
+        if args.carry_momentum:
+            sweep_moms = r.moms
+        for k in range(xs.shape[0]):
+            if (step_i + k) % args.log_every == 0:
+                for n_l in pairs:
+                    rec = {"step": step_i + k, "pair": n_l,
+                           "mse0": float(mses[k, n_l, 0]),
+                           "mseN": float(mses[k, n_l, -1])}
+                    print(json.dumps(rec), flush=True)
+                    if metrics:
+                        with metrics.open("a") as fh:
+                            fh.write(json.dumps(rec) + "\n")
+        step_i += xs.shape[0]
+        return True
 
     def flush():
         nonlocal params, step_i, block_i, buf
         xs = jnp.stack(buf)
         buf = []
+        if frame_sweep:
+            return flush_frame_sweep(xs)
         n_l = pairs[block_i % len(pairs)]
         block_i += 1
         if not sweep and n_l == 0:
@@ -808,6 +850,13 @@ def main(argv=None):
                         "per batch in burst mode, per flush block in "
                         "stream mode; inner pairs' activations come from "
                         "the frozen outer stages")
+    p.add_argument("--pair-sweep", choices=("block", "frame"),
+                   default="block",
+                   help="stream mode with --train-pair all: 'block' "
+                        "round-robins one pair per flush block; 'frame' "
+                        "trains EVERY pair on EVERY frame inside the scan "
+                        "(the keyboard 'z'/'x' sweep per frame, one jit "
+                        "for the whole block)")
     p.add_argument("--iters", type=int, default=100,
                    help="burst mode: inner iterations per burst (the "
                         "reference hard-codes 100, fft_backproplib.cu:1446)")

@@ -169,6 +169,82 @@ fft_stream_pair = jax.jit(
                      "carry_momentum", "reanchor_every", "axis_name"))
 
 
+class SweepResult(NamedTuple):
+    params: object      # AEParams with every pair trained
+    moms: tuple         # per-pair momentum tuples, pair order
+    mses: jax.Array     # [K, n_pairs, iters+1] per-frame/per-pair MSEs
+
+
+def _zero_moms(params):
+    return tuple(
+        tuple(jnp.zeros_like(t) for t in (enc.c, dec.c, enc.b, dec.b))
+        for enc, dec in (params.pair(i) for i in range(params.n_pairs)))
+
+
+def stream_bursts_sweep(xs: jax.Array, params, scales, *,
+                        moms: tuple | None = None,
+                        lr: float = 0.2, alpha: float = 0.9,
+                        iters: int = 100, maxdiff: bool = False,
+                        w0: float = 1.0, w1: float = 10.0,
+                        scale_by_dm: bool = True,
+                        carry_momentum: bool = True,
+                        reanchor_every: int | None = None,
+                        axis_name: str | None = None) -> SweepResult:
+    """Per-frame all-pairs sweep: each scan step trains EVERY stage pair.
+
+    The reference user's full-net training session is the 'z'/'x' + '1'
+    loop — select a pair, burst on the current frame, move on
+    (autoencoder.cpp:279-310).  :func:`stream_bursts_pair` freezes the
+    outer stages for a whole stream; this driver instead sweeps the pairs
+    in order 0..n_pairs−1 *within each frame's scan step*: pair ``n_l``
+    trains on its pooled activation computed through the outer encoder
+    stages **already updated this frame** — exactly the sequential
+    keyboard sweep on a frozen frame, at stream throughput (the whole
+    K-frame × n_pairs × iters session is ONE jit).  The full parameter
+    tape rides the scan carry (a pytree), so every pair's update is
+    visible to every later activation.
+
+    ``moms``: per-pair momentum tuples (pair order); zeros when None.
+    Equality vs the host loop [per frame: per pair: activation → burst →
+    replace] is pinned in tests/test_streaming.py.
+    """
+    from ..core.types import ConvStage
+    n_pairs = params.n_pairs
+    if moms is None:
+        moms = _zero_moms(params)
+    if xs.ndim == 4:
+        xs = xs[:, None]
+
+    def one(carry, xk):
+        prm, mo = carry
+        mo = list(mo)
+        mses_k = []
+        for n_l in range(n_pairs):
+            in_b = _pair_input(prm, xk, scales, n_l, scale_by_dm)
+            enc, dec = prm.pair(n_l)
+            mo_in = mo[n_l] if carry_momentum else tuple(
+                jnp.zeros_like(t) for t in mo[n_l])
+            r = burst_corr(in_b, None, None, enc.c, dec.c, enc.b, dec.b,
+                           mo_in, lr=lr, alpha=alpha, iters=iters,
+                           maxdiff=maxdiff, w0=w0, w1=w1,
+                           scale_by_dm=scale_by_dm, axis_name=axis_name,
+                           reanchor_every=reanchor_every)
+            prm = prm.replace_pair(n_l, ConvStage(c=r.c, b=r.b),
+                                   ConvStage(c=r.f, b=r.p))
+            mo[n_l] = r.mom
+            mses_k.append(r.mses)
+        return (prm, tuple(mo)), jnp.stack(mses_k)
+
+    (params, moms), mses = lax.scan(one, (params, moms), xs)
+    return SweepResult(params=params, moms=moms, mses=mses)
+
+
+fft_stream_sweep = jax.jit(
+    stream_bursts_sweep,
+    static_argnames=("scales", "iters", "maxdiff", "scale_by_dm",
+                     "carry_momentum", "reanchor_every", "axis_name"))
+
+
 def stream_reference_loop(xs, c, f, b, p, mom=None, *, lr=0.2, alpha=0.9,
                           iters=100, maxdiff=False, w0=1.0, w1=10.0,
                           scale_by_dm=True, carry_momentum=True,

@@ -526,6 +526,44 @@ def test_cli_train_stream_mode_all_sweep(tmp_path, capsys):
                                   np.asarray(fresh.stages[i].c)), i
 
 
+def test_cli_train_stream_frame_sweep(tmp_path, capsys):
+    """--pair-sweep frame: every pair trains on every frame — per-frame
+    log rows for ALL pairs, every pair's params trained, MSEs fall."""
+    import json as _json
+    from spectralae.cli.main import main
+    from spectralae.io import checkpoint as ckpt
+    ck = tmp_path / "ck"
+    main(["train", "--nx", "32", "--layers", "2", "--steps", "4",
+          "--batch", "1", "--mode", "stream", "--stream-k", "2",
+          "--iters", "6", "--train-pair", "all", "--pair-sweep", "frame",
+          "--log-every", "1", "--carry-momentum", "--ckpt", str(ck)])
+    out = capsys.readouterr().out
+    recs = [_json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    recs = [r for r in recs if "mseN" in r]
+    # every frame logs both pairs, in sweep order
+    assert [(r["step"], r["pair"]) for r in recs] == \
+        [(0, 0), (0, 1), (1, 0), (1, 1), (2, 0), (2, 1), (3, 0), (3, 1)]
+    assert all(r["mseN"] < r["mse0"] for r in recs)
+    params, spec, _, extra = ckpt.load(ck)
+    assert int(extra["step"]) == 4
+    ck0 = tmp_path / "ck0"
+    main(["train", "--nx", "32", "--layers", "2", "--steps", "0",
+          "--batch", "1", "--mode", "stream", "--train-pair", "all",
+          "--ckpt", str(ck0)])
+    capsys.readouterr()
+    fresh, _, _, _ = ckpt.load(ck0)
+    for i in range(len(params.stages)):
+        assert not np.array_equal(np.asarray(params.stages[i].c),
+                                  np.asarray(fresh.stages[i].c)), i
+
+
+def test_cli_train_frame_sweep_requires_all():
+    from spectralae.cli.main import main
+    with pytest.raises(SystemExit, match="pair-sweep frame"):
+        main(["train", "--nx", "16", "--steps", "2", "--mode", "stream",
+              "--train-pair", "0", "--pair-sweep", "frame"])
+
+
 def test_cli_train_stream_mode_inner_pair(tmp_path, capsys):
     """--mode stream --train-pair 1: the inner pair's activation is
     computed from the frozen outer stages inside the scan; only the inner

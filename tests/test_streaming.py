@@ -135,6 +135,99 @@ def test_stream_pair_dp_equals_single_device():
                                rtol=2e-5, atol=1e-7)
 
 
+@pytest.mark.parametrize("carry", [True, False])
+def test_stream_sweep_equals_sequential_pair_sweep(carry):
+    """stream_bursts_sweep == the host loop [per frame: per pair:
+    activation through the pairs already updated this frame → fused
+    burst → replace_pair] — the keyboard 'z'/'x' sweep oracle."""
+    from spectralae.core.types import ConvStage
+    from spectralae.train.fft_corr import burst_corr
+    from spectralae.train.streaming import (_pair_input, fft_stream_sweep)
+    params, spec = _deep_net()
+    rng = np.random.default_rng(6)
+    xs = jnp.asarray(rng.normal(size=(2, 2, 3, 16, 16)).astype(np.float32))
+    got = fft_stream_sweep(xs, params, spec.scales, iters=4,
+                           carry_momentum=carry)
+
+    prm = params
+    moms = {n: tuple(jnp.zeros_like(t)
+                     for t in (prm.pair(n)[0].c, prm.pair(n)[1].c,
+                               prm.pair(n)[0].b, prm.pair(n)[1].b))
+            for n in range(spec.n_pairs)}
+    act = jax.jit(lambda p, xx, n: _pair_input(p, xx, spec.scales, n),
+                  static_argnums=2)
+    mses = []
+    for k in range(xs.shape[0]):
+        row = []
+        for n_l in range(spec.n_pairs):
+            in_b = act(prm, xs[k], n_l)
+            enc, dec = prm.pair(n_l)
+            mo = (moms[n_l] if carry else
+                  tuple(jnp.zeros_like(t) for t in moms[n_l]))
+            r = burst_corr(in_b, None, None, enc.c, dec.c, enc.b, dec.b,
+                           mo, iters=4)
+            prm = prm.replace_pair(n_l, ConvStage(c=r.c, b=r.b),
+                                   ConvStage(c=r.f, b=r.p))
+            moms[n_l] = r.mom
+            row.append(r.mses)
+        mses.append(jnp.stack(row))
+    assert got.mses.shape == (2, spec.n_pairs, 5)
+    for n_l in range(spec.n_pairs):
+        ge, gd = got.params.pair(n_l)
+        we, wd = prm.pair(n_l)
+        np.testing.assert_allclose(np.asarray(ge.c), np.asarray(we.c),
+                                   rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gd.c), np.asarray(wd.c),
+                                   rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.mses), np.stack(mses),
+                               rtol=2e-5, atol=1e-7)
+
+
+def test_stream_sweep_trains_every_pair():
+    """On a static scene, every pair's entry MSE falls across frames."""
+    from spectralae.train.streaming import fft_stream_sweep
+    params, spec = _deep_net()
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(1, 2, 3, 16, 16)).astype(np.float32))
+    xs = jnp.broadcast_to(x, (4,) + x.shape[1:])
+    r = fft_stream_sweep(xs, params, spec.scales, iters=30, lr=1.0)
+    entry = np.asarray(r.mses[:, :, 0])     # [K, n_pairs]
+    assert np.all(entry[-1] < entry[0])
+    assert np.all(np.isfinite(np.asarray(r.mses)))
+
+
+def test_stream_sweep_dp_equals_single_device():
+    """Per-frame all-pairs sweep under data parallelism equals the
+    single-device batched sweep."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from spectralae.dist.mesh import make_mesh
+    from spectralae.train.streaming import (SweepResult, fft_stream_sweep,
+                                            stream_bursts_sweep)
+    params, spec = _deep_net()
+    ndev = len(jax.devices())
+    rng = np.random.default_rng(9)
+    xs = jnp.asarray(rng.normal(size=(2, ndev, 3, 16, 16))
+                     .astype(np.float32))
+    want = fft_stream_sweep(xs, params, spec.scales, iters=4)
+    mesh = make_mesh(n_data=ndev, n_model=1)
+    mom_spec = tuple((P(), P(), P(), P()) for _ in range(spec.n_pairs))
+    sharded = shard_map(
+        lambda xs_, pp: stream_bursts_sweep(xs_, pp, spec.scales,
+                                            iters=4, axis_name="data"),
+        mesh=mesh, in_specs=(P(None, "data"), P()),
+        out_specs=SweepResult(params=P(), moms=mom_spec, mses=P()),
+        check_vma=False)
+    got = jax.jit(sharded)(xs, params)
+    for n_l in range(spec.n_pairs):
+        ge, _ = got.params.pair(n_l)
+        we, _ = want.params.pair(n_l)
+        np.testing.assert_allclose(np.asarray(ge.c), np.asarray(we.c),
+                                   rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.mses), np.asarray(want.mses),
+                               rtol=2e-5, atol=1e-7)
+
+
 def test_stream_pair_equals_sequential_inner_bursts():
     """stream_bursts_pair(n_l=1) == the per-frame host loop
     [pair activation via forward layers → fused burst → carry]."""
