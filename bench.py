@@ -215,8 +215,11 @@ def main():
     # median of the same trials ships alongside — the spread IS the
     # run-to-run reproducibility band; README/BASELINE must quote the
     # driver-recorded value, never a lucky run's top (VERDICT r2 weak #3).
-    fft_steps_per_sec = max(headline_floor)
-    fft_steps_per_sec_median = max(headline_median)
+    # All four rows discarded (total relay swallow) => a null headline,
+    # not a crash that loses the rest of the run's rows.
+    fft_steps_per_sec = max(headline_floor) if headline_floor else None
+    fft_steps_per_sec_median = (max(headline_median) if headline_median
+                                else None)
 
     # ---- 400-iteration burst: amortizes the one-time correlation
     # precompute (the corr burst's per-iteration cost is resolution- and
@@ -417,19 +420,23 @@ def main():
            "modern_fft_step_1024_b2_ms", "modern_fft_1024_frames_per_sec",
            2.0)
 
-    results["headline_basis"] = ("median of 5 chained trials, fastest "
-                                 "impl; per-row floors in *_ms keys")
+    results["headline_basis"] = (
+        "floor of 5 chained trials, fastest impl (device-time estimate; "
+        "tunnel noise is additive); medians in *_median keys, per-row "
+        "floors in *_ms keys")
     results["device"] = str(jax.devices()[0])
     with open("bench_details.json", "w") as f:
         json.dump(results, f, indent=2)
 
+    rnd = lambda v, n: round(v, n) if v is not None else None
     print(json.dumps({
         "metric": "fft_backprop_iters_per_sec_256",
-        "value": round(fft_steps_per_sec, 1),
+        "value": rnd(fft_steps_per_sec, 1),
         "unit": "iters/s",
-        "vs_baseline": round(
-            fft_steps_per_sec / REFERENCE_FFT_ITERS_PER_SEC_ESTIMATE, 2),
-        "median": round(fft_steps_per_sec_median, 1),
+        "vs_baseline": rnd(
+            fft_steps_per_sec / REFERENCE_FFT_ITERS_PER_SEC_ESTIMATE
+            if fft_steps_per_sec is not None else None, 2),
+        "median": rnd(fft_steps_per_sec_median, 1),
         "stream_sustained": (
             round(results["fft_stream_iters_per_sec_sustained"], 1)
             if results.get("fft_stream_iters_per_sec_sustained") else None),

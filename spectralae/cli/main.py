@@ -118,7 +118,9 @@ def _run_gui(eng, src, args):
                 if vk not in view_to_window:
                     cv2.imshow(vk, img)
             ch = cv2.waitKey(10)
-            if ch == 27:  # Esc (autoencoder.cpp:246)
+            # mask like the dispatch below — some GUI backends return the
+            # keycode with modifier/high bits set (−1 = no key)
+            if ch >= 0 and (ch & 0xFF) == 27:  # Esc (autoencoder.cpp:246)
                 break
             if ch > 0:
                 try:
@@ -176,6 +178,15 @@ def cmd_run(args):
                 break
             for k in line:
                 _dispatch(k)
+
+
+def _emit(rec: dict, metrics: Path | None) -> None:
+    """One metrics record: JSON line to stdout + optional JSONL append."""
+    line = json.dumps(rec)
+    print(line, flush=True)
+    if metrics:
+        with metrics.open("a") as fh:
+            fh.write(line + "\n")
 
 
 def _train_bursts(args):
@@ -255,13 +266,9 @@ def _train_bursts(args):
                     last_step = good_step
                     diverged = True
                     break
-                rec = {"step": step_i, "pair": n_l,
+                _emit({"step": step_i, "pair": n_l,
                        "mse0": float(mses[0]), "mseN": float(mses[-1]),
-                       "mses": [float(v) for v in mses]}
-                print(json.dumps(rec), flush=True)
-                if metrics:
-                    with metrics.open("a") as fh:
-                        fh.write(json.dumps(rec) + "\n")
+                       "mses": [float(v) for v in mses]}, metrics)
         if not diverged and step_i % args.log_every == 0:
             good_params, good_moms, good_step = (params, dict(moms),
                                                  last_step)
@@ -277,12 +284,14 @@ def _train_stream(args):
     sustained vs ~60k for per-burst dispatch).
 
     Contract: trains the selected stage pair on its pooled input
-    activation, with the anchor output being the pair's own two-stage
-    forward (the fused re-anchoring each frame).  Pair 0 feeds on
-    ``pool(frame)`` directly (no forward needed); an inner pair's
-    activation is computed from the frozen outer encoder stages *inside*
-    the scan (train/streaming.py::stream_bursts_pair — the same
-    activation burst mode trains on).  ``--train-pair all`` round-robins
+    activation — ``forward_fft``'s ``layers[2·n_l+1]``, i.e. SPECTRAL
+    pooling, the same activation burst mode trains on and the forward
+    pass produces — with the anchor output being the pair's own
+    two-stage forward (the fused re-anchoring each frame).  Pair 0 with
+    unit pooling scale feeds on the frames directly (the pooling is the
+    identity there); every other case computes the activation from the
+    frozen outer encoder stages *inside* the scan
+    (train/streaming.py::stream_bursts_pair / _pair_input).  ``--train-pair all`` round-robins
     the pairs one flush block at a time (outer stages stay frozen within
     each block; each block sees every previously trained pair — the
     engine user's 'z'/'x' + '1' sweep at stream throughput).  This
@@ -292,12 +301,10 @@ def _train_stream(args):
     steady-state contract the correlation burst's precision
     decomposition is built for.
     """
-    import jax
     import jax.numpy as jnp
     from ..core.types import ConvStage
     from ..data import pipeline
     from ..io import checkpoint as ckpt
-    from ..ops import coord
     from ..train.streaming import (fft_stream, fft_stream_pair,
                                    fft_stream_sweep)
     eng = _make_engine(args)
@@ -351,13 +358,9 @@ def _train_stream(args):
         for k in range(xs.shape[0]):
             if (step_i + k) % args.log_every == 0:
                 for n_l in pairs:
-                    rec = {"step": step_i + k, "pair": n_l,
+                    _emit({"step": step_i + k, "pair": n_l,
                            "mse0": float(mses[k, n_l, 0]),
-                           "mseN": float(mses[k, n_l, -1])}
-                    print(json.dumps(rec), flush=True)
-                    if metrics:
-                        with metrics.open("a") as fh:
-                            fh.write(json.dumps(rec) + "\n")
+                           "mseN": float(mses[k, n_l, -1])}, metrics)
         step_i += xs.shape[0]
         return True
 
@@ -369,9 +372,10 @@ def _train_stream(args):
             return flush_frame_sweep(xs)
         n_l = pairs[block_i % len(pairs)]
         block_i += 1
-        if not sweep and n_l == 0:
-            # pair 0, single-pair mode: the buffered frames are already
-            # its pooled input — no forward inside the scan at all
+        if pool0_direct:
+            # pair 0 with unit pooling scale: the frames ARE its input
+            # activation (spectral_pool at scale 1 is the identity) — no
+            # per-frame transform inside the scan at all
             enc, dec = params.pair(0)
             r = fft_stream(xs, enc.c, dec.c, enc.b, dec.b, moms[0],
                            lr=args.lr, alpha=args.alpha, iters=args.iters,
@@ -405,25 +409,23 @@ def _train_stream(args):
             moms[n_l] = r.mom
         for k in range(xs.shape[0]):
             if (step_i + k) % args.log_every == 0:
-                rec = {"step": step_i + k, "pair": n_l,
+                _emit({"step": step_i + k, "pair": n_l,
                        "mse0": float(mses[k, 0]),
-                       "mseN": float(mses[k, -1])}
-                print(json.dumps(rec), flush=True)
-                if metrics:
-                    with metrics.open("a") as fh:
-                        fh.write(json.dumps(rec) + "\n")
+                       "mseN": float(mses[k, -1])}, metrics)
         step_i += xs.shape[0]
         return True
 
-    pool0_direct = not sweep and pairs[0] == 0
+    # pair 0's true input is the SPECTRAL pooling of the frame (what the
+    # forward pass, burst mode, and eval all use) — feeding frames
+    # directly is only exact when the pooling scale is 1; any other scale
+    # goes through _pair_input inside the scan like every inner pair
+    pool0_direct = (not sweep and pairs[0] == 0
+                    and abs(spec.scales[0]) == 1)
     diverged = False
     for batch in pf:
         if step_i >= args.steps:
             break
-        # pair-0-only mode streams its pooled input directly; otherwise
-        # raw frames — the scan computes each pair's activation per frame
-        buf.append(coord.pool(batch, spec.scales[0]) if pool0_direct
-                   else batch)
+        buf.append(batch)
         if len(buf) < k_frames and step_i + len(buf) < args.steps:
             continue
         if not flush():
@@ -555,14 +557,11 @@ def _train_steps(args):
         params, opt = res.params, res.opt
         last_step = step_i + 1
         if step_i % args.log_every == 0:
-            rec = {"step": step_i, "loss": float(res.loss),
+            _emit({"step": step_i, "loss": float(res.loss),
                    "domain": args.domain,
                    "steps_per_sec": (step_i + 1) /
-                                    (time.perf_counter() - t_start)}
-            print(json.dumps(rec), flush=True)
-            if metrics:
-                with metrics.open("a") as fh:
-                    fh.write(json.dumps(rec) + "\n")
+                                    (time.perf_counter() - t_start)},
+                  metrics)
         if args.ckpt and step_i and step_i % args.ckpt_every == 0:
             save_ckpt(args.ckpt, step_i)
     pf.close()

@@ -117,9 +117,15 @@ def save_rotating(root: str | Path, params: AEParams, spec: NetSpec,
     if jax.process_index() != 0:
         return dest
     (root / "LATEST").write_text(dest.name)
+    # prune to `keep` total, but NEVER the directory just written (it is
+    # what LATEST points at): a divergence rollback re-saves an *earlier*
+    # step, which sorts below the NaN-era dirs — name-order pruning alone
+    # would delete the rollback target and leave LATEST dangling
     olds = sorted(p for p in root.iterdir()
-                  if p.is_dir() and p.name.startswith("step_"))
-    for p in olds[:-keep] if keep > 0 else []:
+                  if p.is_dir() and p.name.startswith("step_")
+                  and p != dest)
+    doomed = olds[:-(keep - 1)] if keep > 1 else olds
+    for p in doomed:
         import shutil
         shutil.rmtree(p, ignore_errors=True)
     return dest

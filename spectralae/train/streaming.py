@@ -31,7 +31,6 @@ long ``iters``.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -526,6 +526,38 @@ def test_cli_train_stream_mode_all_sweep(tmp_path, capsys):
                                   np.asarray(fresh.stages[i].c)), i
 
 
+def test_cli_stream_pair0_trains_on_spectral_pooling(tmp_path, capsys):
+    """--train-pair 0 at a non-unit pooling scale must train on the
+    SPECTRAL pooling of the frame (forward_fft layers[1]) — the input
+    burst mode, eval, and the forward pass all use — not a coordinate
+    max-pool (regression: the old pair-0 fast path fed coord.pool)."""
+    import jax.numpy as jnp
+    from spectralae.cli.main import main
+    from spectralae.core.config import Config
+    from spectralae.data import pipeline
+    from spectralae.io import checkpoint as ckpt
+    from spectralae.model.engine import Engine
+    from spectralae.train.streaming import fft_stream_pair
+    ck = tmp_path / "ck"
+    main(["train", "--nx", "32", "--steps", "2", "--batch", "1",
+          "--mode", "stream", "--stream-k", "2", "--iters", "4",
+          "--train-pair", "0", "--log-every", "1", "--ckpt", str(ck)])
+    capsys.readouterr()
+    got, spec, _, _ = ckpt.load(ck)
+    assert abs(spec.scales[0]) != 1  # the case the fast path can't take
+
+    eng = Engine(Config(nx=32, ny=32, d=3), seed=0)
+    src = pipeline.synthetic_frames(32, 32, seed=0)
+    xs = jnp.stack([pipeline.frame_to_tensor(
+        pipeline.resize_nn(next(src), 32, 32))[None] for _ in range(2)])
+    want = fft_stream_pair(xs, eng.params, eng.spec.scales, 0, iters=4,
+                           carry_momentum=False)
+    np.testing.assert_allclose(np.asarray(got.stages[0].c),
+                               np.asarray(want.c), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.stages[-1].c),
+                               np.asarray(want.f), rtol=2e-5, atol=1e-6)
+
+
 def test_cli_train_stream_frame_sweep(tmp_path, capsys):
     """--pair-sweep frame: every pair trains on every frame — per-frame
     log rows for ALL pairs, every pair's params trained, MSEs fall."""
@@ -666,7 +698,8 @@ def test_cli_stream_divergence_keeps_finite_ckpt(tmp_path, capsys,
     from spectralae.io import checkpoint as ckpt
     from spectralae.train import streaming
     calls = {"n": 0}
-    orig = streaming.fft_stream
+    # pair 0 at the default scale-2 pooling routes through the pair path
+    orig = streaming.fft_stream_pair
 
     def bad(*a, **kw):
         calls["n"] += 1
@@ -676,7 +709,7 @@ def test_cli_stream_divergence_keeps_finite_ckpt(tmp_path, capsys,
                               mses=jnp.full_like(r.mses, jnp.nan))
         return r
 
-    monkeypatch.setattr("spectralae.train.streaming.fft_stream", bad)
+    monkeypatch.setattr("spectralae.train.streaming.fft_stream_pair", bad)
     ck = tmp_path / "ck"
     main(["train", "--nx", "16", "--steps", "6", "--batch", "1",
           "--mode", "stream", "--stream-k", "2", "--iters", "4",

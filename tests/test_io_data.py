@@ -379,6 +379,23 @@ def test_rotating_checkpoints_prune_and_resolve(tmp_path):
                                   np.asarray(params.stages[0].c))
 
 
+def test_rotating_rollback_save_survives_prune(tmp_path):
+    """A divergence rollback re-saves an EARLIER step than the NaN-era
+    history; the prune must never delete the directory LATEST points at
+    (it sorts below the newer-named dirs)."""
+    cfg, spec, params = setup()
+    for step in (10, 20):
+        ckpt.save_rotating(tmp_path / "h", params, spec, step=step, keep=1)
+    ckpt.save_rotating(tmp_path / "h", params, spec, step=0, keep=1)
+    assert (tmp_path / "h" / "LATEST").read_text() == "step_00000000"
+    assert (tmp_path / "h" / "step_00000000" / "manifest.json").exists()
+    _, _, _, extra = ckpt.load(tmp_path / "h")
+    assert extra["step"] == 0
+    # keep=1: only the rollback target survives
+    dirs = [p.name for p in (tmp_path / "h").iterdir() if p.is_dir()]
+    assert dirs == ["step_00000000"]
+
+
 def test_async_save_commits_and_orders(tmp_path):
     cfg, spec, params = setup()
     import jax.numpy as jnp
