@@ -189,6 +189,40 @@ def _emit(rec: dict, metrics: Path | None) -> None:
             fh.write(line + "\n")
 
 
+def _resume_or_engine(args):
+    """Start params/spec/step for the burst/stream trainers: --resume
+    restores them from a checkpoint (the net structure comes from the
+    checkpoint, not the CLI flags); otherwise a fresh engine."""
+    if args.resume:
+        from ..io import checkpoint as ckpt
+        params, spec, _, extra = ckpt.load(args.resume)
+        start = int(extra.get("step", 0))
+        print(f"resumed from {args.resume} at step {start}", flush=True)
+        return params, spec, start
+    eng = _make_engine(args)
+    return eng.params, eng.spec, 0
+
+
+def _save_params_ckpt(args, params, spec, step_n, final=False):
+    """Mid-run/final checkpointing for the burst/stream trainers (no
+    optimizer state — burst momentum is per-pair and zeroed by reference
+    semantics unless --carry-momentum, which restarts on resume)."""
+    from ..io import checkpoint as ckpt
+    if args.ckpt_history > 0:
+        ckpt.save_rotating(args.ckpt, params, spec, None,
+                           extra={"step": step_n}, step=step_n,
+                           keep=args.ckpt_history)
+    elif args.ckpt_async and not final:
+        ckpt.save_async(args.ckpt, params, spec, None,
+                        extra={"step": step_n})
+    else:
+        ckpt.save(args.ckpt, params, spec, None, extra={"step": step_n})
+    if final:
+        ckpt.wait_pending_saves()
+        print(f"checkpoint written to {args.ckpt} at step {step_n}",
+              flush=True)
+
+
 def _train_bursts(args):
     """Headless reference-style training: per-batch frozen-input FFT bursts
     with batch-averaged gradients (train/fft_dp).
@@ -200,12 +234,10 @@ def _train_bursts(args):
     """
     import jax
     from ..data import pipeline
-    from ..io import checkpoint as ckpt
     from ..model import autoencoder as model
     from ..train.fft_dp import fft_burst_dp
     from ..core.types import ConvStage
-    eng = _make_engine(args)
-    params, spec = eng.params, eng.spec
+    params, spec, start_step = _resume_or_engine(args)
     if args.train_pair == "all":
         pairs = list(range(spec.n_pairs))
     else:
@@ -221,14 +253,14 @@ def _train_bursts(args):
     metrics = Path(args.metrics) if args.metrics else None
     # zeroed per burst (reference semantics) unless --carry-momentum
     moms = {n_l: None for n_l in pairs}
-    last_step = 0
     # failure detection (SURVEY.md §5.3), as in _train_steps: params/moms
     # last verified finite at a log step — rolled back to (and saved) on
     # divergence.  The mses fetch is a host↔device sync, so the check
     # rides the log cadence only
-    good_params, good_moms, good_step = params, dict(moms), 0
+    good_params, good_moms, good_step = params, dict(moms), start_step
+    last_step = start_step
     diverged = False
-    for step_i, batch in enumerate(pf):
+    for step_i, batch in enumerate(pf, start=start_step):
         if step_i >= args.steps or diverged:
             break
         last_step = step_i + 1
@@ -272,10 +304,12 @@ def _train_bursts(args):
         if not diverged and step_i % args.log_every == 0:
             good_params, good_moms, good_step = (params, dict(moms),
                                                  last_step)
+        if (args.ckpt and not diverged and step_i
+                and step_i % args.ckpt_every == 0):
+            _save_params_ckpt(args, params, spec, last_step)
     pf.close()
     if args.ckpt:
-        ckpt.save(args.ckpt, params, spec, None, extra={"step": last_step})
-        print(f"checkpoint written to {args.ckpt}", flush=True)
+        _save_params_ckpt(args, params, spec, last_step, final=True)
 
 
 def _train_stream(args):
@@ -304,11 +338,9 @@ def _train_stream(args):
     import jax.numpy as jnp
     from ..core.types import ConvStage
     from ..data import pipeline
-    from ..io import checkpoint as ckpt
     from ..train.streaming import (fft_stream, fft_stream_pair,
                                    fft_stream_sweep)
-    eng = _make_engine(args)
-    params, spec = eng.params, eng.spec
+    params, spec, start_step = _resume_or_engine(args)
     sweep = args.train_pair == "all"
     frame_sweep = sweep and args.pair_sweep == "frame"
     if args.pair_sweep == "frame" and not sweep:
@@ -330,7 +362,7 @@ def _train_stream(args):
     # engine's _reset_pair_opt_state semantics, burst mode's moms dict)
     moms = {n: None for n in pairs}
     sweep_moms = None   # frame-sweep mode: per-pair tuples, pair order
-    step_i = 0
+    step_i = start_step
     block_i = 0     # sweep mode round-robins one pair per flush block
     buf = []
 
@@ -422,6 +454,7 @@ def _train_stream(args):
     pool0_direct = (not sweep and pairs[0] == 0
                     and abs(spec.scales[0]) == 1)
     diverged = False
+    next_ckpt = start_step + args.ckpt_every
     for batch in pf:
         if step_i >= args.steps:
             break
@@ -431,14 +464,19 @@ def _train_stream(args):
         if not flush():
             diverged = True
             break
+        if args.ckpt and step_i >= next_ckpt:
+            # mid-run checkpoint at block granularity (a flush advances
+            # step_i by up to K frames)
+            _save_params_ckpt(args, params, spec, step_i)
+            next_ckpt += args.ckpt_every * (
+                (step_i - next_ckpt) // args.ckpt_every + 1)
     if buf and not diverged:
         # a finite source ended mid-block: train on the remainder rather
         # than dropping buffered frames
         flush()
     pf.close()
     if args.ckpt:
-        ckpt.save(args.ckpt, params, spec, None, extra={"step": step_i})
-        print(f"checkpoint written to {args.ckpt}", flush=True)
+        _save_params_ckpt(args, params, spec, step_i, final=True)
 
 
 def cmd_train(args):
@@ -902,7 +940,10 @@ def main(argv=None):
                    help="write mid-run checkpoints on a background worker "
                         "(final checkpoint is always synchronous)")
     p.add_argument("--resume", default="",
-                   help="checkpoint dir to resume params/opt/step from")
+                   help="checkpoint dir to resume params/step from (all "
+                        "modes; step mode also restores optimizer state, "
+                        "burst/stream momentum restarts per reference "
+                        "zeroing semantics)")
     p.add_argument("--metrics", default="")
     p.add_argument("--trace", default="",
                    help="capture a jax.profiler device trace of the run "

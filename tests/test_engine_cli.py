@@ -526,6 +526,63 @@ def test_cli_train_stream_mode_all_sweep(tmp_path, capsys):
                                   np.asarray(fresh.stages[i].c)), i
 
 
+def test_cli_burst_mode_resume_and_history(tmp_path, capsys):
+    """burst mode supports --resume (params + step from the checkpoint)
+    and mid-run rotating history like the step trainer (SURVEY §5.4)."""
+    import json as _json
+    from spectralae.cli.main import main
+    from spectralae.io import checkpoint as ckpt
+    ck = tmp_path / "ck"
+    main(["train", "--nx", "16", "--steps", "4", "--batch", "1",
+          "--mode", "burst", "--iters", "4", "--log-every", "1",
+          "--ckpt", str(ck), "--ckpt-every", "2", "--ckpt-history", "2"])
+    out = capsys.readouterr().out
+    assert (ck / "LATEST").exists()
+    p1, _, _, extra = ckpt.load(ck)
+    assert int(extra["step"]) == 4
+    main(["train", "--nx", "16", "--steps", "7", "--batch", "1",
+          "--mode", "burst", "--iters", "4", "--log-every", "1",
+          "--resume", str(ck), "--ckpt", str(ck)])
+    out = capsys.readouterr().out
+    assert "resumed" in out
+    recs = [_json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    assert [r["step"] for r in recs if "mseN" in r] == [4, 5, 6]
+    p2, _, _, extra = ckpt.load(ck)
+    assert int(extra["step"]) == 7
+    assert not np.array_equal(np.asarray(p1.stages[0].c),
+                              np.asarray(p2.stages[0].c))
+
+
+def test_cli_stream_mode_resume_and_midrun_ckpt(tmp_path, capsys):
+    """stream mode: --ckpt-every saves at block granularity mid-run and
+    --resume continues the step count and weights."""
+    import json as _json
+    from spectralae.cli.main import main
+    from spectralae.io import checkpoint as ckpt
+    ck = tmp_path / "ck"
+    main(["train", "--nx", "16", "--steps", "4", "--batch", "1",
+          "--mode", "stream", "--stream-k", "2", "--iters", "4",
+          "--log-every", "1", "--ckpt", str(ck), "--ckpt-every", "2",
+          "--ckpt-history", "3"])
+    capsys.readouterr()
+    hist = sorted(p.name for p in ck.iterdir() if p.is_dir())
+    # mid-run saves at steps 2 and 4 (block granularity) + final at 4
+    assert "step_00000002" in hist
+    p1, _, _, extra = ckpt.load(ck)
+    assert int(extra["step"]) == 4
+    main(["train", "--nx", "16", "--steps", "8", "--batch", "1",
+          "--mode", "stream", "--stream-k", "2", "--iters", "4",
+          "--log-every", "1", "--resume", str(ck), "--ckpt", str(ck)])
+    out = capsys.readouterr().out
+    assert "resumed" in out
+    recs = [_json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    assert [r["step"] for r in recs if "mseN" in r] == [4, 5, 6, 7]
+    p2, _, _, extra = ckpt.load(ck)
+    assert int(extra["step"]) == 8
+    assert not np.array_equal(np.asarray(p1.stages[0].c),
+                              np.asarray(p2.stages[0].c))
+
+
 def test_cli_stream_pair0_trains_on_spectral_pooling(tmp_path, capsys):
     """--train-pair 0 at a non-unit pooling scale must train on the
     SPECTRAL pooling of the frame (forward_fft layers[1]) — the input
