@@ -174,6 +174,34 @@ def main():
               / np.max(np.abs(np.asarray(cc))))
     check("stream scan vs sequential", d < 1e-3, f"norm rel {d:.2e}")
 
+    # per-frame all-pairs sweep (2-pair net) vs the host pair loop
+    from spectralae.core.types import ConvStage
+    from spectralae.train.streaming import _pair_input, fft_stream_sweep
+    spec2 = spec.add_pair(cfg.layer)
+    params2 = init_params(jax.random.key(1), spec2, 1.0)
+    xs2 = jax.device_put(
+        rng.normal(size=(2, 1, 3, 256, 256)).astype(np.float32) * 50)
+    r_sw = fft_stream_sweep(xs2, params2, spec2.scales, iters=4)
+    prm = params2
+    act = jax.jit(lambda p, xx, n: _pair_input(p, xx, spec2.scales, n),
+                  static_argnums=2)
+    moms2 = {n: None for n in range(spec2.n_pairs)}
+    for k in range(2):
+        for n_l in range(spec2.n_pairs):
+            e2, d2 = prm.pair(n_l)
+            r_sq = fft_burst_corr(act(prm, xs2[k], n_l), None, None,
+                                  e2.c, d2.c, e2.b, d2.b, moms2[n_l],
+                                  lr=0.2, iters=4)
+            prm = prm.replace_pair(n_l, ConvStage(c=r_sq.c, b=r_sq.b),
+                                   ConvStage(c=r_sq.f, b=r_sq.p))
+            moms2[n_l] = r_sq.mom
+    d = max(float(np.max(np.abs(np.asarray(r_sw.params.stages[i].c)
+                                - np.asarray(prm.stages[i].c)))
+                  / np.max(np.abs(np.asarray(prm.stages[i].c))))
+            for i in range(len(prm.stages)))
+    check("stream sweep vs host pair loop", d < 1e-3,
+          f"norm rel {d:.2e}")
+
     # burst convergence end-to-end
     t0 = time.perf_counter()
     r100 = fft_burst_pallas(x, x, out0, enc.c, dec.c, enc.b, dec.b,
