@@ -104,6 +104,17 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=250,
                     help="burst steps (x batch = frame-bursts)")
+    ap.add_argument("--mode", choices=("burst", "stream-sweep"),
+                    default="burst",
+                    help="burst: the round-3 single-pair artifact; "
+                         "stream-sweep: a DEEP net (--layers) trained "
+                         "with --mode stream --train-pair all "
+                         "--pair-sweep frame (every pair on every frame "
+                         "inside one scan)")
+    ap.add_argument("--layers", type=int, default=None,
+                    help="stage pairs (default: 1 for burst, 3 for "
+                         "stream-sweep)")
+    ap.add_argument("--stream-k", type=int, default=8)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--lr", type=float, default=0.05)
@@ -143,19 +154,27 @@ def main(argv=None):
     metrics = work / "metrics.jsonl"
     metrics.unlink(missing_ok=True)
 
-    common = ["--nx", str(NX), "--seed", "0"]
+    layers = args.layers or (3 if args.mode == "stream-sweep" else 1)
+    common = ["--nx", str(NX), "--seed", "0", "--layers", str(layers)]
     print("== fresh-net PSNR on held-out frames ==", flush=True)
     fresh = last_json(run_cli(
         ["eval", *common, "--source", str(held_y4m), "--steps", "6",
          "--batch", "4"]))
 
-    print("== training (burst mode) ==", flush=True)
-    train_args = ["train", *common, "--mode", "burst",
+    print(f"== training ({args.mode} mode, {layers} pair(s)) ==",
+          flush=True)
+    train_args = ["train", *common,
                   "--source", str(train_y4m), "--steps", str(args.steps),
                   "--batch", str(args.batch), "--iters", str(args.iters),
                   "--lr", str(args.lr), "--reanchor", str(args.reanchor),
                   "--log-every", "5", "--metrics", str(metrics),
                   "--ckpt", str(ck)]
+    if args.mode == "stream-sweep":
+        train_args += ["--mode", "stream", "--train-pair", "all",
+                       "--pair-sweep", "frame",
+                       "--stream-k", str(args.stream_k)]
+    else:
+        train_args += ["--mode", "burst"]
     if args.carry_momentum:
         train_args.append("--carry-momentum")
     run_cli(train_args)
@@ -173,6 +192,8 @@ def main(argv=None):
     from spectralae.core.types import initial_spec, init_params
     cfg = Config(nx=NX, ny=NX, d=3)
     spec0 = initial_spec(cfg)
+    for _ in range(layers - 1):
+        spec0 = spec0.add_pair(cfg.layer)
     params0 = init_params(jax.random.key(0), spec0, cfg.layer.rmax)
     rec0 = np.asarray(jax.jit(
         lambda pp, xx: model.forward_fft(pp, xx[None], spec0.scales)[0]
@@ -188,6 +209,7 @@ def main(argv=None):
     shutil.copy(metrics, out / "metrics.jsonl")
     summary = {
         "scene": "procedural 256x256 video via .y4m (C444), time-split",
+        "mode": args.mode, "layers": layers,
         "train_frames": min(n_train, 200), "heldout_frames": 24,
         "bursts": args.steps, "batch": args.batch, "iters": args.iters,
         "lr": args.lr,
