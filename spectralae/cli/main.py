@@ -338,14 +338,19 @@ def _train_stream(args):
     import jax.numpy as jnp
     from ..core.types import ConvStage
     from ..data import pipeline
-    from ..train.streaming import (fft_stream, fft_stream_pair,
-                                   fft_stream_sweep)
+    from ..train.streaming import (coord_stream, fft_stream,
+                                   fft_stream_pair, fft_stream_sweep)
     params, spec, start_step = _resume_or_engine(args)
     sweep = args.train_pair == "all"
     frame_sweep = sweep and args.pair_sweep == "frame"
+    coord_domain = args.domain == "coord"
     if args.pair_sweep == "frame" and not sweep:
         raise SystemExit("--pair-sweep frame requires --train-pair all "
                          "(a single selected pair has nothing to sweep)")
+    if coord_domain and frame_sweep:
+        raise SystemExit("--pair-sweep frame is momentum-domain only; "
+                         "coord streaming sweeps pairs per flush block "
+                         "(--pair-sweep block)")
     if sweep:
         pairs = list(range(spec.n_pairs))
     else:
@@ -362,9 +367,35 @@ def _train_stream(args):
     # engine's _reset_pair_opt_state semantics, burst mode's moms dict)
     moms = {n: None for n in pairs}
     sweep_moms = None   # frame-sweep mode: per-pair tuples, pair order
+    coord_state = {n: (None, None) for n in pairs}  # (mom, prev_grad)
     step_i = start_step
     block_i = 0     # sweep mode round-robins one pair per flush block
     buf = []
+
+    def flush_coord(xs, n_l):
+        """--domain coord: one reference coord step per frame in one scan
+        (train/streaming.py::stream_coord_steps)."""
+        nonlocal params, step_i
+        mo, pg = coord_state[n_l] if args.carry_momentum else (None, None)
+        r = coord_stream(xs, params, spec.scales, n_l, q=args.patch_q,
+                         lr=args.lr, alpha=args.alpha, mom=mo,
+                         prev_grad=pg)
+        mses = np.asarray(r.mses, dtype=np.float64)
+        if not np.isfinite(mses).all():
+            bad = int(np.argwhere(~np.isfinite(mses))[0, 0])
+            print(json.dumps({"step": step_i + bad, "pair": n_l,
+                              "error": "non-finite mse",
+                              "mse": float(mses[bad])}), flush=True)
+            return False
+        params = r.params
+        if args.carry_momentum:
+            coord_state[n_l] = (r.mom, r.prev_grad)
+        for k in range(xs.shape[0]):
+            if (step_i + k) % args.log_every == 0:
+                _emit({"step": step_i + k, "pair": n_l,
+                       "mse": float(mses[k])}, metrics)
+        step_i += xs.shape[0]
+        return True
 
     def flush_frame_sweep(xs):
         """--pair-sweep frame: every pair trains on every frame, inside
@@ -404,6 +435,8 @@ def _train_stream(args):
             return flush_frame_sweep(xs)
         n_l = pairs[block_i % len(pairs)]
         block_i += 1
+        if coord_domain:
+            return flush_coord(xs, n_l)
         if pool0_direct:
             # pair 0 with unit pooling scale: the frames ARE its input
             # activation (spectral_pool at scale 1 is the identity) — no
@@ -871,7 +904,10 @@ def main(argv=None):
                    help="'reference' = the normalized-gradient inertia "
                         "update; the rest are optax optimizers (step mode "
                         "only; optax state checkpoints to optax.npz)")
-    p.add_argument("--domain", choices=("fft", "coord"), default="fft")
+    p.add_argument("--domain", choices=("fft", "coord"), default="fft",
+                   help="step mode: autodiff domain; stream mode: 'coord' "
+                        "streams one reference coordinate step per frame "
+                        "(the '1'-with-fft-off loop) instead of FFT bursts")
     p.add_argument("--mode", choices=("step", "burst", "stream"),
                    default="step",
                    help="step: batched autodiff training; burst: the "
@@ -887,6 +923,10 @@ def main(argv=None):
                         "per batch in burst mode, per flush block in "
                         "stream mode; inner pairs' activations come from "
                         "the frozen outer stages")
+    p.add_argument("--patch-q", type=int, default=1,
+                   help="stream --domain coord: center-crop factor for "
+                        "the training patch (the reference's '2'/'3' "
+                        "keys, netlib.cpp Portion)")
     p.add_argument("--pair-sweep", choices=("block", "frame"),
                    default="block",
                    help="stream mode with --train-pair all: 'block' "

@@ -244,6 +244,79 @@ fft_stream_sweep = jax.jit(
                      "carry_momentum", "reanchor_every", "axis_name"))
 
 
+class CoordStreamResult(NamedTuple):
+    params: object      # AEParams with the selected pair trained
+    mom: tuple          # (Dc, Df, Db, Dp)
+    prev_grad: tuple    # adaptive-lr state
+    mses: jax.Array     # [K] the per-frame coord mse
+
+
+def stream_coord_steps(xs: jax.Array, params, scales, n_l: int, *,
+                       q: int = 1, lr: float = 0.2, alpha: float = 0.9,
+                       tap_mode: str = "ref_gpu", sym: bool = False,
+                       active: bool = False, scale_by_dm: bool = True,
+                       mom: tuple | None = None,
+                       prev_grad: tuple | None = None,
+                       axis_name: str | None = None) -> CoordStreamResult:
+    """Coordinate-domain streaming: one reference coord step per frame,
+    K frames in ONE ``lax.scan``.
+
+    The reference's coord training loop ('1' with fft off) is one
+    ``backprop_gpu`` step per camera frame on the ``Portion``-cropped
+    activations of the *current* full-net forward
+    (autoencoder.cpp:131-188).  On this rig a single step is
+    dispatch-bound (~1 ms for 77 MFLOP, BASELINE.md), so streaming pays
+    the dispatch once per K frames exactly like :func:`stream_bursts`.
+    Each scan step recomputes the full coordinate forward with the
+    current weights (what ``Engine.step`` does before ``_train``), crops
+    the pair's (input, output, hidden) triple by ``q``, and applies
+    :func:`spectralae.train.coord.coord_step` semantics — batched frames
+    use the batch-averaged gradients of ``coord_step_dp``.
+
+    Equality vs the host loop [forward_coord → center_crop → coord_step
+    → replace_pair] is pinned in tests/test_streaming.py.
+    """
+    from ..core.types import ConvStage
+    from ..model import autoencoder as model
+    from ..ops import coord as coord_ops
+    from .coord import coord_step_dp
+    enc, dec = params.pair(n_l)
+    if mom is None:
+        mom = tuple(jnp.zeros_like(t)
+                    for t in (enc.c, dec.c, enc.b, dec.b))
+    if prev_grad is None:
+        prev_grad = tuple(jnp.zeros_like(t) for t in mom)
+    if xs.ndim == 4:
+        xs = xs[:, None]
+    n_acts = 2 * params.n_stages + 1
+
+    def one(carry, xk):
+        prm, mo, pg = carry
+        acts = model.forward_coord(prm, xk, scales, tap_mode=tap_mode,
+                                   scale_by_dm=scale_by_dm)
+        in_b = coord_ops.center_crop(acts[2 * n_l + 1], q)
+        hin_b = coord_ops.center_crop(acts[2 * n_l + 2], q)
+        out_b = coord_ops.center_crop(acts[n_acts - 1 - 2 * n_l - 1], q)
+        e2, d2 = prm.pair(n_l)
+        r = coord_step_dp(in_b, out_b, hin_b, e2.c, d2.c, e2.b, d2.b,
+                          mo, pg, lr=lr, alpha=alpha, tap_mode=tap_mode,
+                          sym=sym, active=active, axis_name=axis_name)
+        prm = prm.replace_pair(n_l, ConvStage(c=r.c, b=r.b),
+                               ConvStage(c=r.f, b=r.p))
+        return (prm, r.mom, r.prev_grad), r.mse
+
+    (params, mom, prev_grad), mses = lax.scan(
+        one, (params, mom, prev_grad), xs)
+    return CoordStreamResult(params=params, mom=mom,
+                             prev_grad=prev_grad, mses=mses)
+
+
+coord_stream = jax.jit(
+    stream_coord_steps,
+    static_argnames=("scales", "n_l", "q", "tap_mode", "sym", "active",
+                     "scale_by_dm", "axis_name"))
+
+
 def stream_reference_loop(xs, c, f, b, p, mom=None, *, lr=0.2, alpha=0.9,
                           iters=100, maxdiff=False, w0=1.0, w1=10.0,
                           scale_by_dm=True, carry_momentum=True,

@@ -526,6 +526,73 @@ def test_cli_train_stream_mode_all_sweep(tmp_path, capsys):
                                   np.asarray(fresh.stages[i].c)), i
 
 
+def test_cli_train_stream_coord_domain(tmp_path, capsys):
+    """--mode stream --domain coord: one reference coord step per frame
+    inside the scan; per-frame mse logged, training descends on a static
+    scene (npy source), pairs round-robin with --train-pair all."""
+    import json as _json
+    from spectralae.cli.main import main
+    from spectralae.io import checkpoint as ckpt
+    rng = np.random.default_rng(0)
+    frames = np.repeat(rng.integers(0, 255, size=(1, 32, 32, 3))
+                       .astype(np.uint8), 12, axis=0)
+    src = tmp_path / "frames.npy"
+    np.save(src, frames)
+    ck = tmp_path / "ck"
+    main(["train", "--nx", "32", "--layers", "2", "--steps", "12",
+          "--batch", "1", "--mode", "stream", "--domain", "coord",
+          "--stream-k", "3", "--train-pair", "all", "--lr", "1.0",
+          "--log-every", "1", "--carry-momentum",
+          "--source", str(src), "--ckpt", str(ck)])
+    out = capsys.readouterr().out
+    recs = [_json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    recs = [r for r in recs if "mse" in r]
+    assert [r["step"] for r in recs] == list(range(12))
+    # blocks of 3 frames round-robin pairs 0,1,0,1
+    assert [r["pair"] for r in recs] == [0] * 3 + [1] * 3 + [0] * 3 + [1] * 3
+    assert all(np.isfinite(r["mse"]) for r in recs)
+    params, spec, _, extra = ckpt.load(ck)
+    assert int(extra["step"]) == 12
+    ck0 = tmp_path / "ck0"
+    main(["train", "--nx", "32", "--layers", "2", "--steps", "0",
+          "--mode", "stream", "--domain", "coord", "--source", str(src),
+          "--ckpt", str(ck0)])
+    capsys.readouterr()
+    fresh, _, _, _ = ckpt.load(ck0)
+    for i in range(len(params.stages)):
+        assert not np.array_equal(np.asarray(params.stages[i].c),
+                                  np.asarray(fresh.stages[i].c)), i
+
+
+def test_cli_stream_coord_descends_on_static_scene(tmp_path, capsys):
+    """Single-pair coord streaming on a repeated frame: per-frame mse
+    falls across the stream (the coord-domain steady-state loop)."""
+    import json as _json
+    from spectralae.cli.main import main
+    rng = np.random.default_rng(3)
+    frames = np.repeat(rng.integers(0, 255, size=(1, 32, 32, 3))
+                       .astype(np.uint8), 24, axis=0)
+    src = tmp_path / "frames.npy"
+    np.save(src, frames)
+    main(["train", "--nx", "32", "--steps", "24", "--batch", "1",
+          "--mode", "stream", "--domain", "coord", "--stream-k", "6",
+          "--train-pair", "0", "--lr", "0.2", "--log-every", "1",
+          "--carry-momentum", "--source", str(src)])
+    out = capsys.readouterr().out
+    mses = [_json.loads(l)["mse"] for l in out.splitlines()
+            if l.startswith("{") and "mse" in _json.loads(l)]
+    assert len(mses) == 24
+    assert mses[-1] < 0.5 * mses[0]     # measured: 18290 -> ~700 at lr=0.2
+
+
+def test_cli_stream_coord_rejects_frame_sweep():
+    from spectralae.cli.main import main
+    with pytest.raises(SystemExit, match="momentum-domain only"):
+        main(["train", "--nx", "16", "--steps", "2", "--mode", "stream",
+              "--domain", "coord", "--train-pair", "all",
+              "--pair-sweep", "frame"])
+
+
 def test_cli_burst_mode_resume_and_history(tmp_path, capsys):
     """burst mode supports --resume (params + step from the checkpoint)
     and mid-run rotating history like the step trainer (SURVEY §5.4)."""

@@ -228,6 +228,65 @@ def test_stream_sweep_dp_equals_single_device():
                                rtol=2e-5, atol=1e-7)
 
 
+@pytest.mark.parametrize("n_l,q", [(0, 1), (1, 2)])
+def test_coord_stream_equals_sequential_steps(n_l, q):
+    """stream_coord_steps == the host loop [forward_coord → center_crop →
+    coord_step → replace_pair] (the engine's coord-domain '1' loop)."""
+    from spectralae.core.types import ConvStage
+    from spectralae.model import autoencoder as model
+    from spectralae.ops import coord as coord_ops
+    from spectralae.train.coord import coord_step
+    from spectralae.train.streaming import coord_stream
+    params, spec = _deep_net()
+    rng = np.random.default_rng(11)
+    xs = jnp.asarray(rng.normal(size=(3, 3, 16, 16)).astype(np.float32))
+    got = coord_stream(xs, params, spec.scales, n_l, q=q, lr=0.3)
+
+    prm = params
+    enc, dec = prm.pair(n_l)
+    mom = tuple(jnp.zeros_like(t) for t in (enc.c, dec.c, enc.b, dec.b))
+    pg = tuple(jnp.zeros_like(t) for t in mom)
+    mses = []
+    n_acts = 2 * prm.n_stages + 1
+    fwd = jax.jit(lambda p, xx: model.forward_coord(
+        p, xx, spec.scales, tap_mode="ref_gpu"))
+    for k in range(xs.shape[0]):
+        acts = fwd(prm, xs[k][None])
+        in_s = coord_ops.center_crop(acts[2 * n_l + 1][0], q)
+        hin_s = coord_ops.center_crop(acts[2 * n_l + 2][0], q)
+        out_s = coord_ops.center_crop(acts[n_acts - 2 - 2 * n_l][0], q)
+        e2, d2 = prm.pair(n_l)
+        r = coord_step(in_s, out_s, hin_s, e2.c, d2.c, e2.b, d2.b,
+                       mom, pg, lr=0.3)
+        mom, pg = r.mom, r.prev_grad
+        prm = prm.replace_pair(n_l, ConvStage(c=r.c, b=r.b),
+                               ConvStage(c=r.f, b=r.p))
+        mses.append(r.mse)
+    for i in range(len(prm.stages)):
+        np.testing.assert_allclose(
+            np.asarray(got.params.stages[i].c),
+            np.asarray(prm.stages[i].c), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.mses), np.asarray(mses),
+                               rtol=2e-5, atol=1e-7)
+
+
+def test_coord_stream_trains_and_supports_sym():
+    """Static scene: the per-frame coord mse falls; sym=True keeps f tied
+    to c-transposed across the whole stream."""
+    from spectralae.train.streaming import coord_stream
+    params, spec = _deep_net()
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(1, 3, 16, 16)).astype(np.float32))
+    xs = jnp.broadcast_to(x, (12,) + x.shape[1:])
+    r = coord_stream(xs, params, spec.scales, 0, lr=1.0)
+    entry = np.asarray(r.mses)
+    assert entry[-1] < entry[0]
+    rs = coord_stream(xs, params, spec.scales, 0, lr=1.0, sym=True)
+    e, d = rs.params.pair(0)
+    np.testing.assert_array_equal(
+        np.asarray(d.c), np.transpose(np.asarray(e.c), (1, 0, 2, 3)))
+
+
 def test_stream_pair_equals_sequential_inner_bursts():
     """stream_bursts_pair(n_l=1) == the per-frame host loop
     [pair activation via forward layers → fused burst → carry]."""
