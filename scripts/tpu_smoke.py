@@ -202,6 +202,33 @@ def main():
     check("stream sweep vs host pair loop", d < 1e-3,
           f"norm rel {d:.2e}")
 
+    # coordinate-domain stream vs the host [forward -> crop -> step] loop
+    from spectralae.ops import coord as coord_ops
+    from spectralae.train.streaming import coord_stream
+    xs3 = jax.device_put(
+        rng.normal(size=(3, 1, 3, 256, 256)).astype(np.float32) * 50)
+    r_cs = coord_stream(xs3, params, spec.scales, 0, q=2, lr=0.2)
+    prm = params
+    fwd_c = jax.jit(lambda p, xx: model.forward_coord(
+        p, xx, spec.scales, tap_mode="ref_gpu"))
+    from spectralae.core.types import ConvStage as _CS
+    e3, d3 = prm.pair(0)
+    mo3 = tuple(jnp.zeros_like(t) for t in (e3.c, d3.c, e3.b, d3.b))
+    pg3 = mo3
+    for k in range(3):
+        acts3 = fwd_c(prm, xs3[k])
+        crop = lambda a: coord_ops.center_crop(a[0], 2)
+        e3, d3 = prm.pair(0)
+        r_k = coord_step(crop(acts3[1]), crop(acts3[-2]), crop(acts3[2]),
+                         e3.c, d3.c, e3.b, d3.b, mo3, pg3, lr=0.2)
+        mo3, pg3 = r_k.mom, r_k.prev_grad
+        prm = prm.replace_pair(0, _CS(c=r_k.c, b=r_k.b),
+                               _CS(c=r_k.f, b=r_k.p))
+    d = float(np.max(np.abs(np.asarray(r_cs.params.stages[0].c)
+                            - np.asarray(prm.stages[0].c)))
+              / np.max(np.abs(np.asarray(prm.stages[0].c))))
+    check("coord stream vs host loop", d < 1e-3, f"norm rel {d:.2e}")
+
     # burst convergence end-to-end
     t0 = time.perf_counter()
     r100 = fft_burst_pallas(x, x, out0, enc.c, dec.c, enc.b, dec.b,

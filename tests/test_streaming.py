@@ -270,6 +270,38 @@ def test_coord_stream_equals_sequential_steps(n_l, q):
                                rtol=2e-5, atol=1e-7)
 
 
+def test_coord_stream_dp_equals_single_device():
+    """Coordinate streaming under DP (per-frame batch sharded, averaged
+    gradients pmean'd) equals the single-device batched stream."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from spectralae.dist.mesh import make_mesh
+    from spectralae.train.streaming import (CoordStreamResult, coord_stream,
+                                            stream_coord_steps)
+    params, spec = _deep_net()
+    ndev = len(jax.devices())
+    rng = np.random.default_rng(13)
+    xs = jnp.asarray(rng.normal(size=(2, ndev, 3, 16, 16))
+                     .astype(np.float32))
+    want = coord_stream(xs, params, spec.scales, 1, q=2, lr=0.3)
+    mesh = make_mesh(n_data=ndev, n_model=1)
+    r4 = (P(), P(), P(), P())
+    sharded = shard_map(
+        lambda xs_, pp: stream_coord_steps(xs_, pp, spec.scales, 1, q=2,
+                                           lr=0.3, axis_name="data"),
+        mesh=mesh, in_specs=(P(None, "data"), P()),
+        out_specs=CoordStreamResult(params=P(), mom=r4, prev_grad=r4,
+                                    mses=P()),
+        check_vma=False)
+    got = jax.jit(sharded)(xs, params)
+    for i in range(len(params.stages)):
+        np.testing.assert_allclose(
+            np.asarray(got.params.stages[i].c),
+            np.asarray(want.params.stages[i].c), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.mses), np.asarray(want.mses),
+                               rtol=2e-5, atol=1e-7)
+
+
 def test_coord_stream_trains_and_supports_sym():
     """Static scene: the per-frame coord mse falls; sym=True keeps f tied
     to c-transposed across the whole stream."""
