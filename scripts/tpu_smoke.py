@@ -211,7 +211,6 @@ def main():
     prm = params
     fwd_c = jax.jit(lambda p, xx: model.forward_coord(
         p, xx, spec.scales, tap_mode="ref_gpu"))
-    from spectralae.core.types import ConvStage as _CS
     e3, d3 = prm.pair(0)
     mo3 = tuple(jnp.zeros_like(t) for t in (e3.c, d3.c, e3.b, d3.b))
     pg3 = mo3
@@ -222,8 +221,8 @@ def main():
         r_k = coord_step(crop(acts3[1]), crop(acts3[-2]), crop(acts3[2]),
                          e3.c, d3.c, e3.b, d3.b, mo3, pg3, lr=0.2)
         mo3, pg3 = r_k.mom, r_k.prev_grad
-        prm = prm.replace_pair(0, _CS(c=r_k.c, b=r_k.b),
-                               _CS(c=r_k.f, b=r_k.p))
+        prm = prm.replace_pair(0, ConvStage(c=r_k.c, b=r_k.b),
+                               ConvStage(c=r_k.f, b=r_k.p))
     d = float(np.max(np.abs(np.asarray(r_cs.params.stages[0].c)
                             - np.asarray(prm.stages[0].c)))
               / np.max(np.abs(np.asarray(prm.stages[0].c))))

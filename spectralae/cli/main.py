@@ -197,28 +197,59 @@ def _resume_or_engine(args):
         from ..io import checkpoint as ckpt
         params, spec, _, extra = ckpt.load(args.resume)
         start = int(extra.get("step", 0))
+        _sync_args_to_spec(args, spec)
         print(f"resumed from {args.resume} at step {start}", flush=True)
         return params, spec, start
     eng = _make_engine(args)
     return eng.params, eng.spec, 0
 
 
-def _save_params_ckpt(args, params, spec, step_n, final=False):
-    """Mid-run/final checkpointing for the burst/stream trainers (no
-    optimizer state — burst momentum is per-pair and zeroed by reference
-    semantics unless --carry-momentum, which restarts on resume)."""
+def _sync_args_to_spec(args, spec):
+    """Resuming continues THAT training run: the frame pipeline must feed
+    the checkpoint's resolution/depth, not the CLI defaults — spectral ops
+    are resolution-agnostic, so a mismatch would otherwise silently train
+    at the wrong resolution while the manifest still records the old one."""
+    if (args.nx, args.ny or args.nx, args.depth) != (spec.nx, spec.ny,
+                                                     spec.d):
+        print(f"resume: using the checkpoint's geometry "
+              f"{spec.d}x{spec.nx}x{spec.ny} (CLI asked for "
+              f"{args.depth}x{args.nx}x{args.ny or args.nx})", flush=True)
+    args.nx, args.ny, args.depth = spec.nx, spec.ny, spec.d
+
+
+def _ckpt_dispatch(args, path, params, spec, opt, step_n, *, final=False,
+                   extra_files=None):
+    """The one checkpoint policy for every trainer: rotating history /
+    async mid-run / plain sync, with optional sidecar files (optax state).
+
+    A final save FIRST drains the async worker — writing the final
+    checkpoint concurrently with a still-queued mid-run save to the same
+    directory could interleave their files (a step-N manifest over
+    step-M arrays)."""
     from ..io import checkpoint as ckpt
-    if args.ckpt_history > 0:
-        ckpt.save_rotating(args.ckpt, params, spec, None,
-                           extra={"step": step_n}, step=step_n,
-                           keep=args.ckpt_history)
-    elif args.ckpt_async and not final:
-        ckpt.save_async(args.ckpt, params, spec, None,
-                        extra={"step": step_n})
-    else:
-        ckpt.save(args.ckpt, params, spec, None, extra={"step": step_n})
     if final:
         ckpt.wait_pending_saves()
+    if args.ckpt_history > 0:
+        ckpt.save_rotating(path, params, spec, opt,
+                           extra={"step": step_n}, step=step_n,
+                           keep=args.ckpt_history, extra_files=extra_files)
+    elif extra_files is not None:
+        # sidecars have no async variant: write synchronously
+        ckpt.save(path, params, spec, opt, extra={"step": step_n})
+        extra_files(Path(path))
+    elif args.ckpt_async and not final:
+        ckpt.save_async(path, params, spec, opt, extra={"step": step_n})
+    else:
+        ckpt.save(path, params, spec, opt, extra={"step": step_n})
+
+
+def _save_params_ckpt(args, params, spec, step_n, final=False):
+    """Burst/stream trainer checkpointing (no optimizer state — burst
+    momentum is per-pair and restarts on resume; coord stream momentum
+    carries within a run only)."""
+    _ckpt_dispatch(args, args.ckpt, params, spec, None, step_n,
+                   final=final)
+    if final:
         print(f"checkpoint written to {args.ckpt} at step {step_n}",
               flush=True)
 
@@ -304,7 +335,7 @@ def _train_bursts(args):
         if not diverged and step_i % args.log_every == 0:
             good_params, good_moms, good_step = (params, dict(moms),
                                                  last_step)
-        if (args.ckpt and not diverged and step_i
+        if (args.ckpt and args.ckpt_every > 0 and not diverged and step_i
                 and step_i % args.ckpt_every == 0):
             _save_params_ckpt(args, params, spec, last_step)
     pf.close()
@@ -374,9 +405,16 @@ def _train_stream(args):
 
     def flush_coord(xs, n_l):
         """--domain coord: one reference coord step per frame in one scan
-        (train/streaming.py::stream_coord_steps)."""
+        (train/streaming.py::stream_coord_steps).
+
+        Momentum ALWAYS carries across flush blocks (per pair): the
+        reference coord loop carries dc/df continuously between frames
+        (the engine's persistent _mom), and block-boundary zeroing would
+        make trained weights depend on --stream-k, a pure performance
+        knob.  --carry-momentum is an FFT-burst concept (the reference
+        zeroes per burst); it does not apply here."""
         nonlocal params, step_i
-        mo, pg = coord_state[n_l] if args.carry_momentum else (None, None)
+        mo, pg = coord_state[n_l]
         r = coord_stream(xs, params, spec.scales, n_l, q=args.patch_q,
                          lr=args.lr, alpha=args.alpha, mom=mo,
                          prev_grad=pg)
@@ -388,8 +426,7 @@ def _train_stream(args):
                               "mse": float(mses[bad])}), flush=True)
             return False
         params = r.params
-        if args.carry_momentum:
-            coord_state[n_l] = (r.mom, r.prev_grad)
+        coord_state[n_l] = (r.mom, r.prev_grad)
         for k in range(xs.shape[0]):
             if (step_i + k) % args.log_every == 0:
                 _emit({"step": step_i + k, "pair": n_l,
@@ -487,7 +524,9 @@ def _train_stream(args):
     pool0_direct = (not sweep and pairs[0] == 0
                     and abs(spec.scales[0]) == 1)
     diverged = False
-    next_ckpt = start_step + args.ckpt_every
+    # ckpt_every <= 0 disables mid-run saves (the final save still runs)
+    next_ckpt = (start_step + args.ckpt_every if args.ckpt_every > 0
+                 else float("inf"))
     for batch in pf:
         if step_i >= args.steps:
             break
@@ -562,6 +601,7 @@ def _train_steps(args):
         elif opt is None:
             opt = init_opt_state(params)
         start_step = int(extra.get("step", 0))
+        _sync_args_to_spec(args, spec)
         print(f"resumed from {args.resume} at step {start_step}", flush=True)
     else:
         eng = _make_engine(args)
@@ -570,27 +610,14 @@ def _train_steps(args):
                else init_opt_state(params))
 
     def save_ckpt(path, step_n, final=False):
-        if args.ckpt_history > 0:
-            # optax state is written via extra_files so it lands in the
-            # step dir BEFORE the LATEST marker moves — a crash between
-            # the two can't expose a checkpoint with missing opt state
-            sidecar = ((lambda d: ckpt.save_optax_state(
-                Path(d) / "optax.npz", opt)) if use_optax else None)
-            ckpt.save_rotating(path, params, spec,
-                               None if use_optax else opt,
-                               extra={"step": step_n}, step=step_n,
-                               keep=args.ckpt_history,
-                               extra_files=sidecar)
-        elif use_optax:
-            ckpt.save(path, params, spec, None, extra={"step": step_n})
-            ckpt.save_optax_state(Path(path) / "optax.npz", opt)
-        elif args.ckpt_async and not final:
-            ckpt.save_async(path, params, spec, opt,
-                            extra={"step": step_n})
-        else:
-            ckpt.save(path, params, spec, opt, extra={"step": step_n})
-        if final:
-            ckpt.wait_pending_saves()
+        # optax state is written via extra_files so it lands in the
+        # step dir BEFORE the LATEST marker moves — a crash between
+        # the two can't expose a checkpoint with missing opt state
+        sidecar = ((lambda d: ckpt.save_optax_state(
+            Path(d) / "optax.npz", opt)) if use_optax else None)
+        _ckpt_dispatch(args, path, params, spec,
+                       None if use_optax else opt, step_n, final=final,
+                       extra_files=sidecar)
 
     src = _source(args)
     metrics = Path(args.metrics) if args.metrics else None
@@ -633,7 +660,8 @@ def _train_steps(args):
                    "steps_per_sec": (step_i + 1) /
                                     (time.perf_counter() - t_start)},
                   metrics)
-        if args.ckpt and step_i and step_i % args.ckpt_every == 0:
+        if (args.ckpt and args.ckpt_every > 0 and step_i
+                and step_i % args.ckpt_every == 0):
             save_ckpt(args.ckpt, step_i)
     pf.close()
     if args.ckpt:
@@ -938,9 +966,11 @@ def main(argv=None):
                    help="burst mode: inner iterations per burst (the "
                         "reference hard-codes 100, fft_backproplib.cu:1446)")
     p.add_argument("--carry-momentum", action="store_true",
-                   help="burst mode: stream optimizer momentum across "
-                        "bursts instead of zeroing per burst (reference "
-                        "zeroes: fft_backproplib.cu:1420-1423)")
+                   help="burst/stream (fft): carry optimizer momentum "
+                        "across bursts instead of zeroing per burst "
+                        "(reference zeroes: fft_backproplib.cu:1420-1423)."
+                        "  Coord streaming always carries momentum — the "
+                        "reference coord loop does (engine _mom)")
     p.add_argument("--maxdiff", action="store_true",
                    help="burst mode: multiobjective kernel-diversity "
                         "objective (the 'm' key; w0=1, w1=10 as "

@@ -124,7 +124,12 @@ def save_rotating(root: str | Path, params: AEParams, spec: NetSpec,
     olds = sorted(p for p in root.iterdir()
                   if p.is_dir() and p.name.startswith("step_")
                   and p != dest)
-    doomed = olds[:-(keep - 1)] if keep > 1 else olds
+    if keep <= 0:           # unlimited history — prune nothing
+        doomed = []
+    elif keep == 1:
+        doomed = olds
+    else:
+        doomed = olds[:-(keep - 1)]
     for p in doomed:
         import shutil
         shutil.rmtree(p, ignore_errors=True)

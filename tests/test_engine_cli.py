@@ -607,15 +607,21 @@ def test_cli_burst_mode_resume_and_history(tmp_path, capsys):
     assert (ck / "LATEST").exists()
     p1, _, _, extra = ckpt.load(ck)
     assert int(extra["step"]) == 4
-    main(["train", "--nx", "16", "--steps", "7", "--batch", "1",
+    # resume with a mismatched CLI geometry: the checkpoint's wins (a
+    # silent 256-frame pipeline against a 16x16 net would train at the
+    # wrong resolution), and --ckpt-every 0 disables mid-run saves
+    main(["train", "--nx", "256", "--steps", "7", "--batch", "1",
           "--mode", "burst", "--iters", "4", "--log-every", "1",
+          "--ckpt-every", "0",
           "--resume", str(ck), "--ckpt", str(ck)])
     out = capsys.readouterr().out
     assert "resumed" in out
+    assert "checkpoint's geometry 3x16x16" in out
     recs = [_json.loads(l) for l in out.splitlines() if l.startswith("{")]
     assert [r["step"] for r in recs if "mseN" in r] == [4, 5, 6]
-    p2, _, _, extra = ckpt.load(ck)
+    p2, spec2, _, extra = ckpt.load(ck)
     assert int(extra["step"]) == 7
+    assert (spec2.nx, spec2.ny) == (16, 16)
     assert not np.array_equal(np.asarray(p1.stages[0].c),
                               np.asarray(p2.stages[0].c))
 

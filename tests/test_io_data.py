@@ -396,6 +396,16 @@ def test_rotating_rollback_save_survives_prune(tmp_path):
     assert dirs == ["step_00000000"]
 
 
+def test_rotating_keep_nonpositive_is_unlimited(tmp_path):
+    """keep<=0 means unlimited history — prune nothing (the original
+    contract; a keep=0 caller must never lose checkpoints)."""
+    cfg, spec, params = setup()
+    for step in (1, 2, 3):
+        ckpt.save_rotating(tmp_path / "h", params, spec, step=step, keep=0)
+    dirs = sorted(p.name for p in (tmp_path / "h").iterdir() if p.is_dir())
+    assert dirs == ["step_00000001", "step_00000002", "step_00000003"]
+
+
 def test_async_save_commits_and_orders(tmp_path):
     cfg, spec, params = setup()
     import jax.numpy as jnp
