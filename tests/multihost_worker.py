@@ -91,12 +91,33 @@ def main():
         x_tp, x_tp, out0_tp, enc_tp.c, dec_tp.c, enc_tp.b, dec_tp.b)
     mses_tp = np.asarray(r_tp.mses, dtype=np.float64)
 
+    # streaming trainer across the process boundary: 2 frames × a 3-iter
+    # burst each inside one sharded scan, per-frame batch split across
+    # the hosts' data shards (the production steady-state path)
+    from jax import shard_map
+    from spectralae.train.streaming import StreamResult, stream_bursts
+    xs_stream = jnp.stack([x, x + 1.0])          # [K=2, 8, 2, 16, 16]
+    xs_stream = jax.device_put(
+        xs_stream, NamedSharding(mesh, P(None, "data")))
+    stream_sharded = jax.jit(shard_map(
+        lambda xs_, c, f, b, p: stream_bursts(
+            xs_, c, f, b, p, iters=3, axis_name="data"),
+        mesh=mesh,
+        in_specs=(P(None, "data"), P(), P(), P(), P()),
+        out_specs=StreamResult(c=P(), f=P(), b=P(), p=P(),
+                               mom=(P(), P(), P(), P()), mses=P()),
+        check_vma=False))
+    r_st = stream_sharded(xs_stream, enc.c, dec.c, enc.b, dec.b)
+    mses_st = np.asarray(r_st.mses, dtype=np.float64)
+
     print(json.dumps({
         "pid": pid,
         "coordinator": is_coordinator(),
         "losses": [round(v, 6) for v in losses],
         "burst_mse0": float(mses[0]), "burst_mseN": float(mses[-1]),
         "tp_mse0": float(mses_tp[0]), "tp_mseN": float(mses_tp[-1]),
+        "stream_mse0": float(mses_st[0, 0]),
+        "stream_mseN": float(mses_st[-1, -1]),
     }), flush=True)
 
 

@@ -58,3 +58,7 @@ def test_two_process_train_and_burst():
     np.testing.assert_allclose(r0["tp_mse0"], r0["burst_mse0"], rtol=1e-4)
     np.testing.assert_allclose(r0["tp_mseN"], r0["burst_mseN"], rtol=1e-3)
     np.testing.assert_allclose(r0["tp_mseN"], r1["tp_mseN"], rtol=1e-6)
+    # the streaming trainer runs across the process boundary and descends
+    assert r0["stream_mseN"] < r0["stream_mse0"]
+    np.testing.assert_allclose(r0["stream_mseN"], r1["stream_mseN"],
+                               rtol=1e-6)
