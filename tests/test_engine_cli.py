@@ -899,6 +899,23 @@ def test_train_demo_example(tmp_path):
     assert (tmp_path / "mse.csv").exists()
 
 
+def test_stream_demo_example(tmp_path):
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]
+                           / "examples"))
+    import stream_demo
+    err0, err1 = stream_demo.main(["--nx", "16", "--frames", "4",
+                                   "--layers", "2", "--iters", "20",
+                                   "--outdir", str(tmp_path)])
+    assert err1 < err0
+    assert (tmp_path / "recon_after.png").exists()
+    # single-pair variant too
+    err0, err1 = stream_demo.main(["--nx", "16", "--frames", "3",
+                                   "--layers", "1", "--iters", "20",
+                                   "--outdir", str(tmp_path)])
+    assert err1 < err0
+
+
 def test_engine_full_checkpoint_roundtrip(tmp_path):
     eng = make_engine(nx=32)
     eng.add_layer()
