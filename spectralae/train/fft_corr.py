@@ -63,7 +63,7 @@ from jax import lax
 
 from ..losses.losses import diversity_gradients
 from ..ops import spectral
-from ..optim.update import burst_inertia
+from ..optim.update import GRAD_CLIP, burst_inertia
 from .fft import FFTBurstResult
 
 
@@ -275,8 +275,9 @@ def corr_precompute(x, expout, out0, c0, f0, *, scale_by_dm=True,
     X0 = jnp.mean(X[:, :, 0, 0].real, axis=0)                # [D]
     Y0 = jnp.mean(Y[:, :, 0, 0].real, axis=0)
     E00 = jnp.mean(E0[:, :, 0, 0].real, axis=0)              # [D]
+    G00 = jnp.mean(G0[:, :, 0, 0].real, axis=0)              # [D]
     out = dict(XX=XX, XE0=XE0, XG0=XG0, E0E0=E0E0, GG0=GG0, EG0=EG0,
-               X0=X0, Y0=Y0, E00=E00)
+               X0=X0, Y0=Y0, E00=E00, G00=G00)
     if axis_name is not None:
         out = jax.tree.map(lambda t: lax.pmean(t, axis_name), out)
     return out
@@ -512,7 +513,7 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
     E00 = E_cont0 + dE0
 
     out = dict(XX=XX, XE0=XE0, XG0=XG0, E0E0=E0E0, GG0=GG0, EG0=EG0,
-               X0=X0, Y0=X0, E00=E00)
+               X0=X0, Y0=X0, E00=E00, G00=-dE0)
     if axis_name is not None:
         out = jax.tree.map(lambda t: lax.pmean(t, axis_name), out)
     return out
@@ -550,14 +551,9 @@ def corr_iterate(T, c, f, b, p, mom=None, *, nx, ny,
     XE0f = T["XE0"].reshape(dD, dD, n2)          # [d (X̄), d' (E₀), L2]
     XG0f = T["XG0"].reshape(dD, dD, n2)
     E0E0, GG0, EG0 = T["E0E0"], T["GG0"], T["EG0"]
-    X0, Y0, E00 = T["X0"], T["Y0"], T["E00"]
+    X0, E00, G00 = T["X0"], T["E00"], T["G00"]
     g_scatter = jnp.asarray(maps["g_scatter_pair"])       # [P², n2]
     g_pair = jnp.asarray(maps["g_pair"])                  # [n2, P²]
-    XXd = (XXf.reshape(dd, n4) @ jnp.asarray(maps["g_xxd"])
-           ).reshape(dD, dD, n2, n2)
-    # the static part of T, both orientations ([d',d] for gc, [d,d'] for gf)
-    EGf = XE0f + XG0f                                      # [d, d', L2]
-    EGt = jnp.transpose(EGf, (1, 0, 2))                    # [d', d, L2]
     XE0pair = (XE0f.reshape(dd, n2) @ g_pair).reshape(dD, dD, P, P)
 
     if mom is None:
@@ -569,76 +565,151 @@ def corr_iterate(T, c, f, b, p, mom=None, *, nx, ny,
     mom = (mom[0].reshape(dM, dD, P), mom[1].reshape(dD, dM, P),
            mom[2], mom[3])
 
-    def composed_kernel(cc, ff):
-        """K[d',d][L2] = Σ_m Σ_{q+r=u} f·c (f ∗ c); the (q,r)→u
-        scatter-sum is a one-hot matmul."""
-        K2 = jnp.einsum("emq,mdr->edqr", ff, cc).reshape(dd, P * P)
-        return (K2 @ g_scatter).reshape(dD, dD, n2)
+    # ---- bias-as-tap extended channels -----------------------------
+    # The DC bias injections (conv_k adds b·Nx·Ny at the zero bin only,
+    # cu:183-184) are algebraically a convolution against a CONSTANT
+    # input channel (spectrum norm·δ_DC).  Extending the tape with that
+    # channel — c̃ gains a bias column (scale s2/s1 = dM so the composed
+    # DC comes out right) and a frozen constant-maker row (1/s1 at the
+    # center tap), f̃ gains the decoder-bias column — folds the entire
+    # per-iteration DC-correction block (~1.05 of ~3.9 µs/it measured)
+    # into the SAME einsums that produce the tap gradients: the lag
+    # tensors extend with constant rows/columns (the DC exponential is
+    # lag-independent), and gradients/updates for b, p fall out of the
+    # extended entries.  Two embeddings of c̃ are needed because the
+    # reference's gradient_k_io drops the hidden /dM (the "no-/M H
+    # quirk", cu:438-455): the FORWARD embedding (bias column ab·b,
+    # maker row 1/s1) makes the composed K̃ produce the exact bias DC,
+    # while the GRADIENT einsum for gf must weight the bias channel by
+    # plain b (and the maker row by 1) — a static per-entry rescale of
+    # the carry, GM = SC⁻¹ on the bias entries.  With that, the raw
+    # extended gradients equal the reference gradients on EVERY
+    # parameter slot, so the update rule stays exactly the reference's
+    # per-parameter normalized step (backprop_d, cu:605-652):
+    # dw = SC·[(1−α)·lr·g/max(|g|, 10)] + α·mom, where SC is the
+    # entry/parameter scale (ab on the c̃ bias column, 1 on live taps
+    # and the f̃ bias column, 0 on frozen entries) — clipping sees the
+    # reference-scale gradient, the entry moves at entry scale, and
+    # frozen entries never move.
+    dDe, dMe = dD + 1, dM + 1
+    p0 = P // 2                   # the (0,0) tap carries the biases
+    ab = s2 / s1                  # bias-column scale: c̃[m,D,p0] = ab·b
+    dde = dD * dDe
 
-    K0 = composed_kernel(c, f)                             # the anchor
+    def embed_c(cc, bb, col_scale, mk_row=False):
+        col = jnp.zeros((dM, 1, P)).at[:, 0, p0].set(col_scale * bb)
+        ext = jnp.concatenate([cc, col], axis=1)          # [dM, dDe, P]
+        row = jnp.zeros((1, dDe, P))
+        if mk_row:
+            row = row.at[0, dD, p0].set(1.0 / s1)
+        return jnp.concatenate([ext, row], axis=0)        # [dMe, dDe, P]
+
+    def embed_f(ff, pp):
+        col = jnp.zeros((dD, 1, P)).at[:, 0, p0].set(pp)
+        return jnp.concatenate([ff, col], axis=1)         # [dD, dMe, P]
+
+    SCc = np.zeros((dMe, dDe, P), np.float32)
+    SCc[:dM, :dD, :] = 1.0
+    SCc[:dM, dD, p0] = ab
+    SCf = np.zeros((dD, dMe, P), np.float32)
+    SCf[:, :dM, :] = 1.0
+    SCf[:, dM, p0] = 1.0
+    SCc, SCf = jnp.asarray(SCc), jnp.asarray(SCf)
+    # gradient-side rescale of the carried c̃ (see the header comment):
+    # bias column back to plain b, maker row to 1 — all other entries 1
+    GMc = np.ones((dMe, dDe, P), np.float32)
+    GMc[:dM, dD, p0] = 1.0 / ab
+    GMc[dM, dD, p0] = s1
+    GMc = jnp.asarray(GMc)
+
+    # extended static tensors: the constant channel's correlations are
+    # lag-independent DC products (w(DC)=1, e^{i·0·v}=1)
+    dE0 = norm * (s2 * (jnp.sum(f, axis=-1) @ b) + p)     # initial biases
+    X0e = jnp.concatenate([X0, jnp.full((1,), norm)])     # [dDe]
+    XXe = jnp.concatenate([
+        jnp.concatenate(
+            [XXf, jnp.broadcast_to((norm * X0)[:, None, None],
+                                   (dD, 1, n4))], axis=1),
+        jnp.broadcast_to((norm * X0e)[None, :, None], (1, dDe, n4)),
+    ], axis=0)                                            # [dDe, dDe, n4]
+    XXd = (XXe.reshape(dDe * dDe, n4) @ jnp.asarray(maps["g_xxd"])
+           ).reshape(dDe, dDe, n2, n2)
+    # windows of the extended anchor error Ẽ₀ = s1·K̃̂₀X̃ − Y (the biased
+    # anchor forward's error; = E₀ exactly when out0 is the true forward)
+    E0full = jnp.concatenate([
+        XE0f + XG0f + X0[:, None, None] * dE0[None, :, None],
+        jnp.broadcast_to((norm * (E00 + G00 + dE0))[None, :, None],
+                         (1, dD, n2)),
+    ], axis=0)                                            # [d̃, e, L2]
+    E0t = jnp.transpose(E0full, (1, 0, 2))                # [e, d̃, L2]
+    E0E0ext = (E0E0 + 2.0 * EG0 + GG0
+               + jnp.sum((2.0 * (E00 + G00) + dE0) * dE0))
+
+    def composed_kernel(cc, ff):
+        """K̃[e,d̃][L2] = Σ_m̃ Σ_{q+r=u} f̃·c̃ (f̃ ∗ c̃); the (q,r)→u
+        scatter-sum is a one-hot matmul."""
+        K2 = jnp.einsum("emq,mdr->edqr", ff, cc).reshape(dde, P * P)
+        return (K2 @ g_scatter).reshape(dD, dDe, n2)
+
+    def inertia_ext(wgt, g, mo, SC):
+        # g is reference-scale on every parameter slot; SC converts the
+        # reference update to entry scale and freezes the rest
+        dw = SC * ((1.0 - alpha) * del_eff * g
+                   / jnp.maximum(jnp.abs(g), GRAD_CLIP)) + alpha * mo
+        return wgt - dw, dw
 
     def body(i, carry):
-        cc, ff, bb, pp, Dc, Df, Db, Dp, mses = carry
-        dK = composed_kernel(cc, ff) - K0
-        # R(ΔK)[d',d][L2] = Σ_{d'',u} ΔK[d',d'',u]·XX[d,d''][L2−u]
-        R = jnp.einsum("ecu,dcLu->edL", dK, XXd)           # [d',d,L2²]
-        Tt = s1 * R + EGt                                  # [d',d,L2²]
-        Tg = (Tt.reshape(dd, n2) @ g_pair).reshape(dD, dD, P, P)
-        gc = jnp.einsum("emq,edpq->mdp", ff, Tg)           # [M,D,P]
-        # gf contracts the SAME tensor in [d, d'] orientation
+        cc, ff, Dc, Df, rec = carry
+        dK = composed_kernel(cc, ff) - K0e
+        # R(ΔK̃)[e,d̃][L2] = Σ_{c̃,u} ΔK̃[e,c̃,u]·XX̃[d̃,c̃][L2−u]
+        R = jnp.einsum("ecu,dcLu->edL", dK, XXd)           # [e,d̃,L2²]
+        Tt = s1 * R + E0t                                  # [e,d̃,L2²]
+        Tg = (Tt.reshape(dde, n2) @ g_pair).reshape(dD, dDe, P, P)
+        gc = jnp.einsum("emq,edpq->mdp", ff, Tg)           # [M̃,D̃,P]
+        # gf contracts the SAME tensor in [d̃, e] orientation, with the
+        # gradient-side embedding of c̃ (bias channel at plain b — the
+        # reference's no-/M hidden; maker row at 1 so the p slot comes
+        # out at reference scale)
         Tg2 = jnp.transpose(Tg, (1, 0, 2, 3))
-        gf = jnp.einsum("mdr,deqr->emq", cc, Tg2)          # [D,M,P]
-        # DC corrections (bias injections at the zero bin, cu:183-184)
-        fs = jnp.sum(ff, axis=-1)                          # [D, M]
-        csX0 = jnp.sum(cc, axis=-1) @ X0                   # [M]
-        dE = norm * (s2 * (fs @ bb) + pp)                  # ΔE[d']
-        E_cont0 = s1 * (fs @ csX0) - Y0                    # [D]
-        E_act0 = E_cont0 + dE
-        gc = gc + (X0[None] * (fs.T @ dE)[:, None])[:, :, None]
-        gf = gf + (dE[:, None] * csX0[None]
-                   + E_act0[:, None] * (norm * bb)[None])[:, :, None]
-        db = norm * (fs.T @ E_act0)                        # [M]
-        dp = norm * E_act0                                 # [D]
-        # Parseval MSE of the post-update-i weights' output — the value
-        # the reference logs for inner iteration i (cu:1463-1464)
-        mse_raw = E0E0 + 2.0 * EG0 + GG0 \
-            + 2.0 * s1 * jnp.einsum("ecu,ceu->", dK, EGf) \
-            + s1 * s1 * jnp.einsum("edu,edu->", dK, R) \
-            + jnp.sum(2.0 * E_cont0 * dE + dE * dE)
-        mses = mses.at[i].set(mse_raw * mse_norm)
+        gf = jnp.einsum("mdr,deqr->emq", GMc * cc, Tg2)    # [D,M̃,P]
+        # Record ΔK̃ instead of reducing it to the Parseval MSE here: the
+        # ⟨ΔK,·⟩ contractions are full-array→scalar reductions, the most
+        # expensive ops of the body — recording the tiny tensor and
+        # batching the contractions over all iterations AFTER the loop
+        # computes the identical trajectory (cu:1463-1464) at O(1)
+        # amortized cost.
+        rec = rec.at[i].set(dK.reshape(dde * n2))
 
-        gc, gf, db, dp = jax.tree.map(lambda t: t / n_norm,
-                                      (gc, gf, db, dp))
+        gc = gc / n_norm
+        gf = gf / n_norm
         if maxdiff:
             cd, fd, bd, pd = diversity_gradients(
-                cc.reshape(kshape_c), ff.reshape(kshape_f), bb, pp)
-            gc = w0 * gc - w1 * cd.reshape(dM, dD, P)
-            gf = w0 * gf - w1 * fd.reshape(dD, dM, P)
-            db = w0 * db - w1 * bd
-            dp = w0 * dp - w1 * pd
-
-        def inertia(wgt, g, mo):
-            return burst_inertia(wgt, g, mo, del_eff, alpha)
+                cc[:dM, :dD].reshape(kshape_c),
+                ff[:, :dM].reshape(kshape_f),
+                cc[:dM, dD, p0] / ab, ff[:, dM, p0])
+            # gradients are reference-scale on every parameter slot, so
+            # the diversity grads embed at scale 1 (the slot IS the
+            # parameter's gradient; SC handles entry scale at update)
+            gc = w0 * gc - w1 * embed_c(cd.reshape(dM, dD, P), bd, 1.0)
+            gf = w0 * gf - w1 * embed_f(fd.reshape(dD, dM, P), pd)
 
         # the burst applies exactly `iters` updates; the gradient of the
         # final forward is discarded (matching fft_pallas/fft semantics)
         keep = i < iters
         sel = lambda new, old: jnp.where(keep, new, old)
-        cc_n, Dc_n = inertia(cc, gc, Dc)
-        ff_n, Df_n = inertia(ff, gf, Df)
-        bb_n, Db_n = inertia(bb, db, Db)
-        pp_n, Dp_n = inertia(pp, dp, Dp)
-        return (sel(cc_n, cc), sel(ff_n, ff), sel(bb_n, bb), sel(pp_n, pp),
-                sel(Dc_n, Dc), sel(Df_n, Df), sel(Db_n, Db), sel(Dp_n, Dp),
-                mses)
+        cc_n, Dc_n = inertia_ext(cc, gc, Dc, SCc)
+        ff_n, Df_n = inertia_ext(ff, gf, Df, SCf)
+        return (sel(cc_n, cc), sel(ff_n, ff),
+                sel(Dc_n, Dc), sel(Df_n, Df), rec)
 
     # ---- iteration 0: gradients from the caller-provided O₀ ----
     # (the burst trains against the frozen first output, cu:1430-1441;
-    # at i=0 there is no recomputed forward, so E = O₀−Y exactly)
-    mses = jnp.zeros((iters + 1,), jnp.float32)
+    # at i=0 there is no recomputed forward, so E = O₀−Y exactly — kept
+    # outside the loop because it uses the PROVIDED output's error, not
+    # the anchor forward's)
+    rec = jnp.zeros((iters + 1, dde * n2), jnp.float32)
     if vary_axes:
-        mses = lax.pcast(mses, tuple(vary_axes), to="varying")
-    mses = mses.at[0].set(E0E0 * mse_norm)
+        rec = lax.pcast(rec, tuple(vary_axes), to="varying")
     gc0 = jnp.einsum("emq,edpq->mdp",
                      f, jnp.transpose(XE0pair, (1, 0, 2, 3)))
     gf0 = jnp.einsum("mdr,deqr->emq", c, XE0pair)
@@ -663,11 +734,33 @@ def corr_iterate(T, c, f, b, p, mom=None, *, nx, ny,
     b1_, Db = inertia0(b, db0, mom[2])
     p1_, Dp = inertia0(p, dp0, mom[3])
 
-    # iterations 1..iters: body(i) records mse_i (post-update forward) and
-    # produces the update for iteration i+1 (discarded at i == iters)
-    init = (c1_, f1_, b1_, p1_, Dc, Df, Db, Dp, mses)
+    # the anchor K̃₀ is the extended composition of the INITIAL weights
+    # (biases included — the anchor forward is the biased forward)
+    ce0 = embed_c(c, b, ab, mk_row=True)
+    fe0 = embed_f(f, p)
+    K0e = composed_kernel(ce0, fe0)
+
+    # iterations 1..iters: body(i) records ΔK̃_i (the post-update-i
+    # forward's state) and produces the update for iteration i+1
+    # (discarded at i == iters)
+    init = (embed_c(c1_, b1_, ab, mk_row=True), embed_f(f1_, p1_),
+            embed_c(Dc, Db, ab), embed_f(Df, Dp), rec)
     out = lax.fori_loop(1, iters + 1, body, init)
-    cc, ff, bb, pp, Dc, Df, Db, Dp, mses = out
+    cce, ffe, Dce, Dfe, rec = out
+    cc, bb = cce[:dM, :dD], cce[:dM, dD, p0] / ab
+    ff, pp = ffe[:, :dM], ffe[:, dM, p0]
+    Dc, Db = Dce[:dM, :dD], Dce[:dM, dD, p0] / ab
+    Df, Dp = Dfe[:, :dM], Dfe[:, dM, p0]
+
+    # ---- Parseval MSE trajectory from the recorded state (batched over
+    # all iterations; exactly the in-loop formula, cu:1463-1464) ----
+    dKs = rec[1:].reshape(iters, dD, dDe, n2)
+    Rs = jnp.einsum("iecu,dcLu->iedL", dKs, XXd)
+    mse_raw = (E0E0ext
+               + 2.0 * s1 * jnp.einsum("iecu,ceu->i", dKs, E0full)
+               + s1 * s1 * jnp.einsum("iedu,iedu->i", dKs, Rs))
+    mses = jnp.concatenate([(E0E0 * mse_norm)[None],
+                            mse_raw * mse_norm])
     return FFTBurstResult(
         c=cc.reshape(kshape_c), f=ff.reshape(kshape_f), b=bb, p=pp,
         mom=(Dc.reshape(kshape_c), Df.reshape(kshape_f), Db, Dp),
