@@ -268,7 +268,7 @@ def main():
                f"fft_burst_100_ms_{nxy}",
                f"fft_backprop_iters_per_sec_{nxy}", iters_n)
 
-    # ---- 2048² (16 MP), fused anchor (out0=None): at this size the
+    # ---- 2048² (4.2 MP), fused anchor (out0=None): at this size the
     # precompute auto-routes through the single-pass Pallas kernel
     # (ops/pallas_windows.anchor_windows) ----
     cfg2k = Config(nx=2048, ny=2048, d=3,

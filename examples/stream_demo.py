@@ -10,10 +10,9 @@ Prints per-frame entry/exit MSEs and writes before/after reconstructions.
 
 import argparse
 import sys
-from pathlib import Path as _P
-
-sys.path.insert(0, str(_P(__file__).resolve().parents[1]))
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
 
@@ -57,7 +56,9 @@ def main(argv=None):
         for _ in range(args.frames)])               # [K, 1, 3, nx, nx]
 
     fwd = jax.jit(lambda p, xx: model.forward_fft(p, xx, spec.scales))
-    recon0 = np.asarray(fwd(params, xs[0])[0])
+    # before/after are both evaluated on the LAST frame so the printed
+    # delta isolates the training effect from frame content drift
+    recon0 = np.asarray(fwd(params, xs[-1])[0])
 
     if args.layers > 1:
         # every pair bursts on every frame, the whole session in one jit
@@ -84,7 +85,7 @@ def main(argv=None):
     write_png(out / "input.png", pipeline.tensor_to_frame(x_last))
     write_png(out / "recon_before.png", pipeline.tensor_to_frame(recon0))
     write_png(out / "recon_after.png", pipeline.tensor_to_frame(recon1))
-    err0 = float(np.mean((recon0 - np.asarray(xs[0, 0])) ** 2))
+    err0 = float(np.mean((recon0 - x_last) ** 2))
     err1 = float(np.mean((recon1 - x_last) ** 2))
     print(f"reconstruction mse: {err0:.4g} -> {err1:.4g}")
     return err0, err1

@@ -1,7 +1,7 @@
-"""2048² (16 MP) burst cost: fused vs unfused anchor (VERDICT r2 item 3).
+"""2048² (4.2 MP) burst cost: fused vs unfused anchor (VERDICT r2 item 3).
 
 Round 2 measured 9.7 ms/100-iter burst at 2048² — the precompute's signal
-FFTs/plane products re-emerge at 16 MP.  The fused anchor eliminates the
+FFTs/plane products re-emerge at 2048².  The fused anchor eliminates the
 out0 FFT and the XG0 plane pipeline; this script measures both contracts.
 """
 
@@ -34,7 +34,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=N,
                     help="grid edge (4096 exercises the omega_y-chunked "
-                         "kernel; 64 MP needs it to fit scoped VMEM)")
+                         "kernel; 4096² needs it to fit scoped VMEM)")
     N = ap.parse_args().n
     rng = np.random.default_rng(0)
     x0 = jax.device_put(

@@ -89,7 +89,7 @@ def main():
     err = float(pw_check(x))
     check("pallas corr windows", err < 1e-5, f"norm rel {err:.2e}")
 
-    # omega_y-chunked anchor kernel (the 64 MP scoped-VMEM layout) vs
+    # omega_y-chunked anchor kernel (the 4096² scoped-VMEM layout) vs
     # the single-chunk call, compiled on real TPU at small scale
     from spectralae.ops.pallas_windows import anchor_windows
     from spectralae.ops import spectral as _spectral

@@ -13,7 +13,7 @@ reads a (2h+1)² window).
 
 The XLA formulation materializes the [D·E, nx, nyr] complex product planes
 in HBM and re-reads them for the window matmuls — 2×(D·E/D) more HBM
-traffic than the inputs themselves at 16 MP (the dominant precompute cost
+traffic than the inputs themselves at 2048² (the dominant precompute cost
 measured at 2048²).  This kernel fuses product and window transform: the
 pair products live only in VMEM, one x-tile at a time, and each grid step
 feeds two stacked MXU matmuls
@@ -188,7 +188,7 @@ def _make_anchor_kernel(D: int, TX: int, nx: int, s1: float):
     # Mosaic only lowers DEFAULT/HIGHEST dots; everything here runs
     # HIGHEST — the anchor-spectrum x-stage contracts K=nk2 (~9) so it
     # costs nothing, unlike XLA's full-grid kernel_spectrum where
-    # "highest" compiles pathologically at 16 MP
+    # "highest" compiles pathologically at 2048²
     hi = jax.lax.Precision.HIGHEST
 
     def dot(a, b):
@@ -239,7 +239,7 @@ def _make_anchor_kernel(D: int, TX: int, nx: int, s1: float):
             # spectra tiles come from the y-stage tap partials
             # T = taps·e^{-iθy}, themselves rebuilt here from the tiny
             # taps — [D², nk, nyr] partials would cost 12 MB of scoped
-            # VMEM at 64 MP, two [nk, nl]×[nl, nyr] dots cost ~nothing
+            # VMEM at 4096², two [nk, nl]×[nl, nyr] dots cost ~nothing
             egr = -xr[e]
             egi = -xi[e]
             for d in range(D):
@@ -300,7 +300,7 @@ def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
 
     where ``EG = s1·K̂₀X − X`` is the continuum anchor error
     (train/fft_corr.py corr_precompute_fused).  Neither the anchor
-    spectra ``K̂₀`` ([D², nx, nyr] — 2×151 MB at 16 MP) nor the EG
+    spectra ``K̂₀`` ([D², nx, nyr] — 2×151 MB at 2048²) nor the EG
     planes ever reach HBM: the spectra tiles are generated on the fly
     from the separable tap partials (ops/dft.kernel_spectrum's
     factorization), EG lives per x-tile in VMEM, and the correlation
@@ -335,7 +335,7 @@ def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
 
     # the kernel rebuilds the y-stage tap partials T = taps·e^{-iθy}
     # per pair from these tiny operands (a [D², nk, nyr] T array would
-    # cost 12 MB of scoped VMEM at 64 MP and OOM the kernel stack)
+    # cost 12 MB of scoped VMEM at 4096² and OOM the kernel stack)
     cx, sx, cy, sy = map(jnp.asarray,
                          dft._axis_bases(nk2, nl2, nx, ny)[:4])
     taps = K0taps.reshape(dd, nk2, nl2)
@@ -358,7 +358,7 @@ def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
 
     # ω_y chunking: Mosaic's scoped-VMEM working set (input blocks,
     # lane-padded y-bases, and the unrolled-loop temporaries) all scale
-    # with the kernel's y width; above the proven 16 MP width the call
+    # with the kernel's y width; above the proven 2048² width the call
     # splits the ω_y axis into static chunks — every emitted quantity is
     # bin-local, so chunk partials sum exactly (same algebra as the
     # x-row slabs) and e0 is read from the DC-containing chunk

@@ -70,15 +70,22 @@ def tree_update(params, grads, moms, prev_grads, lr, alpha, *, active=False):
 
 
 def burst_inertia(w: jax.Array, g: jax.Array, mom: jax.Array,
-                  lr_eff: float, alpha: float):
+                  lr_eff: float, alpha: float, scale=None):
     """The burst weight update (``backprop_d``, fft_backproplib.cu:605-652):
     normalized/clipped gradient with inertia, effective lr already scaled
     (the reference burst uses ``0.1·del``).  Shared by every jnp-level
     burst body so the clipping rule lives in ONE place; the in-Pallas-
     kernel copies mirror it and are equality-tested against these paths.
 
+    ``scale``: optional per-entry rescale of the clipped step (not the
+    momentum) — the extended-tape corr body uses it to convert the
+    reference-scale gradient step to entry scale and to freeze the
+    constant-maker entries (zero scale).
+
     Returns ``(new_w, new_mom)``.
     """
-    dw = (1.0 - alpha) * lr_eff * g / jnp.maximum(jnp.abs(g), GRAD_CLIP) \
-        + alpha * mom
+    step = (1.0 - alpha) * lr_eff * g / jnp.maximum(jnp.abs(g), GRAD_CLIP)
+    if scale is not None:
+        step = scale * step
+    dw = step + alpha * mom
     return w - dw, dw

@@ -63,7 +63,7 @@ from jax import lax
 
 from ..losses.losses import diversity_gradients
 from ..ops import spectral
-from ..optim.update import GRAD_CLIP, burst_inertia
+from ..optim.update import burst_inertia
 from .fft import FFTBurstResult
 
 
@@ -221,7 +221,7 @@ def corr_precompute(x, expout, out0, c0, f0, *, scale_by_dm=True,
     K0f = dft.kernel_spectrum(K0taps, nx, ny)          # [D, D, nx, nyr]
     s1 = (1.0 / (dM * dD)) if scale_by_dm else 1.0
     # elementwise d-reduce: D is far below the MXU tile, the VPU is
-    # natively fp32, and this avoids matmul-emulation passes at 16 MP
+    # natively fp32, and this avoids matmul-emulation passes at 2048²
     O0fwd = jnp.sum(K0f[None] * X[:, None], axis=2) * s1
     G0 = O0fwd - O0
     # batch-averaged correlation tensors (Hermitian products ⇒ real); the
@@ -273,11 +273,10 @@ def corr_precompute(x, expout, out0, c0, f0, *, scale_by_dm=True,
     # DC scalars (bin 0 of real-signal spectra is real); batch-averaged —
     # every DC correction below is linear in the per-frame scalars
     X0 = jnp.mean(X[:, :, 0, 0].real, axis=0)                # [D]
-    Y0 = jnp.mean(Y[:, :, 0, 0].real, axis=0)
     E00 = jnp.mean(E0[:, :, 0, 0].real, axis=0)              # [D]
     G00 = jnp.mean(G0[:, :, 0, 0].real, axis=0)              # [D]
     out = dict(XX=XX, XE0=XE0, XG0=XG0, E0E0=E0E0, GG0=GG0, EG0=EG0,
-               X0=X0, Y0=Y0, E00=E00, G00=G00)
+               X0=X0, E00=E00, G00=G00)
     if axis_name is not None:
         out = jax.tree.map(lambda t: lax.pmean(t, axis_name), out)
     return out
@@ -398,7 +397,7 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
     if pallas_windows is None:
         # the fused Pallas window kernel pays off once the [D², nx, nyr]
         # product planes stop fitting in cache-ish sizes and their HBM
-        # round-trip dominates (measured at 16 MP); below that the XLA
+        # round-trip dominates (measured at 2048²); below that the XLA
         # path is already dispatch-bound.  The model-sharded x-slab
         # variant stays opt-in (pallas_windows=True): it is equality-
         # tested on the virtual mesh but this rig cannot hardware-prove
@@ -423,7 +422,7 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
         else:
             # "high" (bf16_3x, ~1e-6 rel) — anchor-spectrum rounding is
             # never measured back, but "highest" compiles pathologically
-            # at 16 MP on this toolchain
+            # at 2048² on this toolchain
             K0f = dft.kernel_spectrum(K0taps, nx, ny,
                                       precision="high")
             # continuum error (Y = X): bin-wise small once trained —
@@ -434,7 +433,7 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
             # runs as an elementwise broadcast-multiply-reduce: D=3 is
             # far below the MXU tile, and the VPU is natively fp32 —
             # exact without the 6-pass "highest" matmul emulation
-            # (2.8 → ~0.5 ms at 16 MP)
+            # (2.8 → ~0.5 ms at 2048²)
             EG = jnp.sum(K0f[None] * X[:, None], axis=2) * s1 - X
             Xc = jnp.conj(X)
             prods_xx = jnp.mean(Xc[:, :, None] * X[:, None],
@@ -513,7 +512,7 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
     E00 = E_cont0 + dE0
 
     out = dict(XX=XX, XE0=XE0, XG0=XG0, E0E0=E0E0, GG0=GG0, EG0=EG0,
-               X0=X0, Y0=X0, E00=E00, G00=-dE0)
+               X0=X0, E00=E00, G00=-dE0)
     if axis_name is not None:
         out = jax.tree.map(lambda t: lax.pmean(t, axis_name), out)
     return out
@@ -654,9 +653,7 @@ def corr_iterate(T, c, f, b, p, mom=None, *, nx, ny,
     def inertia_ext(wgt, g, mo, SC):
         # g is reference-scale on every parameter slot; SC converts the
         # reference update to entry scale and freezes the rest
-        dw = SC * ((1.0 - alpha) * del_eff * g
-                   / jnp.maximum(jnp.abs(g), GRAD_CLIP)) + alpha * mo
-        return wgt - dw, dw
+        return burst_inertia(wgt, g, mo, del_eff, alpha, scale=SC)
 
     def body(i, carry):
         cc, ff, Dc, Df, rec = carry

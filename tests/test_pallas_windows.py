@@ -217,7 +217,7 @@ def test_tp_pallas_burst_matches_single_device(nd, nm):
 
 
 def test_anchor_windows_y_chunked():
-    # ω_y chunking (the 64 MP scoped-VMEM escape hatch) must reproduce
+    # ω_y chunking (the 4096² scoped-VMEM escape hatch) must reproduce
     # the single-chunk call: chunk partials are bin-local sums, e0 from
     # the DC-containing chunk
     from spectralae.ops.pallas_windows import anchor_windows
