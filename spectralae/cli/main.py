@@ -751,7 +751,8 @@ def cmd_export(args):
         dest = (Path(args.out) / what) if len(whats) > 1 else args.out
         out = export_model(params, spec, dest, what=what,
                            domain=args.domain, batch=args.batch,
-                           platforms=platforms)
+                           platforms=platforms,
+                           tap_mode=args.tap_mode)
         print(f"exported {what} ({args.domain}) -> {out}", flush=True)
 
 
@@ -1056,6 +1057,11 @@ def main(argv=None):
     p.add_argument("--platforms", default="",
                    help="comma-separated lowering platforms, e.g. cpu,tpu "
                         "(default: ambient platform)")
+    p.add_argument("--tap-mode",
+                   choices=("ref_gpu", "ref_cpu", "centered"), default=None,
+                   help="coord-domain tap window baked into the artifact "
+                        "(default ref_gpu — the engine's training default; "
+                        "match what the net was trained with)")
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("serve",

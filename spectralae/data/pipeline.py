@@ -143,8 +143,13 @@ def y4m_video(path: str) -> Iterator[np.ndarray]:
                 yield _native.yuv_to_bgr(y, u, v, sy, sx)
                 continue
             if (sy, sx) != (1, 1):
-                u = u.repeat(sy, axis=0)[:h].repeat(sx, axis=1)[:, :w]
-                v = v.repeat(sy, axis=0)[:h].repeat(sx, axis=1)[:, :w]
+                # clamped index map, matching the native path's
+                # ci = min(i/sx, cw-1) — plain repeat-and-crop comes up a
+                # column/row short when w or h is odd (cw·sx < w)
+                ri = np.minimum(np.arange(h) // sy, ch - 1)
+                ci = np.minimum(np.arange(w) // sx, cw - 1)
+                u = u[ri][:, ci]
+                v = v[ri][:, ci]
             yf = 1.164 * (y.astype(np.float32) - 16.0)
             uf = u.astype(np.float32) - 128.0
             vf = v.astype(np.float32) - 128.0
@@ -235,7 +240,11 @@ def video_file_frames(path: str, *, loop: bool = False
 
 def resize_nn(img: np.ndarray, nx: int, ny: int) -> np.ndarray:
     """Nearest-neighbor resize of an HWC frame to (ny, nx) — stands in for
-    the reference's cv::resize (autoencoder.cpp:124)."""
+    the reference's cv::resize (autoencoder.cpp:124).  Dispatches to the
+    native stage (same index math, host_runtime.cpp:62-73) when built."""
+    if (_native is not None and _native.available() and img.ndim == 3
+            and img.shape[2] == 3 and img.dtype == np.uint8):
+        return _native.resize_nn(img, nx, ny)
     h, w = img.shape[:2]
     ri = (np.arange(ny) * h // ny)
     ci = (np.arange(nx) * w // nx)
@@ -260,6 +269,7 @@ class DevicePrefetcher:
         self._sharding = sharding
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
+        self._done = False
         self._thread = threading.Thread(target=self._work, daemon=True)
         self._thread.start()
 
@@ -302,10 +312,17 @@ class DevicePrefetcher:
         return self
 
     def __next__(self):
+        # the worker enqueues its None/exception sentinel exactly once and
+        # exits; without the terminal flag, a next() call after exhaustion
+        # (or after the propagated error was raised) would block forever
+        if self._done:
+            raise StopIteration
         item = self._q.get()
         if item is None:
+            self._done = True
             raise StopIteration
         if isinstance(item, BaseException):
+            self._done = True
             raise item
         return item
 

@@ -31,7 +31,10 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
     """Build a ('data', 'model') mesh over the available devices."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
+        # max(1, ...): n_model > device count would otherwise give
+        # n_data = 0, a zero-device mesh that skips the error below and
+        # fails opaquely at the first sharded computation
+        n_data = max(1, len(devices) // n_model)
     need = n_data * n_model
     if len(devices) < need:
         raise ValueError(

@@ -104,26 +104,32 @@ def save_rotating(root: str | Path, params: AEParams, spec: NetSpec,
     standard guard against a crash mid-write corrupting the only copy
     (the reference keeps exactly one shape-keyed file set, SURVEY §2.7).
 
-    ``extra_files(dest)`` runs after the pytree save but BEFORE ``LATEST``
-    moves, so sidecar files (e.g. optax state) are committed before the
-    checkpoint becomes resolvable — a crash in between leaves ``LATEST``
-    on the previous complete step.
+    ``extra_files(dest)`` runs on the coordinator only, after the pytree
+    save but BEFORE ``LATEST`` moves, so sidecar files (e.g. optax state)
+    are committed before the checkpoint becomes resolvable — a crash in
+    between leaves ``LATEST`` on the previous complete step.
     """
     root = Path(root)
     dest = root / f"step_{step:08d}"
     save(dest, params, spec, opt, extra={**(extra or {}), "step": step})
+    if jax.process_index() != 0:
+        # save() only creates dest on the coordinator; sidecars written
+        # here would hit a missing directory (or race N writers on a
+        # shared filesystem)
+        return dest
     if extra_files is not None:
         extra_files(dest)
-    if jax.process_index() != 0:
-        return dest
     (root / "LATEST").write_text(dest.name)
     # prune to `keep` total, but NEVER the directory just written (it is
-    # what LATEST points at): a divergence rollback re-saves an *earlier*
-    # step, which sorts below the NaN-era dirs — name-order pruning alone
-    # would delete the rollback target and leave LATEST dangling
-    olds = sorted(p for p in root.iterdir()
-                  if p.is_dir() and p.name.startswith("step_")
-                  and p != dest)
+    # what LATEST points at).  Order by RECENCY (mtime), not name: a
+    # divergence rollback re-saves an *earlier* step, so by name the
+    # rollback target sorts below the NaN-era dirs and name-order pruning
+    # would delete the fresh good checkpoints while retaining the
+    # diverged ones forever
+    olds = sorted((p for p in root.iterdir()
+                   if p.is_dir() and p.name.startswith("step_")
+                   and p != dest),
+                  key=lambda p: p.stat().st_mtime)
     if keep <= 0:           # unlimited history — prune nothing
         doomed = []
     elif keep == 1:

@@ -40,14 +40,17 @@ FORMAT_VERSION = 1
 _WHAT = ("forward", "encode")
 
 
-def _build_fn(params: AEParams, spec: NetSpec, what: str, domain: str):
+def _build_fn(params: AEParams, spec: NetSpec, what: str, domain: str,
+              tap_mode: str):
     scales = spec.scales
     if what == "forward":
         if domain == "fft":
             return lambda x: model.forward_fft(params, x, scales)
-        return lambda x: model.forward_coord(params, x, scales)[-1]
+        return lambda x: model.forward_coord(params, x, scales,
+                                             tap_mode=tap_mode)[-1]
     if what == "encode":
-        return lambda x: model.encode(params, x, scales, domain=domain)
+        return lambda x: model.encode(params, x, scales, domain=domain,
+                                      tap_mode=tap_mode)
     raise ValueError(f"what must be one of {_WHAT}, got {what!r}")
 
 
@@ -55,6 +58,7 @@ def export_model(params: AEParams, spec: NetSpec, path: str | Path, *,
                  what: str = "forward", domain: str = "fft",
                  batch: int | None = None, dtype=jnp.float32,
                  platforms: tuple[str, ...] | None = None,
+                 tap_mode: str | None = None,
                  extra: dict | None = None) -> Path:
     """Export an AOT-compiled serving artifact.
 
@@ -66,12 +70,20 @@ def export_model(params: AEParams, spec: NetSpec, path: str | Path, *,
         (one artifact serves any batch size).
       platforms: lowering platforms, e.g. ``("cpu", "tpu")`` for an
         artifact loadable on either; ``None`` = the ambient platform.
+      tap_mode: coord-domain tap window.  ``None`` defaults to
+        ``"ref_gpu"`` — the window the interactive engine trains with by
+        default (gpu flag on), so an exported coord model computes the
+        same convolution as the runtime that produced its weights.  Pass
+        ``"ref_cpu"``/``"centered"`` for nets trained with those taps.
+        Ignored for ``domain="fft"``.
 
     Returns the artifact directory path.
     """
+    if tap_mode is None:
+        tap_mode = "ref_gpu"
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
-    fn = _build_fn(params, spec, what, domain)
+    fn = _build_fn(params, spec, what, domain, tap_mode)
 
     if batch is None:
         (b,) = jax_export.symbolic_shape("b")
@@ -88,6 +100,7 @@ def export_model(params: AEParams, spec: NetSpec, path: str | Path, *,
         "format_version": FORMAT_VERSION,
         "what": what,
         "domain": domain,
+        "tap_mode": tap_mode,
         "batch": batch,
         "dtype": str(np.dtype(dtype)),
         "input_shape": [spec.d, spec.nx, spec.ny],

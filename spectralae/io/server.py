@@ -28,13 +28,16 @@ import numpy as np
 
 
 class _BatchItem:
-    __slots__ = ("arr", "event", "out", "err")
+    __slots__ = ("arr", "event", "out", "err", "abandoned")
 
     def __init__(self, arr):
         self.arr = arr
         self.event = threading.Event()
         self.out = None
         self.err = None
+        # set when the waiter timed out: the dispatcher must not spend
+        # device time on a request whose client already got an error
+        self.abandoned = False
 
 
 class _DynamicBatcher:
@@ -65,8 +68,8 @@ class _DynamicBatcher:
                 first = self._q.get(timeout=0.1)
             except queue.Empty:
                 continue
-            batch = [first]
-            frames = first.arr.shape[0]
+            batch = [] if first.abandoned else [first]
+            frames = first.arr.shape[0] if batch else 0
             deadline = time.monotonic() + self._window
             while frames < self._max:
                 left = deadline - time.monotonic()
@@ -76,8 +79,12 @@ class _DynamicBatcher:
                     nxt = self._q.get(timeout=left)
                 except queue.Empty:
                     break
+                if nxt.abandoned:
+                    continue
                 batch.append(nxt)
                 frames += nxt.arr.shape[0]
+            if not batch:
+                continue
             try:
                 out = np.asarray(self._model(
                     np.concatenate([b.arr for b in batch], axis=0)))
@@ -95,6 +102,7 @@ class _DynamicBatcher:
         item = _BatchItem(arr)
         self._q.put(item)
         if not item.event.wait(timeout):
+            item.abandoned = True
             raise TimeoutError("inference timed out")
         if item.err is not None:
             raise item.err

@@ -69,27 +69,6 @@ def forward_coord(params: AEParams, x: jax.Array, scales: Sequence[int], *,
     return acts
 
 
-def kernel_spectra(params: AEParams, nx: int, ny: int,
-                   scales: Sequence[int]) -> list[jax.Array]:
-    """Per-stage kernel half-spectra at that stage's working resolution.
-
-    Functional replacement for the reference's lazily-filled host-side
-    ``net_cfreq`` cache (fft_backproplib.cu:1146-1161): under jit the pad+FFT
-    is recomputed per step — cheap on TPU, and always consistent with the
-    coordinate kernels (no invalidation protocol needed).
-    """
-    n = len(params.stages)
-    out = []
-    cx, cy = nx, ny
-    for i, (stage, sc) in enumerate(zip(params.stages, scales)):
-        if i < n // 2 and sc > 1:
-            cx, cy = cx // sc, cy // sc
-        out.append(spectral.kernel_rfft(stage.c, cx, cy))
-        if i >= n // 2 and sc < -1:
-            cx, cy = cx * (-sc), cy * (-sc)
-    return out
-
-
 def forward_fft(params: AEParams, x: jax.Array, scales: Sequence[int], *,
                 scale_by_dm: bool = True,
                 return_layers: bool = False,
@@ -128,6 +107,11 @@ def forward_fft(params: AEParams, x: jax.Array, scales: Sequence[int], *,
                 layers.append(spectral.irfft2(X, (cx, cy)))
 
         def _stage(Xs, c, b, cx=cx, cy=cy):
+            # kernel spectra are recomputed per step under jit — the
+            # functional replacement for the reference's lazily-filled
+            # host-side net_cfreq cache (fft_backproplib.cu:1146-1161):
+            # cheap on TPU and always consistent with the coordinate
+            # kernels, so no invalidation protocol is needed
             C = spectral.kernel_rfft(c, cx, cy)
             return spectral.spectral_conv(Xs, C, b, cx, cy,
                                           scale_by_dm=scale_by_dm,

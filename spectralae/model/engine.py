@@ -128,6 +128,7 @@ class Engine:
         z = lambda t: jnp.zeros_like(t)
         self._mom = (z(enc.c), z(dec.c), z(enc.b), z(dec.b))
         self._prev_grad = tuple(self._mom)
+        self._mom_pair = self.flags.n_l
 
     def _coord_tap(self) -> str:
         """gpu toggle selects which reference tap window the coord path uses
@@ -185,8 +186,13 @@ class Engine:
         f = self.flags
         n_l = f.n_l
         enc0, dec0 = self.params.pair(n_l)
-        if self._mom[0].shape != enc0.c.shape:
-            # focus pair changed without going through select_layer
+        if self._mom_pair != n_l or self._mom[0].shape != enc0.c.shape:
+            # focus pair changed without going through select_layer — the
+            # pair-index check matters when two pairs share kernel shapes
+            # (inner layers of an M-uniform net), where a shape test alone
+            # would silently apply one pair's momentum to another; the
+            # shape test still catches add/drop_layer reshaping the
+            # SELECTED pair in place
             self._reset_pair_opt_state()
         in_full = self.layers[2 * n_l + 1][0]
         hin_full = self.layers[2 * n_l + 2][0]

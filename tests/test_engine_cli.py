@@ -303,6 +303,26 @@ def test_direct_layer_selection_resets_opt_state():
     assert eng2._mom[0].shape == eng2.params.stages[0].c.shape
 
 
+def test_direct_selection_between_same_shape_pairs_resets_opt_state():
+    """Inner pairs of an M-uniform net share kernel shapes, so the old
+    shape-equality guard let a direct n_l reassignment apply pair 1's
+    accumulated momentum to pair 2 — the pair-index check must reset."""
+    eng = make_engine(nx=64)
+    eng.add_layer()
+    eng.add_layer()              # pairs 1 and 2: same inner kernel shapes
+    eng.select_layer(1)
+    eng.toggle_fft()             # coord mode (momentum persists per step)
+    eng.toggle_training()
+    eng.step(frame(64))          # accumulates momentum for pair 1
+    assert any(float(np.abs(np.asarray(t)).sum()) > 0 for t in eng._mom)
+    enc1, _ = eng.params.pair(1)
+    enc2, _ = eng.params.pair(2)
+    assert enc1.c.shape == enc2.c.shape   # the guard can't rely on shape
+    eng.flags.n_l = 2            # direct assignment, bypasses select_layer
+    eng.step(frame(64))
+    assert eng._mom_pair == 2    # state was re-zeroed for pair 2's step
+
+
 def test_inner_layer_burst_trains_at_reduced_resolution():
     """'z' to the inner pair, then an fft burst at that pair's resolution."""
     eng = make_engine(nx=32)

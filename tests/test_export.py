@@ -39,11 +39,44 @@ def test_export_roundtrip_matches_direct(tmp_path, what, domain):
     if what == "forward" and domain == "fft":
         want = model.forward_fft(params, x, spec.scales)
     elif what == "forward":
-        want = model.forward_coord(params, x, spec.scales)[-1]
+        # coord exports default to the engine's training tap window
+        # (ref_gpu), not the library-default centered taps
+        want = model.forward_coord(params, x, spec.scales,
+                                   tap_mode="ref_gpu")[-1]
     else:
         want = model.encode(params, x, spec.scales, domain=domain)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_export_coord_tap_mode_recorded_and_overridable(tmp_path):
+    """A coord artifact computes the taps the net was trained with: the
+    default is the engine's ref_gpu window, an explicit tap_mode wins,
+    and the manifest records the choice (ADVICE-class parity bug: the
+    old export silently fell back to centered taps)."""
+    _, spec, params = _small_net()
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        size=(1, 3, 32, 32)).astype(np.float32) * 50)
+    art = export_model(params, spec, tmp_path / "gpu", what="forward",
+                       domain="coord", batch=1)
+    m = ServingModel.load(art)
+    assert m.manifest["tap_mode"] == "ref_gpu"
+    np.testing.assert_allclose(
+        np.asarray(m(x)),
+        np.asarray(model.forward_coord(params, x, spec.scales,
+                                       tap_mode="ref_gpu")[-1]),
+        rtol=1e-5, atol=1e-4)
+    art2 = export_model(params, spec, tmp_path / "cen", what="forward",
+                        domain="coord", batch=1, tap_mode="centered")
+    m2 = ServingModel.load(art2)
+    assert m2.manifest["tap_mode"] == "centered"
+    np.testing.assert_allclose(
+        np.asarray(m2(x)),
+        np.asarray(model.forward_coord(params, x, spec.scales)[-1]),
+        rtol=1e-5, atol=1e-4)
+    # the two windows genuinely differ — the parity bug was observable
+    assert not np.allclose(np.asarray(m(x)), np.asarray(m2(x)),
+                           rtol=1e-3, atol=1e-2)
 
 
 def test_export_symbolic_batch_serves_any_batch(tmp_path):
@@ -285,3 +318,42 @@ def test_http_dynamic_batching_coalesces(tmp_path):
         assert m.calls < 4  # at least some coalescing happened
     finally:
         srv.shutdown()
+
+
+def test_dynamic_batcher_skips_abandoned_requests():
+    """A request whose waiter already timed out must not be dispatched to
+    the device later — the old dispatcher ran the orphaned array anyway,
+    burning device time and delaying the live requests queued behind it."""
+    import threading
+    from spectralae.io.server import _DynamicBatcher
+
+    calls = []
+    first_entered = threading.Event()
+    release = threading.Event()
+
+    def slow_once_model(arr):
+        arr = np.asarray(arr)
+        calls.append(arr.copy())
+        if not first_entered.is_set():
+            first_entered.set()
+            assert release.wait(10)    # wedge the dispatcher
+        return arr * 2.0
+
+    b = _DynamicBatcher(slow_once_model, window_s=0.005, max_batch=8)
+    try:
+        wedge_out = {}
+        t1 = threading.Thread(target=lambda: wedge_out.update(
+            out=b.infer(np.ones((1, 2), np.float32), timeout=10)))
+        t1.start()
+        assert first_entered.wait(5)   # dispatcher is now inside the model
+        with pytest.raises(TimeoutError):
+            b.infer(np.full((1, 2), 7.0, np.float32), timeout=0.05)
+        release.set()
+        t1.join(10)
+        np.testing.assert_allclose(wedge_out["out"], 2.0)
+        out = b.infer(np.full((1, 2), 3.0, np.float32), timeout=10)
+        np.testing.assert_allclose(out, 6.0)
+        # the abandoned request's payload never reached the model
+        assert not any(np.any(c == 7.0) for c in calls)
+    finally:
+        b.shutdown()

@@ -329,6 +329,30 @@ def test_native_yuv_decode_parity_when_built(tmp_path, monkeypatch):
         np.testing.assert_array_equal(direct, got_native)
 
 
+def test_y4m_odd_dims_chroma_clamps_like_native(tmp_path, monkeypatch):
+    """Odd-dimension subsampled frames: the numpy chroma upsample must
+    clamp its index map like the C path (ci = min(i//sx, cw−1)) — the
+    old repeat-and-crop came up a column short at odd w (broadcast
+    ValueError killed the iterator)."""
+    rng = np.random.default_rng(5)
+    for cs, (sy, sx), (w, h) in (("422", (1, 2), (7, 5)),
+                                 ("420", (2, 2), (9, 7))):
+        y = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        u = rng.integers(0, 256, size=(h // sy, w // sx), dtype=np.uint8)
+        v = rng.integers(0, 256, size=(h // sy, w // sx), dtype=np.uint8)
+        p = tmp_path / f"odd{cs}.y4m"
+        _write_y4m(p, [(y, u, v)], w, h, cs)
+        monkeypatch.setattr(pipeline, "_native", None)
+        (got,) = list(pipeline.y4m_video(str(p)))
+        monkeypatch.undo()
+        assert got.shape == (h, w, 3), cs
+        from spectralae.data import native
+        if native.available() and native.has_yuv():
+            (got_native,) = list(pipeline.y4m_video(str(p)))
+            assert np.max(np.abs(got.astype(int) -
+                                 got_native.astype(int))) <= 1, cs
+
+
 def test_y4m_source_rejects_garbage(tmp_path):
     p = tmp_path / "bad.y4m"
     p.write_bytes(b"MPEG nope\n")
@@ -377,6 +401,25 @@ def test_rotating_checkpoints_prune_and_resolve(tmp_path):
     assert extra["step"] == 40
     np.testing.assert_array_equal(np.asarray(p2.stages[0].c),
                                   np.asarray(params.stages[0].c))
+
+
+def test_rotating_prune_orders_by_recency_after_rollback(tmp_path):
+    """Pruning must drop the OLDEST checkpoints by mtime, not by name: a
+    divergence rollback re-saves an earlier step, so by name the fresh
+    good checkpoints sort below the NaN-era dirs and name-order pruning
+    deleted them while retaining the diverged history forever."""
+    import time as _time
+    cfg, spec, params = setup()
+    for step in (100, 101, 102):       # the NaN-era history
+        ckpt.save_rotating(tmp_path / "h", params, spec, step=step, keep=3)
+        _time.sleep(0.02)
+    for step in (51, 52):              # rollback, then continued training
+        ckpt.save_rotating(tmp_path / "h", params, spec, step=step, keep=3)
+        _time.sleep(0.02)
+    dirs = {p.name for p in (tmp_path / "h").iterdir() if p.is_dir()}
+    # the three most-recent saves survive; the two stalest NaN-era ones go
+    assert dirs == {"step_00000102", "step_00000051", "step_00000052"}
+    assert (tmp_path / "h" / "LATEST").read_text() == "step_00000052"
 
 
 def test_rotating_rollback_save_survives_prune(tmp_path):
@@ -573,3 +616,27 @@ def test_prefetcher_yields_trailing_partial_batch():
     shapes = [b.shape[0] for b in pf]
     assert shapes == [2, 2, 1]
     pf.close()
+
+
+def test_prefetcher_terminal_after_exhaustion_and_error():
+    """next() after exhaustion (or after the propagated worker error) must
+    raise immediately — the worker's one-shot sentinel is gone, so without
+    the terminal flag the call blocked forever on the queue."""
+    src = iter([np.zeros((8, 8, 3), np.uint8)])
+    pf = pipeline.DevicePrefetcher(src, nx=8, ny=8, batch=1)
+    assert next(pf).shape[0] == 1
+    for _ in range(3):                      # repeated, instant, no deadlock
+        with pytest.raises(StopIteration):
+            next(pf)
+    pf.close()
+
+    def bad_source():
+        raise ValueError("boom")
+        yield  # pragma: no cover
+
+    pf2 = pipeline.DevicePrefetcher(bad_source(), nx=8, ny=8, batch=1)
+    with pytest.raises(ValueError, match="boom"):
+        next(pf2)
+    with pytest.raises(StopIteration):      # terminal, not a hang
+        next(pf2)
+    pf2.close()

@@ -86,6 +86,16 @@ def test_distributed_train_step_8_devices():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_make_mesh_oversized_model_axis_raises():
+    """n_model > device count with auto n_data must hit the module's
+    too-few-devices ValueError, not build a 0-device mesh (n_data was
+    floor-divided to 0, skipping the check and failing opaquely at the
+    first sharded computation)."""
+    import pytest
+    with pytest.raises(ValueError, match="devices"):
+        dist.make_mesh(n_model=16)
+
+
 def test_data_parallel_batch_is_sharded():
     m = dist.make_mesh(n_data=8, n_model=1)
     x = np.ones((16, 3, 8, 8), np.float32)
