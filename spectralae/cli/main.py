@@ -180,13 +180,19 @@ def cmd_run(args):
                 _dispatch(k)
 
 
+_METRICS_LOGGERS: dict = {}
+
+
 def _emit(rec: dict, metrics: Path | None) -> None:
-    """One metrics record: JSON line to stdout + optional JSONL append."""
-    line = json.dumps(rec)
-    print(line, flush=True)
-    if metrics:
-        with metrics.open("a") as fh:
-            fh.write(line + "\n")
+    """One metrics record: JSON line to stdout + optional JSONL append —
+    delegated to core.profiling.MetricsLogger (one open handle per file,
+    not an open/close syscall pair per record)."""
+    from ..core.profiling import MetricsLogger
+    key = str(metrics) if metrics else None
+    lg = _METRICS_LOGGERS.get(key)
+    if lg is None:
+        lg = _METRICS_LOGGERS[key] = MetricsLogger(metrics, echo=True)
+    lg.log(**rec)
 
 
 def _resume_or_engine(args):
@@ -553,13 +559,7 @@ def _train_stream(args):
 
 def cmd_train(args):
     import contextlib
-    import jax
-    import jax.numpy as jnp
     from ..core.profiling import device_trace
-    from ..core.types import init_opt_state
-    from ..data import pipeline
-    from ..io import checkpoint as ckpt
-    from ..train.modern import train_step
     trace_ctx = (device_trace(args.trace) if getattr(args, "trace", "")
                  else contextlib.nullcontext())
     with trace_ctx:
@@ -662,7 +662,9 @@ def _train_steps(args):
                   metrics)
         if (args.ckpt and args.ckpt_every > 0 and step_i
                 and step_i % args.ckpt_every == 0):
-            save_ckpt(args.ckpt, step_i)
+            # stamp the step REACHED (params already applied step_i's
+            # update): stamping step_i made resume replay that update
+            save_ckpt(args.ckpt, last_step)
     pf.close()
     if args.ckpt:
         # stamped with the step actually REACHED (divergence break or an

@@ -49,6 +49,33 @@ def _axis_bases(nk: int, nl: int, nx: int, ny: int):
             herm)
 
 
+@functools.lru_cache(maxsize=None)
+def lag_basis(nx: int, ny: int, hx: int, hy: int):
+    """Separable restricted-iDFT bases for centered lag windows.
+
+    ``corr[v] = Re Σ_ω w(ω_y)·P(ω)·e^{2πi(v_x ω_x/nx + v_y ω_y/ny)}`` over
+    the Hermitian half-spectrum (w doubles interior columns) — the
+    irfft2·(Nx·Ny) value at lag ``v ∈ [−h, h]²``, computed as four small
+    matmuls instead of a full inverse FFT (the burst only ever reads a
+    ``(2h+1)²`` window out of the Nx·Ny grid; at 1024² that is 289 of 1M
+    points).  Lag periodicity (``v mod N``) is inherent in the complex
+    exponential, so windows wider than the grid alias exactly like the
+    FFT path did.  Consumed by the correlation-space burst precompute
+    (train/fft_corr) and the Pallas window kernels (ops/pallas_windows).
+    """
+    from .spectral import _hermitian_weights
+    w = _hermitian_weights(nx, ny).astype(np.float64)
+    nyr = ny // 2 + 1
+    vy = np.arange(-hy, hy + 1)
+    vx = np.arange(-hx, hx + 1)
+    ay = 2.0 * np.pi * np.arange(nyr)[:, None] * vy[None, :] / ny
+    ax = 2.0 * np.pi * np.arange(nx)[:, None] * vx[None, :] / nx
+    return (np.asarray(np.cos(ax), np.float32),
+            np.asarray(np.sin(ax), np.float32),
+            np.asarray(w[:, None] * np.cos(ay), np.float32),
+            np.asarray(w[:, None] * np.sin(ay), np.float32))
+
+
 def kernel_spectrum(c: jax.Array, nx: int, ny: int,
                     precision=None) -> jax.Array:
     """``rfft2(kernel_pad(c))`` as two per-axis matmuls.

@@ -6,7 +6,7 @@ The correlation-space burst (train/fft_corr.py) needs only centered lag
     W[d, e, u, v] = mean_b Σ_ω w(ω_y) · conj(X[b,d,ω]) · Z[b,e,ω]
                                      · cos/sin(2π(u ω_x/nx + v ω_y/ny))
 
-(the separable restricted-iDFT of fft_corr._lag_basis — the TPU-native
+(the separable restricted-iDFT of ops/dft.lag_basis — the TPU-native
 replacement for the reference's full-grid inverse FFTs around shrink_k,
 source/fft_backproplib.cu:535-565, 1219-1226, of which the burst only ever
 reads a (2h+1)² window).
@@ -109,8 +109,8 @@ def _window_basis(nx, ny, hx, hy):
     cos/sin split: returns (top [nyr, 2vy], bot, bcx [nx, vx], bsx,
     vx, vy).  The kernel accumulates ``acc1 = bcxᵀ·(p·top)`` and
     ``acc2 = bsxᵀ·(p·bot)``; :func:`_combine_windows` folds them."""
-    from ..train.fft_corr import _lag_basis
-    bxc, bxs, byc, bys = _lag_basis(nx, ny, hx, hy)
+    from .dft import lag_basis
+    bxc, bxs, byc, bys = lag_basis(nx, ny, hx, hy)
     vx, vy = bxc.shape[1], byc.shape[1]
     top = jnp.asarray(np.concatenate([byc, bys], axis=1))
     bot = jnp.asarray(np.concatenate([-bys, byc], axis=1))

@@ -62,7 +62,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..losses.losses import diversity_gradients
-from ..ops import spectral
+from ..ops import dft, spectral
 from ..optim.update import burst_inertia
 from .fft import FFTBurstResult
 
@@ -104,37 +104,18 @@ def _lag_maps(nk: int, nl: int):
                l2y[:, None] - l2y[None, :], 4 * hx, 4 * hy, w4y)
 
     n2, n4 = w2x * w2y, w4x * w4y
+    pair_oh = onehot(pair2lag, n2)
     return dict(
-        g_scatter_pair=onehot(pair2lag, n2),    # [P², n2] scatter-sum
-        g_pair=onehot(pair2lag, n2).T,          # [n2, P²] gather
+        g_scatter_pair=pair_oh,                 # [P², n2] scatter-sum
+        g_pair=pair_oh.T,                       # [n2, P²] gather
         g_xxd=onehot(xxd, n4).T,                # [n4, n2·n2]
         v4ext=(4 * hx, 4 * hy), l2ext=(2 * hx, 2 * hy),
         n2=n2, n4=n4)
 
 
-@functools.lru_cache(maxsize=None)
-def _lag_basis(nx: int, ny: int, hx: int, hy: int):
-    """Separable restricted-iDFT bases for centered lag windows.
-
-    ``corr[v] = Re Σ_ω w(ω_y)·P(ω)·e^{2πi(v_x ω_x/nx + v_y ω_y/ny)}`` over
-    the Hermitian half-spectrum (w doubles interior columns) — the
-    irfft2·(Nx·Ny) value at lag ``v ∈ [−h, h]²``, computed as four small
-    matmuls instead of a full inverse FFT (the burst only ever reads a
-    ``(2h+1)²`` window out of the Nx·Ny grid; at 1024² that is 289 of 1M
-    points).  Lag periodicity (``v mod N``) is inherent in the complex
-    exponential, so windows wider than the grid alias exactly like the
-    FFT path did.
-    """
-    w = spectral._hermitian_weights(nx, ny).astype(np.float64)
-    nyr = ny // 2 + 1
-    vy = np.arange(-hy, hy + 1)
-    vx = np.arange(-hx, hx + 1)
-    ay = 2.0 * np.pi * np.arange(nyr)[:, None] * vy[None, :] / ny
-    ax = 2.0 * np.pi * np.arange(nx)[:, None] * vx[None, :] / nx
-    return (np.asarray(np.cos(ax), np.float32),
-            np.asarray(np.sin(ax), np.float32),
-            np.asarray(w[:, None] * np.cos(ay), np.float32),
-            np.asarray(w[:, None] * np.sin(ay), np.float32))
+# the separable restricted-iDFT lag-window bases live with the other DFT
+# primitives (shared with ops/pallas_windows — ops must not import train)
+_lag_basis = dft.lag_basis
 
 
 def _corr_windows(prods, nx, ny, hx, hy):
@@ -211,7 +192,6 @@ def corr_precompute(x, expout, out0, c0, f0, *, scale_by_dm=True,
     # of two M-wide convs over [M, D] kernel spectra (6× less anchor-stage
     # work at M=10; ĉ·f̂ summed over m ≡ K̂₀ by the same one-hot scatter
     # map the iterate's R(ΔK) identity is built on)
-    from ..ops import dft
     P = nk * nl
     hx2, hy2 = maps["l2ext"]
     K2 = jnp.einsum("emq,mdr->edqr", f0.reshape(dD, dM, P),
@@ -289,7 +269,6 @@ def _tp_xla_windows(X, K0taps, nx, ny, nyr, B, dD, dd, hx2, hy2, hx4,
     Shards the continuum-error contraction over output channels e, the
     EG products over d×(e-chunk), and the XX products over the D² plane
     pairs; returns (XX, EGwin, SEG, X0, E_cont0)."""
-    from ..ops import dft
     Xc = jnp.conj(X)
     # 2. composed-kernel restricted DFTs + the continuum-error
     # contraction, sharded over output channels e (zero-padded rows
@@ -367,7 +346,6 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
     window/scalar-sized.  Per-device FLOPs of the precompute scale as
     1/n_model (tests/test_tp_proof.py counts this from the compiled HLO).
     """
-    from ..ops import dft
     nx, ny = x.shape[-2], x.shape[-1]
     B = x.shape[0]
     dD = x.shape[-3]
@@ -769,7 +747,6 @@ def _true_forward(x, c, f, b, p, scale_by_dm):
     pixel space — the reference's output recompute (cu:1460-1461) followed
     by its inverse transform.  Used as the next segment's O₀ when
     re-anchoring."""
-    from ..ops import dft
     nx, ny = x.shape[-2], x.shape[-1]
     X = spectral.rfft2(x)
     Cf = dft.kernel_spectrum(c, nx, ny)
@@ -861,7 +838,6 @@ def burst_corr(x, expout, out0, c, f, b, p, mom=None, *,
     out_cur = out0
     mses_parts = []
     left = iters
-    r = None
     while left > 0:
         seg = min(reanchor_every, left)
         r = segment(out_cur, c, f, b, p, mom, seg)

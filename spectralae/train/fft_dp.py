@@ -65,9 +65,12 @@ def _burst_dp_body(x, expout, out0, c, f, b, p, mom, *, lr, alpha, iters,
         return burst_inertia(w, g, mo, del_eff, alpha)
 
     def body(i, carry):
-        c, f, b, p, Dc, Df, Db, Dp, O, mses = carry
-        Cf = dft.kernel_spectrum(c, nx, ny)
-        Ff = dft.kernel_spectrum(f, nx, ny)
+        # Cf/Ff ride the carry: the gradient pass needs the CURRENT
+        # weights' spectra, which are exactly the post-update spectra the
+        # previous iteration computed for its forward — recomputing them
+        # at the top doubled the DFT matmuls per iteration (fori_loop CSE
+        # cannot fold across iterations; same scheme as train/fft.py)
+        c, f, b, p, Dc, Df, Db, Dp, O, Cf, Ff, mses = carry
         dc, df, db, dp = _gradient_k_io_batch(X, Y, O, Cf, Ff, b, nx, ny,
                                               axis_name)
         gc = dft.kernel_project(dc, nk, nl, nx, ny)
@@ -88,9 +91,10 @@ def _burst_dp_body(x, expout, out0, c, f, b, p, mom, *, lr, alpha, iters,
         H = spectral.spectral_conv(X, Cf, b, nx, ny, scale_by_dm=scale_by_dm)
         O = spectral.spectral_conv(H, Ff, p, nx, ny, scale_by_dm=scale_by_dm)
         mses = mses.at[i + 1].set(batch_mse(Y, O))
-        return (c, f, b, p, Dc, Df, Db, Dp, O, mses)
+        return (c, f, b, p, Dc, Df, Db, Dp, O, Cf, Ff, mses)
 
-    init = (c, f, b, p, *mom, O, mses)
+    init = (c, f, b, p, *mom, O, dft.kernel_spectrum(c, nx, ny),
+            dft.kernel_spectrum(f, nx, ny), mses)
     out = lax.fori_loop(0, iters, body, init)
     c, f, b, p, Dc, Df, Db, Dp = out[:8]
     return FFTBurstResult(c=c, f=f, b=b, p=p, mom=(Dc, Df, Db, Dp),

@@ -479,6 +479,21 @@ def test_cli_train_ckpt_history_resume(tmp_path, capsys):
     assert "resumed from" in out and '"step": 5' in out
 
 
+def test_cli_train_midrun_ckpt_stamps_step_reached(tmp_path, capsys):
+    """Mid-run step-mode checkpoints stamp the step REACHED (step_i+1 —
+    the params have already applied step_i's update), matching the final
+    save: stamping step_i made a resume from a mid-run checkpoint replay
+    one optimizer update."""
+    from spectralae.cli.main import main
+    main(["train", "--nx", "16", "--steps", "4", "--batch", "2",
+          "--ckpt", str(tmp_path / "h"), "--ckpt-every", "2",
+          "--ckpt-history", "4", "--log-every", "4"])
+    capsys.readouterr()
+    dirs = sorted(p.name for p in (tmp_path / "h").iterdir() if p.is_dir())
+    # one mid-run save after step_i=2 completed (-> step 3), final at 4
+    assert dirs == ["step_00000003", "step_00000004"]
+
+
 def _encode_png_with_filters(img, filters):
     """Build a PNG whose row r uses filters[r % len] — forward-filters the
     scanlines so read_png must correctly reverse sub/up/avg/paeth."""
