@@ -41,7 +41,7 @@ def main(argv=None):
     cfg = Config(nx=args.nx, ny=args.nx, d=3,
                  layer=LayerParams(depth=args.depth, lk=1, ll=1, scale=2,
                                    rmax=1.0),
-                 fft_iters=args.iters)
+                 fft_iters=args.iters, lr=args.lr)
     eng = Engine(cfg, seed=args.seed)
     frame = next(pipeline.synthetic_frames(args.nx, args.nx, seed=args.seed))
     x = pipeline.frame_to_tensor(frame)

@@ -14,7 +14,6 @@ import argparse
 import functools
 import json
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -34,26 +33,15 @@ from spectralae.model import autoencoder as model
 from spectralae.train import fft_corr
 
 
-def fetch(a):
-    return float(jnp.sum(a))
+import bench
 
 
-def time_chained(step, x0, n=20, trials=5):
-    x = x0
-    _, x = step(x)[0], step(x)[1]
-    fetch(x)
-    best = float("inf")
-    for t in range(trials):
-        x = x0 + (t + 1) * 1e-5
-        t0 = time.perf_counter()
-        fetch(x)
-        rt = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(n):
-            _, x = step(x)
-        fetch(x)
-        best = min(best, max(time.perf_counter() - t0 - rt, 1e-9) / n)
-    return best
+def time_chained(step, x0, *, n, trials=5):
+    """Floor-seconds per link, via bench.time_chained — the ONE timing
+    helper carrying the per-process nonce (a repeated run with identical
+    seeded chains is relay-deduplicated and times ~0), the warm fetch
+    calibration, and the sub-floor validity filter."""
+    return bench.time_chained(step, x0, n=n, trials=trials).best
 
 
 def main():

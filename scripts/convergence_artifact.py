@@ -122,7 +122,11 @@ def main(argv=None):
                     help="carry inertia across bursts (diverges on "
                          "moving scenes at high lr; off by default)")
     ap.add_argument("--reanchor", type=int, default=25)
-    ap.add_argument("--outdir", default="docs/convergence")
+    ap.add_argument("--outdir", default=None,
+                    help="default: docs/convergence (burst mode) / "
+                         "docs/convergence/stream_sweep (stream-sweep) — "
+                         "mode-specific so the two artifacts can't "
+                         "overwrite each other")
     ap.add_argument("--workdir", default="/tmp/convergence_artifact")
     args = ap.parse_args(argv)
 
@@ -136,6 +140,10 @@ def main(argv=None):
 
     work = Path(args.workdir)
     work.mkdir(parents=True, exist_ok=True)
+    if args.outdir is None:
+        args.outdir = ("docs/convergence/stream_sweep"
+                       if args.mode == "stream-sweep"
+                       else "docs/convergence")
     out = Path(args.outdir)
     out.mkdir(parents=True, exist_ok=True)
 
@@ -145,9 +153,11 @@ def main(argv=None):
     print(f"writing {n_train}-frame training video + 24 held-out frames",
           flush=True)
     # training frames loop the time range [0, 200); held-out frames are
-    # t in [200, 224) — unseen motion states of the same scene
-    write_y4m(train_y4m, [scene_frame(t % 200) for t in range(
-        min(n_train, 200))], NX)
+    # t in [200, 224) — unseen motion states of the same scene.  The file
+    # carries ALL n_train frames (the trainer exits when the source is
+    # exhausted, so a truncated file would silently shorten training)
+    write_y4m(train_y4m, [scene_frame(t % 200) for t in range(n_train)],
+              NX)
     write_y4m(held_y4m, [scene_frame(200 + t) for t in range(24)], NX)
 
     ck = work / "ck"
@@ -188,13 +198,15 @@ def main(argv=None):
     frame = scene_frame(210)
     x = pipeline.frame_to_tensor(frame)
     params, spec, _, _ = ckpt.load(ck)
-    from spectralae.core.config import Config, LayerParams
-    from spectralae.core.types import initial_spec, init_params
-    cfg = Config(nx=NX, ny=NX, d=3)
-    spec0 = initial_spec(cfg)
+    # the SAME fresh net the CLI eval above scored (Engine init path with
+    # seed 0 — a direct init_params(key(0)) draws different weights, so
+    # recon_before.png would depict a net other than the 'fresh' PSNR's)
+    from spectralae.core.config import Config
+    from spectralae.model.engine import Engine
+    eng0 = Engine(Config(nx=NX, ny=NX, d=3), seed=0)
     for _ in range(layers - 1):
-        spec0 = spec0.add_pair(cfg.layer)
-    params0 = init_params(jax.random.key(0), spec0, cfg.layer.rmax)
+        eng0.add_layer()
+    params0, spec0 = eng0.params, eng0.spec
     rec0 = np.asarray(jax.jit(
         lambda pp, xx: model.forward_fft(pp, xx[None], spec0.scales)[0]
     )(params0, x))
@@ -210,7 +222,8 @@ def main(argv=None):
     summary = {
         "scene": "procedural 256x256 video via .y4m (C444), time-split",
         "mode": args.mode, "layers": layers,
-        "train_frames": min(n_train, 200), "heldout_frames": 24,
+        "train_frames": n_train, "unique_frames": min(n_train, 200),
+        "heldout_frames": 24,
         "bursts": args.steps, "batch": args.batch, "iters": args.iters,
         "lr": args.lr,
         "fresh": fresh, "trained": trained,

@@ -13,7 +13,6 @@ Usage: python scripts/precompute_decomp.py [--nx 1024] [--links 8]
 
 import argparse
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -34,26 +33,15 @@ from spectralae.ops import dft, spectral
 from spectralae.train import fft_corr
 
 
-def fetch(a):
-    return float(jnp.sum(a))
+import bench
 
 
-def time_chained(step, x0, n=10, trials=4):
-    x = x0
-    _, x = step(x)
-    fetch(x)
-    best = float("inf")
-    for t in range(trials):
-        x = x0 + (t + 1) * 1e-5
-        t0 = time.perf_counter()
-        fetch(x)
-        rt = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(n):
-            _, x = step(x)
-        fetch(x)
-        best = min(best, max(time.perf_counter() - t0 - rt, 1e-9) / n)
-    return best
+def time_chained(step, x0, *, n, trials=4):
+    """Floor-seconds per link, via bench.time_chained — the ONE timing
+    helper carrying the per-process nonce (a repeated run with identical
+    seeded chains is relay-deduplicated and times ~0), the warm fetch
+    calibration, and the sub-floor validity filter."""
+    return bench.time_chained(step, x0, n=n, trials=trials).best
 
 
 def main():
