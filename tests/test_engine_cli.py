@@ -342,10 +342,8 @@ def test_inner_layer_burst_trains_at_reduced_resolution():
 
 
 def test_cli_train_halts_on_divergence(tmp_path, capsys, monkeypatch):
-    import json as _json
     from spectralae.cli import main as cli
     calls = {"n": 0}
-    real = cli.__dict__
     from spectralae.train import modern
 
     class FakeRes:
@@ -454,8 +452,8 @@ def test_cli_run_gui_stubbed(monkeypatch, capsys):
     assert shown == {"input", "output", "feature map", "kernel"}
     assert record["destroyed"] is True
     assert "key 'i'" in out          # dispatched through the KEYMAP
-    # Esc broke the loop at frame 3 of 5
-    assert "frame 3" not in out or "frame 4" not in out
+    # Esc broke the loop at frame 3 of 5 — no later frame may run
+    assert "frame 3" not in out and "frame 4" not in out
 
 
 def test_cli_run_gui_headless_exits_cleanly(monkeypatch):
@@ -599,8 +597,8 @@ def test_cli_stream_coord_descends_on_static_scene(tmp_path, capsys):
           "--train-pair", "0", "--lr", "0.2", "--log-every", "1",
           "--carry-momentum", "--source", str(src)])
     out = capsys.readouterr().out
-    mses = [_json.loads(l)["mse"] for l in out.splitlines()
-            if l.startswith("{") and "mse" in _json.loads(l)]
+    recs = [_json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    mses = [r["mse"] for r in recs if "mse" in r]
     assert len(mses) == 24
     assert mses[-1] < 0.5 * mses[0]     # measured: 18290 -> ~700 at lr=0.2
 
@@ -1028,8 +1026,14 @@ def test_indivisible_pooling_rejected():
                  layer=LayerParams(depth=4, lk=0, ll=0, scale=4, rmax=1.0))
     with pytest.raises(ValueError, match="does not divide"):
         initial_spec(cfg)
-    eng = make_engine(nx=16)   # 16 -> 8; adding a x4 pair needs 8 % 4 == 0 ok,
-    eng.add_layer()            # but a third at 2x2 with scale 2 -> 1 ... ok
+    # the add_pair path enforces the same check: inner grid shrinks
+    # 8 -> 4 -> 2 -> 1; the next x2 pair cannot divide 1x1
+    eng = make_engine(nx=16)
+    eng.add_layer()
+    eng.add_layer()
+    eng.add_layer()
+    with pytest.raises(ValueError, match="does not divide"):
+        eng.add_layer()
 
 
 def test_cli_train_burst_all_pairs(tmp_path, capsys):

@@ -269,6 +269,7 @@ def test_http_dynamic_batching_coalesces(tmp_path):
     and all receive their own correct slice."""
     import io as _io
     import threading
+    import time
     import urllib.request
     from spectralae.io.server import InferenceServer
 
@@ -276,6 +277,8 @@ def test_http_dynamic_batching_coalesces(tmp_path):
     path = export_model(params, spec, tmp_path / "art", what="forward",
                         domain="fft", batch=None)
     inner = ServingModel.load(path)
+
+    posted = threading.Semaphore(0)
 
     class Counting:
         def __init__(self, m):
@@ -286,6 +289,15 @@ def test_http_dynamic_batching_coalesces(tmp_path):
 
         def __call__(self, x):
             self.calls += 1
+            if self.calls == 1:
+                # hold the first batch on-device until every client has
+                # posted (+ grace for the last request to traverse HTTP
+                # into the queue): the stragglers then MUST coalesce into
+                # one follow-up batch, deterministically — without this
+                # the assertion raced the 300 ms window on loaded hosts
+                for _ in range(4):
+                    posted.acquire()
+                time.sleep(0.5)
             return self._m(x)
 
     m = Counting(inner)
@@ -298,6 +310,7 @@ def test_http_dynamic_batching_coalesces(tmp_path):
         outs = [None] * 4
 
         def post(i):
+            posted.release()
             buf = _io.BytesIO(); np.save(buf, xs[i])
             req = urllib.request.Request(f"{base}/infer",
                                          data=buf.getvalue(),

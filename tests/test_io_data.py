@@ -99,7 +99,10 @@ def test_prefetcher_batches_and_stops():
     pf.close()
 
 
-def test_native_codec_parity_when_built():
+def _native_or_skip(*, need_batch=False, need_yuv=False):
+    """Build the native lib if the toolchain allows; skip with a precise
+    reason otherwise — the ONE copy of the build/cache-reset bootstrap
+    (three divergent copies previously risked testing a stale library)."""
     from spectralae.data import native
     root = Path(__file__).resolve().parents[1]
     if not native.available():
@@ -110,6 +113,15 @@ def test_native_codec_parity_when_built():
         native._lib = None
     if not native.available():
         pytest.skip("native lib not built")
+    if need_batch and not native.has_batch():
+        pytest.skip("native lib lacks sae_batch_to_tensor (stale build)")
+    if need_yuv and not native.has_yuv():
+        pytest.skip("native lib lacks sae_yuv_to_bgr (stale build)")
+    return native
+
+
+def test_native_codec_parity_when_built():
+    native = _native_or_skip()
     rng = np.random.default_rng(0)
     img = rng.integers(0, 256, size=(20, 24, 3), dtype=np.uint8)
     np.testing.assert_array_equal(
@@ -119,23 +131,19 @@ def test_native_codec_parity_when_built():
     np.testing.assert_array_equal(
         native.tensor_to_frame(spin),
         np.clip(np.round(spin.transpose(2, 1, 0)), 0, 255).astype(np.uint8))
+    # compare against the explicit numpy index map (pipeline.resize_nn
+    # itself dispatches to the native stage when built, so comparing the
+    # two would be tautological)
+    h, w = img.shape[:2]
+    ri, ci = np.arange(10) * h // 10, np.arange(12) * w // 12
     np.testing.assert_array_equal(native.resize_nn(img, 12, 10),
-                                  pipeline.resize_nn(img, 12, 10))
+                                  img[ri][:, ci])
 
 
 def test_native_batch_stage_parity_when_built():
     """The threaded C++ batch resize+convert equals the per-frame numpy
     path (resize_nn -> frame_to_tensor), frame for frame."""
-    from spectralae.data import native
-    root = Path(__file__).resolve().parents[1]
-    if not native.available():
-        r = subprocess.run(["make", "-C", str(root / "native")],
-                           capture_output=True)
-        if r.returncode != 0:
-            pytest.skip("native toolchain unavailable")
-        native._lib = None
-    if not native.has_batch():
-        pytest.skip("native lib lacks sae_batch_to_tensor (stale build)")
+    native = _native_or_skip(need_batch=True)
     rng = np.random.default_rng(1)
     imgs = rng.integers(0, 256, size=(6, 37, 23, 3), dtype=np.uint8)
     for nx, ny in ((16, 12), (23, 37)):
@@ -150,9 +158,7 @@ def test_native_batch_stage_parity_when_built():
 
 
 def test_prefetcher_uses_native_batch_stage_when_available():
-    from spectralae.data import native
-    if not native.has_batch():
-        pytest.skip("native lib not built")
+    _native_or_skip(need_batch=True)
     src = pipeline.synthetic_frames(40, 40, seed=3)
     pf = pipeline.DevicePrefetcher(src, 16, 16, batch=4)
     batch = np.asarray(next(pf))
@@ -300,16 +306,7 @@ def test_y4m_source_chroma_roundtrip(tmp_path):
 def test_native_yuv_decode_parity_when_built(tmp_path, monkeypatch):
     """The threaded C++ YUV→BGR stage agrees with the numpy path on random
     chroma across all three subsamplings (rounding-boundary tolerance 1)."""
-    from spectralae.data import native
-    root = Path(__file__).resolve().parents[1]
-    if not native.available():
-        r = subprocess.run(["make", "-C", str(root / "native")],
-                           capture_output=True)
-        if r.returncode != 0:
-            pytest.skip("native toolchain unavailable")
-        native._lib = None
-    if not native.has_yuv():
-        pytest.skip("native lib lacks sae_yuv_to_bgr (stale build)")
+    native = _native_or_skip(need_yuv=True)
     rng = np.random.default_rng(7)
     w, h = 16, 12
     for cs, (sy, sx) in (("420", (2, 2)), ("422", (1, 2)), ("444", (1, 1))):
@@ -408,14 +405,23 @@ def test_rotating_prune_orders_by_recency_after_rollback(tmp_path):
     divergence rollback re-saves an earlier step, so by name the fresh
     good checkpoints sort below the NaN-era dirs and name-order pruning
     deleted them while retaining the diverged history forever."""
+    import os
     import time as _time
     cfg, spec, params = setup()
-    for step in (100, 101, 102):       # the NaN-era history
+    now = _time.time()
+
+    def stamp(step, age_s):
+        # explicit mtimes (not sleeps): on coarse-mtime filesystems the
+        # save calls would otherwise share one timestamp and the recency
+        # order would be arbitrary
+        os.utime(tmp_path / "h" / f"step_{step:08d}", (now - age_s,) * 2)
+
+    for i, step in enumerate((100, 101, 102)):   # the NaN-era history
         ckpt.save_rotating(tmp_path / "h", params, spec, step=step, keep=3)
-        _time.sleep(0.02)
-    for step in (51, 52):              # rollback, then continued training
+        stamp(step, 50 - i * 10)
+    for i, step in enumerate((51, 52)):  # rollback, continued training
         ckpt.save_rotating(tmp_path / "h", params, spec, step=step, keep=3)
-        _time.sleep(0.02)
+        stamp(step, 20 - i * 10)
     dirs = {p.name for p in (tmp_path / "h").iterdir() if p.is_dir()}
     # the three most-recent saves survive; the two stalest NaN-era ones go
     assert dirs == {"step_00000102", "step_00000051", "step_00000052"}

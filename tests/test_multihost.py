@@ -32,19 +32,28 @@ def test_two_process_train_and_burst():
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         cwd=str(root), env=env) for pid in (0, 1)]
     outs = []
-    for p in procs:
-        try:
-            # generous: the workers pass in ~36s on an idle host, but under
-            # a parallel (xdist) suite the 2×4-virtual-device init + gloo
-            # handshake contends with compile-heavy peers and 240s tripped
-            out, err = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
+    try:
+        for p in procs:
+            try:
+                # generous: the workers pass in ~36s on an idle host, but
+                # under a parallel (xdist) suite the 2×4-virtual-device
+                # init + gloo handshake contends with compile-heavy peers
+                # and 240s tripped
+                out, err = p.communicate(timeout=900)
+            except subprocess.TimeoutExpired:
+                pytest.fail("multihost worker timed out")
+            assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+            lines = [l for l in out.splitlines() if l.startswith("{")]
+            assert lines, (f"worker printed no JSON result\n"
+                           f"stdout: {out[-1500:]}\nstderr: {err[-1500:]}")
+            outs.append(json.loads(lines[-1]))
+    finally:
+        # a failed/early-asserted first worker must not orphan the second
+        # (it would block in its distributed handshake for its full
+        # internal timeout with open pipes)
+        for q in procs:
+            if q.poll() is None:
                 q.kill()
-            pytest.fail("multihost worker timed out")
-        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
-        line = [l for l in out.splitlines() if l.startswith("{")][-1]
-        outs.append(json.loads(line))
 
     r0, r1 = sorted(outs, key=lambda r: r["pid"])
     assert r0["coordinator"] and not r1["coordinator"]
