@@ -20,11 +20,9 @@
 
 #include "netlib.h"  // resolved from /root/reference/source via -I
 
-// netlib.cpp links act/act1 through backproplib.h; the reference's active
-// bodies are the identity / constant 1 (source/backproplib.cu:38-66 — the
-// leaky-ReLU bodies are commented out there and in netlib.cpp:23-34).
-float act(float x) { return x; }
-float act1(float) { return 1.0f; }
+// act/act1 (declared through backproplib.h) are now linked from the
+// reference's own backproplib.cu, compiled for CPU via tests/refstub/ —
+// see tests/reference_build.py and tests/ref_cuda_shim.cpp.
 
 namespace {
 
