@@ -379,12 +379,28 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
         # path is already dispatch-bound.  The model-sharded x-slab
         # variant stays opt-in (pallas_windows=True): it is equality-
         # tested on the virtual mesh but this rig cannot hardware-prove
-        # Mosaic-under-shard_map on real multi-chip ICI.
+        # Mosaic-under-shard_map on real multi-chip ICI.  "pixel" (the
+        # FFT-free formulation, ops/pixel_corr) is opt-in only: correct
+        # everywhere, but its XLA lowering materializes the shift stacks
+        # (measured 184 ms at 2048² vs ~10 spectral in the same window)
         from ..ops.pallas_kernels import _on_tpu
         pallas_windows = (model_axis is None and _on_tpu()
                           and nx * ny >= 2 * 1024 * 1024)
 
-    if model_axis is None:
+    if pallas_windows == "pixel":
+        if model_axis is not None:
+            raise ValueError(
+                "pallas_windows='pixel' has no model-sharded variant — "
+                "use the spectral kernel (True) under tensor parallelism")
+        # FFT-free: every precompute quantity computed directly in pixel
+        # space (ops/pixel_corr.py — same anchoring-precision contract,
+        # equality-tested vs this spectral branch)
+        from ..ops.pixel_corr import pixel_anchor_windows
+        XXw, EGw, SEG, E_cont0, X0 = pixel_anchor_windows(
+            x, K0taps, hx2, hy2, s1)
+        XX = XXw.reshape(dD, dD, -1)
+        EGwin = EGw.reshape(dD, dD, -1)
+    elif model_axis is None:
         X = spectral.rfft2(x)                          # [B, D, nx, nyr]
         if pallas_windows:
             # single-pass Pallas precompute (ops/pallas_windows.py):
