@@ -186,6 +186,7 @@ def test_metrics_logger_and_timer(tmp_path):
     assert t.median_ms >= 0 and t.steps_per_sec > 0
 
 
+@pytest.mark.slow   # jax.profiler trace setup ~60 s on this single-core rig
 def test_device_trace_smoke(tmp_path):
     import jax.numpy as jnp
     import jax

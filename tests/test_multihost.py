@@ -14,6 +14,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # subprocess pair + gloo init (~60 s)
+
 
 def _free_port() -> int:
     with socket.socket() as s:

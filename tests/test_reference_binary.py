@@ -29,6 +29,8 @@ from spectralae.core.config import half_extent
 
 from tests.reference_build import load_reference_lib, as_ptr
 
+pytestmark = pytest.mark.slow  # compiles the reference netlib.cpp in place
+
 
 @pytest.fixture(scope="module")
 def ref():

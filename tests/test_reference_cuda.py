@@ -45,6 +45,8 @@ import jax.numpy as jnp
 
 from spectralae.core.types import AEParams, ConvStage
 from spectralae.model import autoencoder as model
+
+pytestmark = pytest.mark.slow  # compiles the reference CUDA units for host
 from spectralae.ops import coord
 from spectralae.train.coord import coord_ref_gradients, coord_step
 from spectralae.train.fft import fft_burst

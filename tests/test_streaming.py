@@ -135,7 +135,10 @@ def test_stream_pair_dp_equals_single_device():
                                rtol=2e-5, atol=1e-7)
 
 
-@pytest.mark.parametrize("carry", [True, False])
+@pytest.mark.parametrize("carry", [
+    pytest.param(True, marks=pytest.mark.slow),   # ~25 s single-core
+    False,
+])
 def test_stream_sweep_equals_sequential_pair_sweep(carry):
     """stream_bursts_sweep == the host loop [per frame: per pair:
     activation through the pairs already updated this frame → fused
