@@ -231,8 +231,15 @@ def _make_anchor_kernel(D: int, TX: int, nx: int, s1: float):
         bs4 = jnp.where(mask, bs4_ref[:], 0.0)
         cxt, sxt = cxt_ref[:], sxt_ref[:]
         cy, sy = cy_ref[:], sy_ref[:]
-        xr = [xr_ref[0, d] for d in range(D)]
-        xi = [xi_ref[0, d] for d in range(D)]
+        # signal spectra may stream from HBM in bf16 (halving the kernel's
+        # only resolution-sized read); all arithmetic is f32 — the convert
+        # is in-register.  EG stays the EXACT continuum error of the
+        # rounded signal (both its terms use the same rounded X), so the
+        # anchoring precision invariant survives: cancellation happens at
+        # error scale, the rounding only perturbs the objective by ~2⁻⁹
+        # relative (tests/test_fft_corr.py bf16 suite)
+        xr = [xr_ref[0, d].astype(jnp.float32) for d in range(D)]
+        xi = [xi_ref[0, d].astype(jnp.float32) for d in range(D)]
 
         for e in range(D):
             # EG_e = s1·Σ_d K̂₀[e,d]·X_d − X_e, built in VMEM; the anchor
@@ -287,7 +294,8 @@ def _make_anchor_kernel(D: int, TX: int, nx: int, s1: float):
 
 def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
                    s1: float, *, interpret: bool | None = None,
-                   row_slab=None, y_chunk: int = 1152):
+                   row_slab=None, y_chunk: int = 1152,
+                   signal_dtype=None):
     """Whole fused-anchor precompute pass in one Pallas kernel.
 
     Given the signal half-spectra ``X [B, D, nx, nyr]`` and the composed
@@ -305,6 +313,13 @@ def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
     from the separable tap partials (ops/dft.kernel_spectrum's
     factorization), EG lives per x-tile in VMEM, and the correlation
     products feed the stacked window contractions directly.
+
+    ``signal_dtype``: storage dtype for the split re/im signal planes fed
+    to the kernel (default: X's own precision, f32).  ``jnp.bfloat16``
+    halves the kernel's only resolution-sized HBM read; every product and
+    accumulation stays f32 (converted in-register), and the anchoring
+    precision contract holds because EG's two terms share the same
+    rounded X — see the kernel comment.
 
     ``row_slab``: a (possibly traced) global start row.  When given,
     ``X`` is an x-row *slab* ``[B, D, nx_l, nyr]`` of the full spectra
@@ -366,10 +381,17 @@ def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
     edges = [round(c * nyr / n_chunks) for c in range(n_chunks + 1)]
     nyr_c_max = max(b - a for a, b in zip(edges, edges[1:]))
 
-    # x-tile sizing: X re/im double-buffered + K̂/EG tile transients
+    # x-tile sizing: X re/im double-buffered (at the signal storage dtype),
+    # PLUS the in-kernel f32 conversion copies when streaming sub-f32 (the
+    # astype materializes f32 tiles of all 2·D planes in scoped VMEM —
+    # unaccounted, TX=128 bf16 at 2048² hits Mosaic's 16 M stack limit at
+    # 17.96 M), plus K̂/EG f32 tile transients
+    sig_itemsize = jnp.dtype(signal_dtype or jnp.float32).itemsize
+    conv_copies = 2 * D * 4 if sig_itemsize < 4 else 0
     nyr_pad = -(-nyr_c_max // 128) * 128
     TX = 128
-    while TX > 32 and (2 * 2 * D + 8) * TX * nyr_pad * 4 > 11 * 2 ** 20:
+    while TX > 32 and (2 * 2 * D * sig_itemsize + conv_copies + 8 * 4) \
+            * TX * nyr_pad > 11 * 2 ** 20:
         TX //= 2
     TX = min(TX, nx_l)
     grid = (B, pl.cdiv(nx_l, TX))
@@ -395,11 +417,19 @@ def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
                  const((dd, vx2, 2 * vy2)), const((dd, vx2, 2 * vy2)),
                  const((1, 1)), const((1, D))]
 
+    # split (and optionally down-cast) the signal planes ONCE — the
+    # real/imag extraction is an elementwise fusion, so the bf16 cast
+    # rides it for free and every downstream read is half-width
+    Xre, Xim = X.real, X.imag
+    if signal_dtype is not None:
+        Xre = Xre.astype(signal_dtype)
+        Xim = Xim.astype(signal_dtype)
+
     def chunk_call(a, b_):
         ny_c = b_ - a
         planes = pl.BlockSpec((1, D, TX, ny_c), lambda b, i: (b, 0, i, 0),
                               memory_space=pltpu.VMEM)
-        Xc = X[..., a:b_]
+        xre, xim = Xre[..., a:b_], Xim[..., a:b_]
         return pl.pallas_call(
             _make_anchor_kernel(D, TX, nx_l, float(s1)),
             grid=grid,
@@ -415,7 +445,7 @@ def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
             out_specs=out_specs,
             out_shape=out_shapes,
             interpret=interpret,
-        )(Xc.real, Xc.imag, taps, cy[:, a:b_], sy[:, a:b_], cxT, sxT,
+        )(xre, xim, taps, cy[:, a:b_], sy[:, a:b_], cxT, sxT,
           wrow[:, a:b_], top2[a:b_], bot2[a:b_], bxc2, bxs2,
           top4[a:b_], bot4[a:b_], bxc4, bxs4)
 

@@ -105,10 +105,19 @@ def _lag_maps(nk: int, nl: int):
 
     n2, n4 = w2x * w2y, w4x * w4y
     pair_oh = onehot(pair2lag, n2)
+    # the XXd one-hot is [n4, n2²] — fine at 5×5 (7.6 MB: the per-burst
+    # build rides the MXU), but it grows as k⁶ (3.75 GB at 13×13, where
+    # materializing it as a jit constant stalls compilation for minutes).
+    # Large kernels ship the tiny int32 index map instead; the build is
+    # then ONE gather per burst (XXd is loop-invariant), so gather
+    # slowness never touches the iteration loop.
+    g_xxd = (onehot(xxd, n4).T
+             if n4 * n2 * n2 <= 32 * 2 ** 20 else None)
     return dict(
         g_scatter_pair=pair_oh,                 # [P², n2] scatter-sum
         g_pair=pair_oh.T,                       # [n2, P²] gather
-        g_xxd=onehot(xxd, n4).T,                # [n4, n2·n2]
+        g_xxd=g_xxd,                            # [n4, n2·n2] or None
+        xxd_idx=xxd.reshape(-1).astype(np.int32),   # [n2·n2] V4 indices
         v4ext=(4 * hx, 4 * hy), l2ext=(2 * hx, 2 * hy),
         n2=n2, n4=n4)
 
@@ -407,10 +416,16 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
             # anchor spectra generated per x-tile from the tap partials,
             # EG built in VMEM, windows + Σw|EG|² + DC scalars emitted
             # in one read of X — bin-wise f32 accumulation, same
-            # anchoring-precision contract as the XLA path
+            # anchoring-precision contract as the XLA path.
+            # "bf16": stream the split re/im signal planes bf16 (f32
+            # accumulation in-kernel) — halves the kernel's HBM read;
+            # the objective is that of the 2⁻⁹-rounded signal (see
+            # anchor_windows docstring + tests/test_fft_corr.py)
             from ..ops.pallas_windows import anchor_windows
             XXw, EGw, SEG, E_cont0 = anchor_windows(
-                X, K0taps, nx, ny, hx2, hy2, s1)
+                X, K0taps, nx, ny, hx2, hy2, s1,
+                signal_dtype=(jnp.bfloat16 if pallas_windows == "bf16"
+                              else None))
             XX = XXw.reshape(dD, dD, -1)
             EGwin = EGw.reshape(dD, dD, -1)
         else:
@@ -478,7 +493,9 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
                                           axis=2)
             XXw, EGw, SEGl, _ = anchor_windows(
                 Xl, K0taps, nx, ny, hx2, hy2, s1,
-                row_slab=midx * chunk_x)
+                row_slab=midx * chunk_x,
+                signal_dtype=(jnp.bfloat16 if pallas_windows == "bf16"
+                              else None))
             XX = lax.psum(XXw, model_axis).reshape(dD, dD, -1)
             EGwin = lax.psum(EGw, model_axis).reshape(dD, dD, -1)
             SEG = lax.psum(SEGl, model_axis)
@@ -625,8 +642,15 @@ def corr_iterate(T, c, f, b, p, mom=None, *, nx, ny,
                                    (dD, 1, n4))], axis=1),
         jnp.broadcast_to((norm * X0e)[None, :, None], (1, dDe, n4)),
     ], axis=0)                                            # [dDe, dDe, n4]
-    XXd = (XXe.reshape(dDe * dDe, n4) @ jnp.asarray(maps["g_xxd"])
-           ).reshape(dDe, dDe, n2, n2)
+    if maps["g_xxd"] is not None:
+        XXd = (XXe.reshape(dDe * dDe, n4) @ jnp.asarray(maps["g_xxd"])
+               ).reshape(dDe, dDe, n2, n2)
+    else:
+        # large kernels: one gather per burst (loop-invariant) instead of
+        # a k⁶-sized one-hot constant — see _lag_maps
+        XXd = jnp.take(XXe.reshape(dDe * dDe, n4),
+                       jnp.asarray(maps["xxd_idx"]), axis=1
+                       ).reshape(dDe, dDe, n2, n2)
     # windows of the extended anchor error Ẽ₀ = s1·K̃̂₀X̃ − Y (the biased
     # anchor forward's error; = E₀ exactly when out0 is the true forward)
     E0full = jnp.concatenate([

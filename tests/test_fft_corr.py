@@ -50,6 +50,9 @@ def assert_matches(got, ref, rtol=1e-3, atol=1e-4):
     (16, 1, 1, 2, 4),    # lag window (17²) wider than the grid: aliasing
     (24, 1, 2, 2, 3),    # non-square kernel 5×7
     (32, 2, 2, 3, 5),    # 7×7
+    pytest.param(32, 5, 5, 2, 3, marks=pytest.mark.slow),
+    # ^ 13×13: exercises the take-based XXd build (the one-hot map would
+    #   be a 3.75 GB constant); ~60 s on this single-core rig
 ])
 def test_corr_burst_matches_jnp(nx, lk, ll, d, m):
     x, out0, enc, dec = setup(nx=nx, d=d, m=m, lk=lk, ll=ll)
@@ -312,8 +315,10 @@ def test_fused_burst_rejects_foreign_expout():
 
 @pytest.mark.parametrize("nx,lk,ll,d,m,b", [
     (16, 1, 1, 2, 4, None),   # XX window (17²) wider than the grid: aliasing
-    (32, 1, 2, 2, 3, 2),      # non-square kernel, batched
-    (32, 2, 2, 3, 4, None),   # 7×7 kernels
+    pytest.param(32, 1, 2, 2, 3, 2,
+                 marks=pytest.mark.slow),   # non-square kernel, batched
+    pytest.param(32, 2, 2, 3, 4, None,
+                 marks=pytest.mark.slow),   # 7×7 kernels (~40 s single-core)
 ])
 def test_pixel_precompute_matches_spectral(nx, lk, ll, d, m, b):
     """The FFT-free pixel-space precompute (ops/pixel_corr.py) produces
@@ -405,3 +410,33 @@ def test_corr_burst_non_square_grid():
     got = fft_burst_corr(x, None, out0, enc.c, dec.c, enc.b, dec.b,
                          lr=0.2, iters=6)
     assert_matches(got, ref)
+
+
+def test_corr_burst_bf16_pixel_scale():
+    """bf16 signal streaming through the Pallas anchor at pixel scale
+    (values ~1e3 — the cancellation-killer pattern): the burst must stay
+    positive-MSE, converge like the f32 path, and track it early.  The
+    rounding perturbs the objective by ~2⁻⁹ relative, so the achievable
+    MSE floor is ~(2⁻⁹)²·E_signal ≈ 4e-6 of the start — far below the
+    reference burst's 20–350× reductions."""
+    cfg = Config(nx=32, ny=32, d=3,
+                 layer=LayerParams(depth=10, lk=1, ll=1, scale=1, rmax=1.0))
+    spec = initial_spec(cfg)
+    params = init_params(jax.random.key(0), spec, 1.0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((rng.random((3, 32, 32)) * 1000).astype(np.float32))
+    enc, dec = params.pair(0)
+    got = fft_burst_corr(x, None, None, enc.c, dec.c, enc.b, dec.b,
+                         lr=0.2, iters=100, pallas_windows="bf16")
+    ref = fft_burst_corr(x, None, None, enc.c, dec.c, enc.b, dec.b,
+                         lr=0.2, iters=100, pallas_windows=True)
+    m_got, m_ref = np.asarray(got.mses), np.asarray(ref.mses)
+    assert np.all(m_got > 0), "MSE went negative (cancellation regression)"
+    assert m_got[-1] < m_got[0] * 0.05
+    # early trajectory within the bf16 objective-perturbation band (the
+    # normalized/clipped update decorrelates long trajectories even
+    # between exact implementations, so late weights are not comparable —
+    # same contract as test_corr_burst_reanchoring_extends_convergence)
+    np.testing.assert_allclose(m_got[:20], m_ref[:20], rtol=5e-2)
+    # and the same convergence level at the end
+    assert m_got[-1] < 2.0 * m_ref[-1]

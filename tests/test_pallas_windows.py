@@ -235,3 +235,34 @@ def test_anchor_windows_y_chunked():
     got = anchor_windows(X, taps, nx, ny, hx2, hy2, s1, y_chunk=5)
     for g, w in zip(got, want):
         assert _norm_rel(g, w) < 1e-6
+
+
+def test_anchor_windows_bf16_is_exact_on_rounded_signal():
+    """The bf16 signal-streaming path computes the EXACT f32 answer for
+    the bf16-rounded signal: both EG terms share the same rounded X, so
+    the anchoring cancellation contract is untouched — the rounding is a
+    2⁻⁹-relative perturbation of the *objective*, not of the algebra."""
+    from spectralae.ops.pallas_windows import anchor_windows
+    from spectralae.ops import spectral
+
+    rng = np.random.default_rng(7)
+    B, D, n, ny, nk2 = 2, 3, 16, 16, 9
+    hx2 = hy2 = nk2 // 2
+    s1 = 1.0 / (4 * D)
+    x = jnp.asarray(rng.standard_normal((B, D, n, ny)), jnp.float32) * 1e3
+    taps = jnp.asarray(rng.standard_normal((D, D, nk2, nk2)) * 0.2,
+                       jnp.float32)
+    X = spectral.rfft2(x)
+    got = anchor_windows(X, taps, n, ny, hx2, hy2, s1,
+                         signal_dtype=jnp.bfloat16)
+    # f32 kernel fed the pre-rounded spectra
+    Xr = (X.real.astype(jnp.bfloat16).astype(jnp.float32)
+          + 1j * X.imag.astype(jnp.bfloat16).astype(jnp.float32)
+          ).astype(jnp.complex64)
+    want = anchor_windows(Xr, taps, n, ny, hx2, hy2, s1)
+    for g, w in zip(got, want):
+        assert _norm_rel(g, w) < 1e-6
+    # and within the bf16 band of the unrounded result
+    full = anchor_windows(X, taps, n, ny, hx2, hy2, s1)
+    for g, w in zip(got, full):
+        assert _norm_rel(g, w) < 2e-2
