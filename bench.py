@@ -18,11 +18,32 @@ by the execution relay (which caches repeated (executable, args) and reports
 fetch and divided by N.  Everything timed is jitted — eager dispatch over the
 axon tunnel does not represent TPU performance.
 
-Extended results go to bench_details.json.
+Headline reproducibility: the headline row is measured in FIVE
+time-separated windows spread across the run (minutes apart, so no single
+bad ~1 s tunnel period poisons the judged number).  The driver-parsed
+``value`` is the MEDIAN of the window floors — reproducible by construction;
+the per-window floors and medians ship alongside, with ``spread_pct`` the
+(max−min)/median band of the individual windows.
+
+Utilization: every row carries a roofline entry (``util[...]`` keys) —
+FLOPs and bytes from XLA's cost analysis of the compiled program
+(spectralae/core/roofline.py), plus the analytic Pallas-kernel supplement
+for the fused ≥2048² bursts, against the chip's public peaks.  This is the
+"util" cell the reference never had (SURVEY.md §6).
+
+Tiers: the default run includes every BASELINE.md row (the 2048²–8192²
+fused bursts, the all-pairs sweep, coord/DP streaming, M=50, 13×13) —
+driver-reproducible by construction.  ``--quick`` keeps only the headline
+windows and the small-config rows.
+
+Extended results go to bench_details.json (written incrementally, so a
+late-row failure cannot lose the completed rows).
 """
 
+import argparse
 import json
 import os
+import platform
 import sys
 import time
 from typing import NamedTuple
@@ -42,6 +63,7 @@ from spectralae.core.runtime import enable_compilation_cache
 
 enable_compilation_cache()
 
+from spectralae.core import roofline
 from spectralae.core.config import Config, LayerParams
 from spectralae.core.types import initial_spec, init_params, init_opt_state
 from spectralae.model import autoencoder as model
@@ -54,6 +76,8 @@ from spectralae.train.coord import coord_step
 from spectralae.train.modern import train_step
 
 REFERENCE_FFT_ITERS_PER_SEC_ESTIMATE = 100.0
+
+PEAKS = roofline.device_peaks()
 
 
 def _fetch_scalar(arr) -> float:
@@ -83,8 +107,7 @@ def time_chained(step, x0, n=20, warmup=1, trials=5) -> Timing:
     fetch forces completion of every link.  The fetch round-trip latency is
     measured on a no-op and subtracted.  Returns the floor AND the median of
     ``trials`` chains — tunnel latency varies run to run; the floor reflects
-    device time, the median is what a re-run reproduces (headlines quote the
-    median, VERDICT r2 weak #3)."""
+    device time, the median is what a re-run reproduces."""
     x = x0
     for _ in range(warmup):
         r, x = step(x)
@@ -137,30 +160,121 @@ def time_chained(step, x0, n=20, warmup=1, trials=5) -> Timing:
                   valid=True)
 
 
-def record(results, timing: Timing, ms_key: str, rate_key: str | None = None,
-           rate_num: float = 1.0) -> bool:
-    """Persist a timing row, or discard it loudly if it failed validation.
+class Bench:
+    """Row recorder: timings + roofline utilization, flushed to
+    bench_details.json after every row."""
 
-    Invalid rows are written as ``null`` with the key appended to
-    ``results["discarded"]`` — a physically-impossible number must never
-    masquerade as a measurement (VERDICT r2 weak #2)."""
-    if not timing.valid:
-        results[ms_key] = None
+    def __init__(self, path="bench_details.json"):
+        self.results = {}
+        self.path = path
+
+    def flush(self):
+        with open(self.path, "w") as f:
+            json.dump(self.results, f, indent=2)
+
+    def record(self, timing: Timing, ms_key: str, rate_key: str | None = None,
+               rate_num: float = 1.0, cost=None) -> bool:
+        """Persist a timing row, or discard it loudly if it failed
+        validation.
+
+        Invalid rows are written as ``null`` with the key appended to
+        ``results["discarded"]`` — a physically-impossible number must never
+        masquerade as a measurement.  ``cost``: optional (flops, bytes) for
+        the roofline entry (util[ms_key]); computed against the row's floor
+        time (the device-time estimate)."""
+        results = self.results
+        if not timing.valid:
+            results[ms_key] = None
+            if rate_key:
+                results[rate_key] = None
+            results.setdefault("discarded", []).append(ms_key)
+            print(f"# DISCARDED {ms_key}: {timing.best*1e3:.6f} ms is below "
+                  f"the {FLOOR_S*1e3:.2f} ms tunnel floor even after the "
+                  "long-chain retry", file=sys.stderr)
+            self.flush()
+            return False
+        results[ms_key] = timing.best * 1e3
+        results[ms_key + ":median"] = timing.median * 1e3
         if rate_key:
-            results[rate_key] = None
-        results.setdefault("discarded", []).append(ms_key)
-        print(f"# DISCARDED {ms_key}: {timing.best*1e3:.6f} ms is below "
-              f"the {FLOOR_S*1e3:.2f} ms tunnel floor even after the "
-              "long-chain retry", file=sys.stderr)
-        return False
-    results[ms_key] = timing.best * 1e3
-    if rate_key:
-        results[rate_key] = rate_num / timing.best
-    return True
+            results[rate_key] = rate_num / timing.best
+        if cost is not None and (cost[0] is not None or cost[1] is not None):
+            results[f"util[{ms_key}]"] = roofline.utilization(
+                cost[0], cost[1], timing.best, PEAKS)
+        self.flush()
+        return True
+
+    def fail(self, key: str, err: Exception):
+        """A row whose program could not compile/run on this chip — record
+        the failure reason instead of silently skipping (the 16384² wall)."""
+        msg = f"{type(err).__name__}: {err}"
+        self.results[key] = None
+        self.results[key + ":error"] = msg[:400]
+        print(f"# FAILED {key}: {msg[:200]}", file=sys.stderr)
+        self.flush()
+
+
+def _versions():
+    import jaxlib
+    v = {"python": platform.python_version(),
+         "jax": jax.__version__, "jaxlib": jaxlib.__version__,
+         "numpy": np.__version__}
+    try:
+        import libtpu
+        v["libtpu"] = getattr(libtpu, "__version__", "present")
+    except ImportError:
+        pass
+    try:
+        import optax
+        v["optax"] = optax.__version__
+    except ImportError:
+        pass
+    return v
+
+
+def scaled(cost, k):
+    """Scale a scan-over-frames row's cost by the trip count (XLA costs
+    while bodies once; see roofline.compiled_cost)."""
+    fl, by = cost
+    return (fl * k if fl is not None else None,
+            by * k if by is not None else None)
+
+
+def burst_cost(x, out0, enc, dec, iters, fused_pallas=False, batch=1):
+    """(flops, bytes) for an fft_burst_corr row: XLA cost analysis plus the
+    analytic supplements for the Pallas anchor kernel (opaque to XLA) and
+    the inner fori_loop's per-iteration arithmetic (while bodies are
+    costed once)."""
+    fl, by = roofline.compiled_cost(
+        fft_burst_corr, x, None, out0, enc.c, dec.c, enc.b, dec.b,
+        lr=0.2, iters=iters)
+    if fl is not None:
+        M, D, nk, nl = enc.c.shape
+        fl += roofline.corr_iter_flops(D, M, nk, nl, iters)
+        if fused_pallas:
+            nx, ny = x.shape[-2], x.shape[-1]
+            kfl, _ = roofline.anchor_windows_cost(
+                batch, D, nx, ny, 2 * (nk // 2), 2 * (nl // 2))
+            fl += kfl   # kernel HBM traffic (the X read) is already in
+            #             the custom call's operand bytes — arithmetic only
+    return fl, by
 
 
 def main():
-    results = {}
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="headline windows + small-config rows only "
+                         "(skip the ≥2048² bursts / sweep / streaming tier)")
+    args = ap.parse_args()
+
+    bench = Bench()
+    results = bench.results
+    results["versions"] = _versions()
+    results["device"] = str(jax.devices()[0])
+    if PEAKS:
+        results["peaks"] = {"chip": PEAKS.name,
+                            "bf16_tflops": PEAKS.flops / 1e12,
+                            "hbm_gbps": PEAKS.hbm / 1e9}
+
     rng = np.random.default_rng(0)
     cfg = Config(nx=256, ny=256, d=3,
                  layer=LayerParams(depth=10, lk=1, ll=1, scale=2, rmax=3.0))
@@ -201,27 +315,47 @@ def main():
             iters=burst_iters, impl="fft"),
     }
     headline_floor, headline_median = {}, {}
+
+    # --- window 1: all implementations ---
     for impl, fn in impls.items():
         def burst_step(x, fn=fn):
             r = fn(x)
             return r, x + r.mses[-1] * 0.0 + 1e-6
         t = time_chained(burst_step, x0)
-        if record(results, t, f"fft_burst_100_ms[{impl}]",
-                  f"fft_backprop_iters_per_sec_256[{impl}]", burst_iters):
+        cost = (burst_cost(x0, out0, enc, dec, burst_iters)
+                if impl == "corr" else None)
+        if bench.record(t, f"fft_burst_100_ms[{impl}]",
+                        f"fft_backprop_iters_per_sec_256[{impl}]",
+                        burst_iters, cost=cost):
             results[f"fft_backprop_iters_per_sec_256_median[{impl}]"] = \
                 burst_iters / t.median
             if impl in ("corr", "pallas-fused", "pallas", "dft"):
                 headline_floor[impl] = burst_iters / t.best
                 headline_median[impl] = burst_iters / t.median
-    # headline = the FLOOR-chain rate of the fastest impl: tunnel noise is
-    # strictly additive, so the floor estimates device time and is the
-    # value comparable across driver rounds (BENCH_r01/r02 used it).  The
-    # median of the same trials ships alongside — the spread IS the
-    # run-to-run reproducibility band; README/BASELINE must quote the
-    # driver-recorded value, never a lucky run's top (VERDICT r2 weak #3).
-    # All four rows discarded (total relay swallow) => a null headline,
-    # not a crash that loses the rest of the run's rows.  The final value
-    # is picked after the end-of-run revisit window (see below).
+    best_impl = (max(headline_floor, key=headline_floor.get)
+                 if headline_floor else None)
+    windows_floor, windows_median = [], []
+    if best_impl:
+        windows_floor.append(headline_floor[best_impl])
+        windows_median.append(headline_median[best_impl])
+
+    def headline_window(tag, base_off):
+        """Re-measure the fastest impl in a fresh, time-separated window.
+        Each window's chains get a disjoint base offset so no (executable,
+        args) pair repeats — a relay-cached repeat times ~0."""
+        if not best_impl:
+            return
+        def step(x, fn=impls[best_impl]):
+            r = fn(x)
+            return r, x + r.mses[-1] * 0.0 + 1e-6
+        t = time_chained(step, x0 + base_off)
+        if t.valid:
+            windows_floor.append(burst_iters / t.best)
+            windows_median.append(burst_iters / t.median)
+            results[f"headline_window[{tag}]"] = {
+                "floor_iters_per_sec": burst_iters / t.best,
+                "median_iters_per_sec": burst_iters / t.median}
+            bench.flush()
 
     # ---- 400-iteration burst: amortizes the one-time correlation
     # precompute (the corr burst's per-iteration cost is resolution- and
@@ -230,9 +364,10 @@ def main():
         r = fft_burst_corr(x, None, out0, enc.c, dec.c, enc.b, dec.b,
                            lr=0.2, iters=400)
         return r, x + r.mses[-1] * 0.0 + 1e-6
-    record(results, time_chained(burst400, x0, n=10),
-           "fft_burst_400_ms[corr]",
-           "fft_backprop_iters_per_sec_256_x400", 400)
+    bench.record(time_chained(burst400, x0, n=10),
+                 "fft_burst_400_ms[corr]",
+                 "fft_backprop_iters_per_sec_256_x400", 400,
+                 cost=burst_cost(x0, out0, enc, dec, 400))
 
     # ---- streaming: 32-frame × 100-iter on-device scan (one dispatch
     # per stream; per-frame fused re-anchoring — train/streaming.py) ----
@@ -243,13 +378,15 @@ def main():
     def stream_step(xs):
         r = fft_stream(xs, enc.c, dec.c, enc.b, dec.b, iters=100)
         return r, xs + r.mses[-1, -1] * 0.0 + 1e-6
-    record(results, time_chained(stream_step, xs32, n=3, trials=5),
-           "fft_stream_32x100_ms",
-           "fft_stream_iters_per_sec_sustained", 32 * 100)
+    bench.record(time_chained(stream_step, xs32, n=3, trials=5),
+                 "fft_stream_32x100_ms",
+                 "fft_stream_iters_per_sec_sustained", 32 * 100,
+                 cost=scaled(roofline.compiled_cost(
+                     fft_stream, xs32, enc.c, dec.c, enc.b, dec.b,
+                     iters=100), 32))
 
     # ---- headline at 512² and 1024² (scaling) ----
-    for nxy, iters_n, nlinks in ((512, burst_iters, 10),
-                                 (1024, burst_iters, 8)):
+    for nxy, nlinks in ((512, 10), (1024, 8)):
         cfgB = Config(nx=nxy, ny=nxy, d=3,
                       layer=LayerParams(depth=10, lk=1, ll=1, scale=2,
                                         rmax=3.0))
@@ -262,34 +399,110 @@ def main():
             rng.normal(size=(3, nxy, nxy)).astype(np.float32) * 50)
         outB = fwdB(paramsB, xb0[None])[0]
 
-        def burst_big(x, o=outB, e=encB, d_=decB, it=iters_n):
+        def burst_big(x, o=outB, e=encB, d_=decB):
             r = fft_burst_corr(x, None, o, e.c, d_.c, e.b, d_.b, lr=0.2,
-                               iters=it)
+                               iters=burst_iters)
             return r, x + r.mses[-1] * 0.0 + 1e-6
-        record(results, time_chained(burst_big, xb0, n=nlinks),
-               f"fft_burst_100_ms_{nxy}",
-               f"fft_backprop_iters_per_sec_{nxy}", iters_n)
+        bench.record(time_chained(burst_big, xb0, n=nlinks),
+                     f"fft_burst_100_ms_{nxy}",
+                     f"fft_backprop_iters_per_sec_{nxy}", burst_iters,
+                     cost=burst_cost(xb0, outB, encB, decB, burst_iters))
 
-    # ---- 2048² (4.2 MP), fused anchor (out0=None): at this size the
-    # precompute auto-routes through the single-pass Pallas kernel
-    # (ops/pallas_windows.anchor_windows) ----
-    cfg2k = Config(nx=2048, ny=2048, d=3,
-                   layer=LayerParams(depth=10, lk=1, ll=1, scale=2,
-                                     rmax=3.0))
-    spec2k = initial_spec(cfg2k)
-    params2k = init_params(jax.random.key(0), spec2k, 1.0)
-    enc2k, dec2k = params2k.pair(0)
-    x2k = jax.device_put(
-        rng.normal(size=(3, 2048, 2048)).astype(np.float32) * 50)
+    # --- window 2 ---
+    headline_window("w2", 7.7e-5)
 
-    def burst_16mp(x, e=enc2k, d_=dec2k):
-        r = fft_burst_corr(x, None, None, e.c, d_.c, e.b, d_.b, lr=0.2,
-                           iters=burst_iters)
-        return r, x + r.mses[-1] * 0.0 + 1e-6
-    record(results, time_chained(burst_16mp, x2k, n=5),
-           "fft_burst_100_ms_2048",
-           "fft_backprop_iters_per_sec_2048", burst_iters)
-    del x2k
+    # ---- ≥2048² fused-anchor bursts: 2048² (4.2 MP) / 4096² (16.8 MP) /
+    # 8192² (67 MP).  At these sizes the precompute auto-routes through the
+    # single-pass Pallas anchor kernel (ops/pallas_windows.anchor_windows);
+    # above 2048² the wrapper's ω_y chunking keeps Mosaic's scoped-VMEM
+    # working set bounded.  16384² (268 MP) exceeds single-chip HBM — the
+    # wall is recorded via bench.fail with the failing allocation. ----
+    big_sizes = [2048] if args.quick else [2048, 4096, 8192]
+    for nxy in big_sizes:
+        cfgN = Config(nx=nxy, ny=nxy, d=3,
+                      layer=LayerParams(depth=10, lk=1, ll=1, scale=2,
+                                        rmax=3.0))
+        paramsN = init_params(jax.random.key(0), initial_spec(cfgN), 1.0)
+        encN, decN = paramsN.pair(0)
+        key = f"fft_burst_100_ms_{nxy}"
+        try:
+            xN = jax.device_put(
+                rng.normal(size=(3, nxy, nxy)).astype(np.float32) * 50)
+
+            def burst_n(x, e=encN, d_=decN):
+                r = fft_burst_corr(x, None, None, e.c, d_.c, e.b, d_.b,
+                                   lr=0.2, iters=burst_iters)
+                return r, x + r.mses[-1] * 0.0 + 1e-6
+            nlinks = {2048: 5, 4096: 3, 8192: 2}[nxy]
+            bench.record(time_chained(burst_n, xN, n=nlinks, trials=3
+                                      if nxy > 2048 else 5),
+                         key, f"fft_backprop_iters_per_sec_{nxy}",
+                         burst_iters,
+                         cost=burst_cost(xN, None, encN, decN, burst_iters,
+                                         fused_pallas=True))
+            del xN
+        except Exception as e:      # noqa: BLE001 — record the wall
+            bench.fail(key, e)
+
+    # ---- 2048² with bf16 signal streaming through the Pallas anchor:
+    # the fused burst's HBM traffic is dominated by the split re/im
+    # signal planes; bf16 storage halves the kernel read and the split
+    # write (f32 accumulation in-kernel — equality/convergence pinned in
+    # tests/test_fft_corr.py::test_corr_burst_bf16_pixel_scale) ----
+    if not args.quick:
+        cfg2b = Config(nx=2048, ny=2048, d=3,
+                       layer=LayerParams(depth=10, lk=1, ll=1, scale=2,
+                                         rmax=3.0))
+        params2b = init_params(jax.random.key(0), initial_spec(cfg2b), 1.0)
+        enc2b, dec2b = params2b.pair(0)
+        x2b = jax.device_put(
+            rng.normal(size=(3, 2048, 2048)).astype(np.float32) * 50)
+
+        def burst_2k_bf16(x, e=enc2b, d_=dec2b):
+            r = fft_burst_corr(x, None, None, e.c, d_.c, e.b, d_.b,
+                               lr=0.2, iters=burst_iters,
+                               pallas_windows="bf16")
+            return r, x + r.mses[-1] * 0.0 + 1e-6
+        try:
+            fl2b, by2b = roofline.compiled_cost(
+                fft_burst_corr, x2b, None, None, enc2b.c, dec2b.c, enc2b.b,
+                dec2b.b, lr=0.2, iters=burst_iters, pallas_windows="bf16")
+            if fl2b is not None:
+                fl2b += roofline.corr_iter_flops(3, 10, 5, 5, burst_iters)
+                fl2b += roofline.anchor_windows_cost(1, 3, 2048, 2048, 4, 4,
+                                                     signal_bytes=2)[0]
+            bench.record(time_chained(burst_2k_bf16, x2b, n=5),
+                         "fft_burst_100_ms_2048[bf16]",
+                         "fft_backprop_iters_per_sec_2048[bf16]",
+                         burst_iters, cost=(fl2b, by2b))
+        except Exception as e:      # noqa: BLE001 — Mosaic VMEM limits
+            bench.fail("fft_burst_100_ms_2048[bf16]", e)
+        del x2b
+
+        # ---- streaming @2048²: 4-frame × 100-iter on-device scan of the
+        # fused Pallas-anchor burst (weights+momentum carried; the scan's
+        # win at this size is composition — one jit for the stream —
+        # pinned by tests/test_pallas_windows.py::
+        # test_scan_of_pallas_precompute) ----
+        xs2k = jax.device_put(
+            rng.normal(size=(4, 3, 2048, 2048)).astype(np.float32) * 50)
+
+        def stream2k_step(xs, e=enc2b, d_=dec2b):
+            r = fft_stream(xs, e.c, d_.c, e.b, d_.b, iters=100)
+            return r, xs + r.mses[-1, -1] * 0.0 + 1e-6
+        try:
+            bench.record(time_chained(stream2k_step, xs2k, n=2, trials=3),
+                         "fft_stream_2048_4x100_ms",
+                         "fft_stream_2048_iters_per_sec_sustained", 4 * 100,
+                         cost=scaled(roofline.compiled_cost(
+                             fft_stream, xs2k, enc2b.c, dec2b.c, enc2b.b,
+                             dec2b.b, iters=100), 4))
+        except Exception as e:      # noqa: BLE001
+            bench.fail("fft_stream_2048_4x100_ms", e)
+        del xs2k
+
+    # --- window 3: after the big-burst tier ---
+    headline_window("w3", 15.5e-5)
 
     # ---- forward passes, 3-layer net, batch 1 ----
     fwd_fft3 = jax.jit(lambda x: model.forward_fft(params3, x, spec3.scales))
@@ -297,8 +510,10 @@ def main():
     def fwd_fft_step(x):
         out = fwd_fft3(x)
         return out, x + out * 1e-9
-    record(results, time_chained(fwd_fft_step, frame(b=1)),
-           "forward_fft_3layer_256_ms", "forward_fft_3layer_256_fps", 1.0)
+    x1 = frame(b=1)
+    bench.record(time_chained(fwd_fft_step, x1),
+                 "forward_fft_3layer_256_ms", "forward_fft_3layer_256_fps",
+                 1.0, cost=roofline.compiled_cost(fwd_fft3, x1))
 
     fwd_coord3 = jax.jit(
         lambda x: model.forward_coord(params3, x, spec3.scales)[-1])
@@ -306,8 +521,9 @@ def main():
     def fwd_coord_step(x):
         out = fwd_coord3(x)
         return out, x + out * 1e-9
-    record(results, time_chained(fwd_coord_step, frame(b=1)),
-           "forward_coord_3layer_256_ms")
+    bench.record(time_chained(fwd_coord_step, frame(b=1)),
+                 "forward_coord_3layer_256_ms",
+                 cost=roofline.compiled_cost(fwd_coord3, x1))
 
     # ---- coordinate-space reference train step (pair 0, full frame) ----
     acts = jax.jit(lambda x: model.forward_coord(
@@ -320,9 +536,13 @@ def main():
         r = coord_step(in_s, outp, hin, enc.c, dec.c, enc.b, dec.b,
                        mom, mom, lr=0.2)
         return r, in_s + r.mse * 0.0 + 1e-6
-    record(results, time_chained(cstep, jax.device_put(
-        rng.normal(size=(3, 128, 128)).astype(np.float32) * 50)),
-        "coord_step_128_ms", "coord_steps_per_sec", 1.0)
+    xc = jax.device_put(
+        rng.normal(size=(3, 128, 128)).astype(np.float32) * 50)
+    bench.record(time_chained(cstep, xc),
+                 "coord_step_128_ms", "coord_steps_per_sec", 1.0,
+                 cost=roofline.compiled_cost(
+                     coord_step, xc, outp, hin, enc.c, dec.c, enc.b,
+                     dec.b, mom, mom, lr=0.2))
 
     # ---- modern batched train step (3-layer, batch 8, fft domain) ----
     opt3 = init_opt_state(params3)
@@ -330,8 +550,12 @@ def main():
     def mstep(x):
         r = train_step(params3, opt3, x, spec3.scales, lr=0.2, domain="fft")
         return r, x + r.loss * 0.0 + 1e-6
-    record(results, time_chained(mstep, frame(b=8), n=5),
-           "modern_fft_step_b8_ms", "modern_fft_frames_per_sec", 8.0)
+    x8 = frame(b=8)
+    bench.record(time_chained(mstep, x8, n=5),
+                 "modern_fft_step_b8_ms", "modern_fft_frames_per_sec", 8.0,
+                 cost=roofline.compiled_cost(
+                     train_step, params3, opt3, x8, spec3.scales, lr=0.2,
+                     domain="fft"))
 
     # ---- data-parallel burst throughput (8 frames, one shared pair) ----
     from spectralae.train.fft_dp import fft_burst_dp
@@ -340,11 +564,13 @@ def main():
         r = fft_burst_dp(x, None, out8, enc.c, dec.c, enc.b, dec.b,
                          lr=0.2, iters=100)
         return r, x + r.mses[-1] * 0.0 + 1e-6
-    x8 = frame(b=8)
     out8 = fwd1(params1, x8)
-    record(results, time_chained(dp_step, x8, n=5),
-           "fft_burst_dp_b8_100_ms",
-           "fft_burst_dp_frame_iters_per_sec", 8 * 100)
+    bench.record(time_chained(dp_step, x8, n=5),
+                 "fft_burst_dp_b8_100_ms",
+                 "fft_burst_dp_frame_iters_per_sec", 8 * 100,
+                 cost=roofline.compiled_cost(
+                     fft_burst_dp, x8, None, out8, enc.c, dec.c, enc.b,
+                     dec.b, lr=0.2, iters=100))
 
     # ---- spectral-vs-coord conv speedup across kernel sizes ----
     # The reference's qualitative claim (README.md:5-6) quantified: one
@@ -378,12 +604,18 @@ def main():
             return out, x + out[:, :3] * 1e-9
         tc = time_chained(step_c, frame(b=8), n=8)
         tf = time_chained(step_f, frame(b=8), n=8)
-        ok_c = record(results, tc, f"conv_coord_{nk}x{nk}_b8_ms")
-        ok_f = record(results, tf, f"conv_spectral_{nk}x{nk}_b8_ms")
+        ok_c = bench.record(tc, f"conv_coord_{nk}x{nk}_b8_ms",
+                            cost=roofline.compiled_cost(conv_coord, x8))
+        ok_f = bench.record(tf, f"conv_spectral_{nk}x{nk}_b8_ms",
+                            cost=roofline.compiled_cost(conv_fftd, x8))
         # the round-2 42-million-x row came from a ratio over a swallowed
         # chain — a speedup is only meaningful when both operands are real
         results[f"spectral_speedup_{nk}x{nk}"] = (
             tc.best / tf.best if ok_c and ok_f else None)
+        bench.flush()
+
+    # --- window 4 ---
+    headline_window("w4", 23.3e-5)
 
     # ---- 512×512 deep config (BASELINE config 5), batch 4 ----
     cfg512 = Config(nx=512, ny=512, d=3,
@@ -400,9 +632,11 @@ def main():
         return r, x + r.loss * 0.0 + 1e-6
     x512 = jax.device_put(
         rng.normal(size=(4, 3, 512, 512)).astype(np.float32) * 50)
-    record(results, time_chained(mstep512, x512, n=5),
-           "modern_fft_step_512_b4_ms", "modern_fft_512_frames_per_sec",
-           4.0)
+    bench.record(time_chained(mstep512, x512, n=5),
+                 "modern_fft_step_512_b4_ms", "modern_fft_512_frames_per_sec",
+                 4.0, cost=roofline.compiled_cost(
+                     train_step, params512, opt512, x512, spec512.scales,
+                     lr=0.2, domain="fft"))
 
     # ---- 1024×1024 deep config, batch 2 (fused-conv scaling) ----
     cfg1k = Config(nx=1024, ny=1024, d=3,
@@ -418,51 +652,163 @@ def main():
         return r, x + r.loss * 0.0 + 1e-6
     x1k = jax.device_put(
         rng.normal(size=(2, 3, 1024, 1024)).astype(np.float32) * 50)
-    record(results, time_chained(mstep1k, x1k, n=5),
-           "modern_fft_step_1024_b2_ms", "modern_fft_1024_frames_per_sec",
-           2.0)
+    bench.record(time_chained(mstep1k, x1k, n=5),
+                 "modern_fft_step_1024_b2_ms", "modern_fft_1024_frames_per_sec",
+                 2.0, cost=roofline.compiled_cost(
+                     train_step, params1k, opt1k, x1k, spec1k.scales,
+                     lr=0.2, domain="fft"))
 
-    # ---- headline revisit: the headline row's 5 trials all land inside
-    # one ~1 s tunnel window at the very start of the run, so one bad
-    # tunnel period poisons the judged number (observed: an 11 ms median
-    # on a row that re-measures at 2.5/4.6 ms minutes later).  Re-measure
-    # the fastest impl now — many minutes after the first window — and
-    # keep whichever window has the better floor (floor = device-time
-    # estimate under additive noise), reporting THAT window's median. ----
-    if headline_floor:
-        best_impl = max(headline_floor, key=headline_floor.get)
+    # =================== full tier (BASELINE.md one-off rows) ============
+    if not args.quick:
+        from spectralae.train.streaming import fft_stream_sweep, coord_stream
 
-        def revisit_step(x, fn=impls[best_impl]):
-            r = fn(x)
+        # ---- per-frame all-pairs stream sweep, 3-pair net @256²
+        # (K=8 frames, 100 iters per pair-burst; every pair trained on
+        # every frame inside one scan — CLI `--train-pair all
+        # --pair-sweep frame`) ----
+        xs8 = jax.device_put(
+            rng.normal(size=(8, 3, 256, 256)).astype(np.float32) * 50)
+
+        def sweep_step(xs):
+            r = fft_stream_sweep(xs, params3, spec3.scales, iters=100)
+            return r, xs + r.mses[-1, -1, -1] * 0.0 + 1e-6
+        bench.record(time_chained(sweep_step, xs8, n=3, trials=5),
+                     "fft_sweep_8x3x100_ms",
+                     "fft_sweep_iters_per_sec_sustained", 8 * 3 * 100,
+                     cost=scaled(roofline.compiled_cost(
+                         fft_stream_sweep, xs8, params3, spec3.scales,
+                         iters=100), 8))
+
+        # ---- coord-domain streaming: 32 frames × [full 256² forward +
+        # coord step], q=2, pair 0, one scan ----
+        def coord_stream_step(xs):
+            r = coord_stream(xs, params1, spec.scales, 0, q=2)
+            return r, xs + r.mses[-1] * 0.0 + 1e-6
+        bench.record(time_chained(coord_stream_step, xs32, n=3, trials=5),
+                     "coord_stream_32_ms", "coord_stream_steps_per_sec",
+                     32.0, cost=scaled(roofline.compiled_cost(
+                         coord_stream, xs32, params1, spec.scales, 0, q=2),
+                         32))
+
+        # ---- data-parallel burst at streaming scale: B=32 @256² and
+        # B=8 @512² (the batch only enters the correlation precompute) ----
+        out32 = fwd1(params1, xs32)
+
+        def dp32_step(x):
+            r = fft_burst_dp(x, None, out32, enc.c, dec.c, enc.b, dec.b,
+                             lr=0.2, iters=100)
             return r, x + r.mses[-1] * 0.0 + 1e-6
-        # offset the base input past the first window's trial offsets
-        # (k·1e-5) so no revisit chain repeats a (executable, args) pair
-        # the relay already served — a repeat times ~0 and is discarded
-        t2 = time_chained(revisit_step, x0 + 7.7e-5)
-        if t2.valid and burst_iters / t2.best > headline_floor[best_impl]:
-            headline_floor[best_impl] = burst_iters / t2.best
-            headline_median[best_impl] = burst_iters / t2.median
-            results[f"fft_burst_100_ms[{best_impl}]"] = t2.best * 1e3
-            results[f"fft_backprop_iters_per_sec_256[{best_impl}]"] = \
-                headline_floor[best_impl]
-            results[f"fft_backprop_iters_per_sec_256_median[{best_impl}]"] \
-                = headline_median[best_impl]
-            results["headline_window"] = "end-of-run revisit"
-        else:
-            results["headline_window"] = "first"
-    fft_steps_per_sec = (max(headline_floor.values())
-                         if headline_floor else None)
-    fft_steps_per_sec_median = (max(headline_median.values())
-                                if headline_median else None)
+        bench.record(time_chained(dp32_step, xs32, n=4, trials=5),
+                     "fft_burst_dp_b32_100_ms",
+                     "fft_burst_dp_b32_frame_iters_per_sec", 32 * 100,
+                     cost=roofline.compiled_cost(
+                         fft_burst_dp, xs32, None, out32, enc.c, dec.c,
+                         enc.b, dec.b, lr=0.2, iters=100))
 
+        cfg5 = Config(nx=512, ny=512, d=3,
+                      layer=LayerParams(depth=10, lk=1, ll=1, scale=2,
+                                        rmax=3.0))
+        spec5 = initial_spec(cfg5)
+        params5 = init_params(jax.random.key(0), spec5, 1.0)
+        enc5, dec5 = params5.pair(0)
+        x8_512 = jax.device_put(
+            rng.normal(size=(8, 3, 512, 512)).astype(np.float32) * 50)
+        fwd5 = jax.jit(lambda p, x: model.forward_fft(p, x, spec5.scales))
+        out8_512 = fwd5(params5, x8_512)
+
+        def dp512_step(x):
+            r = fft_burst_dp(x, None, out8_512, enc5.c, dec5.c, enc5.b,
+                             dec5.b, lr=0.2, iters=100)
+            return r, x + r.mses[-1] * 0.0 + 1e-6
+        bench.record(time_chained(dp512_step, x8_512, n=3, trials=5),
+                     "fft_burst_dp_512_b8_100_ms",
+                     "fft_burst_dp_512_b8_frame_iters_per_sec", 8 * 100,
+                     cost=roofline.compiled_cost(
+                         fft_burst_dp, x8_512, None, out8_512, enc5.c,
+                         dec5.c, enc5.b, dec5.b, lr=0.2, iters=100))
+
+        # ---- M=50 (the reference source's default depth) @256² ----
+        cfg50 = Config(nx=256, ny=256, d=3,
+                       layer=LayerParams(depth=50, lk=1, ll=1, scale=2,
+                                         rmax=3.0))
+        spec50 = initial_spec(cfg50)
+        params50 = init_params(jax.random.key(0), spec50, 1.0)
+        enc50, dec50 = params50.pair(0)
+        fwd50 = jax.jit(lambda p, x: model.forward_fft(p, x, spec50.scales))
+        out50 = fwd50(params50, x0[None])[0]
+
+        def burst50(x):
+            r = fft_burst_corr(x, None, out50, enc50.c, dec50.c, enc50.b,
+                               dec50.b, lr=0.2, iters=burst_iters)
+            return r, x + r.mses[-1] * 0.0 + 1e-6
+        bench.record(time_chained(burst50, x0, n=10),
+                     "fft_burst_100_ms_m50",
+                     "fft_backprop_iters_per_sec_256_m50", burst_iters,
+                     cost=burst_cost(x0, out50, enc50, dec50, burst_iters))
+
+        # ---- 13×13-kernel burst @256² (large-kernel coverage: the corr
+        # burst's lag tensors grow as (4h+1)²; the ω-space Pallas path's
+        # cost is kernel-size independent — this row feeds the auto_burst
+        # crossover, netlib.cpp:325 tap parameterization) ----
+        cfg13 = Config(nx=256, ny=256, d=3,
+                       layer=LayerParams(depth=10, lk=5, ll=5, scale=2,
+                                         rmax=3.0))
+        spec13 = initial_spec(cfg13)
+        params13 = init_params(jax.random.key(0), spec13, 1.0)
+        enc13, dec13 = params13.pair(0)
+        fwd13 = jax.jit(lambda p, x: model.forward_fft(p, x, spec13.scales))
+        out13 = fwd13(params13, x0[None])[0]
+
+        def burst13_corr(x):
+            r = fft_burst_corr(x, None, out13, enc13.c, dec13.c, enc13.b,
+                               dec13.b, lr=0.2, iters=burst_iters)
+            return r, x + r.mses[-1] * 0.0 + 1e-6
+
+        def burst13_pallas(x):
+            r = fft_burst_pallas_fused(x, x, out13, enc13.c, dec13.c,
+                                       enc13.b, dec13.b, lr=0.2,
+                                       iters=burst_iters)
+            return r, x + r.mses[-1] * 0.0 + 1e-6
+        bench.record(time_chained(burst13_corr, x0, n=8),
+                     "fft_burst_100_ms_13x13[corr]",
+                     "fft_backprop_iters_per_sec_256_13x13[corr]",
+                     burst_iters,
+                     cost=burst_cost(x0, out13, enc13, dec13, burst_iters))
+        try:
+            bench.record(
+                time_chained(burst13_pallas, x0, n=5, trials=3),
+                "fft_burst_100_ms_13x13[pallas-fused]",
+                "fft_backprop_iters_per_sec_256_13x13[pallas-fused]",
+                burst_iters)
+        except Exception as e:      # noqa: BLE001 — Mosaic VMEM limits
+            bench.fail("fft_burst_100_ms_13x13[pallas-fused]", e)
+
+    # --- window 5: end of run ---
+    headline_window("w5", 31.1e-5)
+
+    # headline = MEDIAN of the (up to 5) time-separated window FLOORS:
+    # the floor of one window estimates device time under additive tunnel
+    # noise; the median across windows is reproducible by construction
+    # (no single tunnel period, good or bad, decides the value).  The
+    # spread of the window floors IS the run-to-run reproducibility band.
+    fft_steps_per_sec = (float(np.median(windows_floor))
+                         if windows_floor else None)
+    fft_steps_per_sec_median = (float(np.median(windows_median))
+                                if windows_median else None)
+    spread_pct = (100.0 * (max(windows_floor) - min(windows_floor))
+                  / fft_steps_per_sec
+                  if fft_steps_per_sec else None)
+    results["headline_windows_floor"] = windows_floor
+    results["headline_windows_median"] = windows_median
     results["headline_basis"] = (
-        "floor of 5 chained trials, fastest impl (device-time estimate; "
-        "tunnel noise is additive), best of two time-separated windows "
-        "(start of run + end-of-run revisit); medians in *_median keys, "
-        "per-row floors in *_ms keys")
-    results["device"] = str(jax.devices()[0])
-    with open("bench_details.json", "w") as f:
-        json.dump(results, f, indent=2)
+        "median of the window floors from five time-separated windows "
+        "spread across the run, fastest impl; each window floor = best "
+        "of 5 chained trials (device-time estimate; tunnel noise is "
+        "additive).  spread_pct = (max-min)/median of the window floors "
+        "(the run-to-run band of a SINGLE window; the median is far "
+        "tighter).  Per-impl floors in *_ms keys, medians in *_ms:median "
+        "and *_median keys; per-row roofline in util[...] keys")
+    bench.flush()
 
     rnd = lambda v, n: round(v, n) if v is not None else None
     print(json.dumps({
@@ -473,6 +819,7 @@ def main():
             fft_steps_per_sec / REFERENCE_FFT_ITERS_PER_SEC_ESTIMATE
             if fft_steps_per_sec is not None else None, 2),
         "median": rnd(fft_steps_per_sec_median, 1),
+        "spread_pct": rnd(spread_pct, 1),
         "stream_sustained": (
             round(results["fft_stream_iters_per_sec_sustained"], 1)
             if results.get("fft_stream_iters_per_sec_sustained") else None),

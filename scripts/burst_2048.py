@@ -43,20 +43,27 @@ def main():
     f = jax.device_put(rng.normal(size=(3, 10, 5, 5)).astype(np.float32))
     b = jax.device_put(rng.normal(size=(10,)).astype(np.float32) * 0.1)
     p = jax.device_put(rng.normal(size=(3,)).astype(np.float32) * 0.1)
-    out0 = jax.jit(lambda xx: _true_forward(
-        xx[None], c, f, b, p, True)[0])(x0)
     fetch = lambda a: float(jnp.sum(a))
-    fetch(out0)
 
     def run_fused(x):
         r = fft_burst_corr(x, None, None, c, f, b, p, iters=ITERS)
         return x + r.mses[-1] * 0.0 + 1e-6
 
-    def run_unfused(x):
-        r = fft_burst_corr(x, None, out0, c, f, b, p, iters=ITERS)
-        return x + r.mses[-1] * 0.0 + 1e-6
+    variants = [("fused", run_fused)]
+    # the unfused contract needs out0 via _true_forward, whose [M, D,
+    # nx, nyr] kernel spectra are 32 GB at 16384² — single-chip HBM ends
+    # for THAT path well before the fused burst's own ~13 GB wall
+    if N <= 8192:
+        out0 = jax.jit(lambda xx: _true_forward(
+            xx[None], c, f, b, p, True)[0])(x0)
+        fetch(out0)
 
-    for name, fn in (("fused", run_fused), ("unfused", run_unfused)):
+        def run_unfused(x):
+            r = fft_burst_corr(x, None, out0, c, f, b, p, iters=ITERS)
+            return x + r.mses[-1] * 0.0 + 1e-6
+        variants.append(("unfused", run_unfused))
+
+    for name, fn in variants:
         t0 = time.time()
         fetch(fn(x0))
         print(f"{name}: warmup+compile {time.time()-t0:.1f}s", flush=True)
