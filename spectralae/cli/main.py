@@ -381,6 +381,12 @@ def _train_stream(args):
     sweep = args.train_pair == "all"
     frame_sweep = sweep and args.pair_sweep == "frame"
     coord_domain = args.domain == "coord"
+    # --bf16 in stream mode: the fused-anchor precompute streams the
+    # signal spectra bf16 through the Pallas anchor kernel (f32
+    # accumulation; ~2^-9-relative objective rounding — see
+    # ops/pallas_windows.anchor_windows).  Burst mode anchors on an
+    # explicit out0 (unfused), where the routing does not exist.
+    pw = "bf16" if (args.bf16 and not coord_domain) else None
     if args.pair_sweep == "frame" and not sweep:
         raise SystemExit("--pair-sweep frame requires --train-pair all "
                          "(a single selected pair has nothing to sweep)")
@@ -448,7 +454,8 @@ def _train_stream(args):
                              lr=args.lr, alpha=args.alpha, iters=args.iters,
                              maxdiff=args.maxdiff,
                              carry_momentum=args.carry_momentum,
-                             reanchor_every=args.reanchor or None)
+                             reanchor_every=args.reanchor or None,
+                             pallas_windows=pw)
         mses = np.asarray(r.mses, dtype=np.float64)   # [K, n_pairs, it+1]
         if not np.isfinite(mses).all():
             bad = int(np.argwhere(
@@ -489,7 +496,8 @@ def _train_stream(args):
                            lr=args.lr, alpha=args.alpha, iters=args.iters,
                            maxdiff=args.maxdiff,
                            carry_momentum=args.carry_momentum,
-                           reanchor_every=args.reanchor or None)
+                           reanchor_every=args.reanchor or None,
+                           pallas_windows=pw)
         else:
             # the pair's activation comes from the frozen outer stages,
             # computed per frame inside the scan (sweep blocks see every
@@ -499,7 +507,8 @@ def _train_stream(args):
                                 alpha=args.alpha, iters=args.iters,
                                 maxdiff=args.maxdiff,
                                 carry_momentum=args.carry_momentum,
-                                reanchor_every=args.reanchor or None)
+                                reanchor_every=args.reanchor or None,
+                                pallas_windows=pw)
         mses = np.asarray(r.mses, dtype=np.float64)
         if not np.isfinite(mses).all():
             # failure detection (SURVEY.md §5.3): the per-frame MSE
@@ -986,7 +995,11 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="mixed precision: bf16 forward in the coord domain; "
                         "bf16 operand streaming (f32 accumulation) through "
-                        "the pointwise convs in the fft domain")
+                        "the pointwise convs in the fft domain.  In stream "
+                        "mode also streams the burst precompute's signal "
+                        "spectra bf16 through the Pallas anchor kernel "
+                        "(halves its HBM read; 90%-of-peak-BW at 2048², "
+                        "~2^-9-relative objective rounding)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize per-stage blocks in the backward "
                         "(trades recompute for activation memory at "

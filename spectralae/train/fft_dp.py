@@ -103,7 +103,8 @@ def _burst_dp_body(x, expout, out0, c, f, b, p, mom, *, lr, alpha, iters,
 
 @functools.partial(jax.jit, static_argnames=("iters", "scale_by_dm",
                                              "use_pallas", "maxdiff",
-                                             "reanchor_every"))
+                                             "reanchor_every",
+                                             "pallas_windows"))
 def fft_burst_dp(x: jax.Array, expout: jax.Array, out0: jax.Array,
                  c: jax.Array, f: jax.Array, b: jax.Array, p: jax.Array,
                  mom: tuple | None = None, *, lr: float = 0.2,
@@ -111,7 +112,8 @@ def fft_burst_dp(x: jax.Array, expout: jax.Array, out0: jax.Array,
                  scale_by_dm: bool = True,
                  use_pallas: bool | None = None,
                  maxdiff: bool = False, w0: float = 1.0, w1: float = 10.0,
-                 reanchor_every: int | None = None) -> FFTBurstResult:
+                 reanchor_every: int | None = None,
+                 pallas_windows=None) -> FFTBurstResult:
     """Single-device batched burst: ``x/expout/out0`` are ``[B, D, h, w]``.
 
     ``expout=None`` trains against the input itself (lets XLA CSE the
@@ -123,7 +125,14 @@ def fft_burst_dp(x: jax.Array, expout: jax.Array, out0: jax.Array,
     TPU-optimized **correlation-space** body; ``False`` the jnp ω-space
     body (cross-validation).  The per-iteration Pallas ω-space bodies are
     only selectable via :func:`distributed_burst` or
-    :mod:`spectralae.train.fft_pallas` directly."""
+    :mod:`spectralae.train.fft_pallas` directly.
+
+    ``pallas_windows``: precompute routing on the fused-anchor path
+    (``out0=None``) — ``"bf16"`` streams the signal spectra bf16 through
+    the Pallas anchor (the CLI's ``--bf16`` in burst mode)."""
+    if pallas_windows is not None and out0 is not None:
+        raise ValueError("pallas_windows only exists on the fused-anchor "
+                         "precompute (out0=None)")
     if use_pallas is False and reanchor_every is not None:
         # same invalid combination distributed_burst rejects: the ω-space
         # body has no anchored decomposition to reset
@@ -133,22 +142,26 @@ def fft_burst_dp(x: jax.Array, expout: jax.Array, out0: jax.Array,
     if use_pallas is None:
         from ..ops.pallas_kernels import _on_tpu
         use_pallas = _on_tpu()
-    if expout is None and not (use_pallas or reanchor_every is not None):
+    corr = (use_pallas or reanchor_every is not None
+            or pallas_windows is not None)
+    if expout is None and not corr:
         expout = x  # the ω-space fallback has no None handling
     if mom is None:
         mom = (jnp.zeros_like(c), jnp.zeros_like(f),
                jnp.zeros_like(b), jnp.zeros_like(p))
-    if use_pallas or reanchor_every is not None:
-        # re-anchoring only exists (and is only needed) on the
+    if corr:
+        # re-anchoring and the pallas_windows routing only exist on the
         # correlation-space path — the ω-space body recomputes the forward
         # every iteration and has no anchored decomposition to reset — so
-        # an explicit reanchor_every forces the corr path on any platform
+        # an explicit reanchor_every/pallas_windows forces the corr path
+        # on any platform
         from .fft_corr import burst_corr
         return burst_corr(x, expout, out0, c, f, b, p, mom,
                           lr=lr, alpha=alpha, iters=iters,
                           maxdiff=maxdiff, w0=w0, w1=w1,
                           scale_by_dm=scale_by_dm,
-                          reanchor_every=reanchor_every)
+                          reanchor_every=reanchor_every,
+                          pallas_windows=pallas_windows)
     return _burst_dp_body(x, expout, out0, c, f, b, p, mom, lr=lr,
                           alpha=alpha, iters=iters, scale_by_dm=scale_by_dm,
                           axis_name=None, maxdiff=maxdiff, w0=w0, w1=w1)

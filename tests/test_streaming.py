@@ -353,3 +353,18 @@ def test_stream_pair_equals_sequential_inner_bursts():
                                rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got.mses), np.stack(mses),
                                rtol=2e-5, atol=1e-7)
+
+
+def test_stream_bf16_windows_close_to_f32():
+    """`--bf16` stream wiring: the per-frame fused bursts with bf16 signal
+    streaming (pallas_windows='bf16') track the f32 stream within the
+    bf16 objective-perturbation band over the early iterations and reach
+    the same convergence level (same contract as
+    tests/test_fft_corr.py::test_corr_burst_bf16_pixel_scale)."""
+    xs, c, f, b, p = setup(k=2, seed=5)
+    got = fft_stream(xs, c, f, b, p, iters=12, pallas_windows="bf16")
+    ref = fft_stream(xs, c, f, b, p, iters=12, pallas_windows=True)
+    m_got, m_ref = np.asarray(got.mses), np.asarray(ref.mses)
+    assert np.all(m_got > 0)
+    np.testing.assert_allclose(m_got[:, :6], m_ref[:, :6], rtol=5e-2)
+    assert m_got[-1, -1] < 2.0 * m_ref[-1, -1] + 1e-6
