@@ -100,25 +100,43 @@ class Timing(NamedTuple):
     valid: bool     # False => below the tunnel floor even after retry
 
 
-def time_chained(step, x0, n=20, warmup=1, trials=5) -> Timing:
+def time_chained(step, x0, n=20, warmup=1, trials=5,
+                 live_chain=False) -> Timing:
     """Seconds/call for ``step(x) -> (result, next_x)`` chains of length n.
 
     The chain's data dependency forces sequential execution; the final value
     fetch forces completion of every link.  The fetch round-trip latency is
     measured on a no-op and subtracted.  Returns the floor AND the median of
     ``trials`` chains — tunnel latency varies run to run; the floor reflects
-    device time, the median is what a re-run reproduces."""
-    x = x0
+    device time, the median is what a re-run reproduces.
+
+    ``live_chain``: consume-mode for HBM-critical shapes — the caller passes
+    ``[x0]`` (a 1-element list) and drops its own reference; every trial's
+    (still distinct) chain input derives from the previous trial's live
+    output instead of re-offsetting a retained base buffer.  Exactly ONE
+    resolution-sized signal buffer stays alive across trials: the 16384²
+    fused burst peaks at ~12.9 of 16 GB HBM, so a second 3.2 GB base buffer
+    is the difference between fitting and ResourceExhausted."""
+    if live_chain:
+        x = x0.pop()
+        x0 = None
+    else:
+        x = x0
     for _ in range(warmup):
         r, x = step(x)
     _fetch_scalar(x)
+    live = {"x": x if live_chain else None}
 
     def run_chains(n_links, base_off=0.0):
         samples = []
         for trial in range(trials):
             # distinct chain per trial AND per process — a repeated chain
             # would be deduplicated by the relay and time ~0
-            x = x0 + (trial + 1) * 1e-5 + base_off + _NONCE
+            if live_chain:
+                x = live["x"] + (trial + 1) * 1e-5 + base_off + _NONCE
+                live["x"] = None
+            else:
+                x = x0 + (trial + 1) * 1e-5 + base_off + _NONCE
             # force the eager chain-input op off the clock: fetching a
             # cold x folds its materialization into fetch_rt, and under
             # host CPU load that overshoot exceeded whole short chains
@@ -134,6 +152,8 @@ def time_chained(step, x0, n=20, warmup=1, trials=5) -> Timing:
             _fetch_scalar(x)
             total = time.perf_counter() - t0
             samples.append(max(total - fetch_rt, 1e-9) / n_links)
+            if live_chain:
+                live["x"] = x
         return samples
 
     def keep(samples):
@@ -264,6 +284,10 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="headline windows + small-config rows only "
                          "(skip the ≥2048² bursts / sweep / streaming tier)")
+    ap.add_argument("--xl", action="store_true",
+                    help="add the 16384² (268 MP) fused burst row — adds "
+                         "4-25 min of Mosaic compile (cold vs cached) on "
+                         "top of the full run")
     args = ap.parse_args()
 
     bench = Bench()
@@ -412,12 +436,16 @@ def main():
     headline_window("w2", 7.7e-5)
 
     # ---- ≥2048² fused-anchor bursts: 2048² (4.2 MP) / 4096² (16.8 MP) /
-    # 8192² (67 MP).  At these sizes the precompute auto-routes through the
-    # single-pass Pallas anchor kernel (ops/pallas_windows.anchor_windows);
-    # above 2048² the wrapper's ω_y chunking keeps Mosaic's scoped-VMEM
-    # working set bounded.  16384² (268 MP) exceeds single-chip HBM — the
-    # wall is recorded via bench.fail with the failing allocation. ----
+    # 8192² (67 MP) / [--xl] 16384² (268 MP).  At these sizes the precompute
+    # auto-routes through the single-pass Pallas anchor kernel
+    # (ops/pallas_windows.anchor_windows); above 2048² the wrapper's ω_y
+    # chunking keeps Mosaic's scoped-VMEM working set bounded.  16384² DOES
+    # fit single-chip (12.9 of 16 GB peak) but only if the timing harness
+    # keeps exactly one signal buffer alive — hence live_chain — and its
+    # Mosaic compile alone is 4-25 min, so it rides behind --xl. ----
     big_sizes = [2048] if args.quick else [2048, 4096, 8192]
+    if args.xl and not args.quick:
+        big_sizes.append(16384)
     for nxy in big_sizes:
         cfgN = Config(nx=nxy, ny=nxy, d=3,
                       layer=LayerParams(depth=10, lk=1, ll=1, scale=2,
@@ -426,16 +454,27 @@ def main():
         encN, decN = paramsN.pair(0)
         key = f"fft_burst_100_ms_{nxy}"
         try:
-            xN = jax.device_put(
-                rng.normal(size=(3, nxy, nxy)).astype(np.float32) * 50)
+            xN = jax.device_put(rng.standard_normal(
+                size=(3, nxy, nxy), dtype=np.float32) * 50)
 
             def burst_n(x, e=encN, d_=decN):
                 r = fft_burst_corr(x, None, None, e.c, d_.c, e.b, d_.b,
                                    lr=0.2, iters=burst_iters)
                 return r, x + r.mses[-1] * 0.0 + 1e-6
-            nlinks = {2048: 5, 4096: 3, 8192: 2}[nxy]
-            bench.record(time_chained(burst_n, xN, n=nlinks, trials=3
-                                      if nxy > 2048 else 5),
+            nlinks = {2048: 5, 4096: 3, 8192: 2, 16384: 1}[nxy]
+            if nxy > 8192:
+                # consume-mode: the burst peaks at 12.9 of 16 GB — a second
+                # retained base buffer OOMs, so the timer chains trials from
+                # its one live value and the cost row lowers from an
+                # abstract ShapeDtypeStruct (compile-cache hit; no array)
+                holder = [xN]
+                xN = jax.ShapeDtypeStruct((3, nxy, nxy), np.float32)
+                timing = time_chained(burst_n, holder, n=nlinks, trials=3,
+                                      live_chain=True)
+            else:
+                timing = time_chained(burst_n, xN, n=nlinks,
+                                      trials=3 if nxy > 2048 else 5)
+            bench.record(timing,
                          key, f"fft_backprop_iters_per_sec_{nxy}",
                          burst_iters,
                          cost=burst_cost(xN, None, encN, decN, burst_iters,
