@@ -49,7 +49,19 @@ def main():
         r = fft_burst_corr(x, None, None, c, f, b, p, iters=ITERS)
         return x + r.mses[-1] * 0.0 + 1e-6
 
-    variants = [("fused", run_fused)]
+    def run_pw(pw):
+        def run(x):
+            r = fft_burst_corr(x, None, None, c, f, b, p, iters=ITERS,
+                               pallas_windows=pw)
+            return x + r.mses[-1] * 0.0 + 1e-6
+        return run
+
+    variants = [("fused", run_fused),
+                # Pallas radix-4 four-step rfft2 feeding the anchor in
+                # mixed bin order (ops/pallas_fft.py) — vs XLA's FFT
+                ("fused-fft", run_pw("fft")),
+                ("fused-fft-bf16", run_pw("fft-bf16")),
+                ("fused-bf16", run_pw("bf16"))]
     # the unfused contract needs out0 via _true_forward, whose [M, D,
     # nx, nyr] kernel spectra are 32 GB at 16384² — single-chip HBM ends
     # for THAT path well before the fused burst's own ~13 GB wall

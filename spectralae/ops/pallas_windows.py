@@ -295,7 +295,7 @@ def _make_anchor_kernel(D: int, TX: int, nx: int, s1: float):
 def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
                    s1: float, *, interpret: bool | None = None,
                    row_slab=None, y_chunk: int = 1152,
-                   signal_dtype=None):
+                   signal_dtype=None, mixed: bool = False):
     """Whole fused-anchor precompute pass in one Pallas kernel.
 
     Given the signal half-spectra ``X [B, D, nx, nyr]`` and the composed
@@ -332,11 +332,25 @@ def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
     output is only meaningful for the slab containing global row 0 — the
     TP caller computes the DC scalars directly instead.
 
+    ``mixed``: ``X`` is the pre-split ``(Xre, Xim)`` pair from
+    :func:`spectralae.ops.pallas_fft.rfft2_mixed` — rows in ``perm_x``
+    order, lanes in ``perm_y`` order (dead lanes weighted/based to 0).
+    The kernel is untouched; every per-bin constant (weights, tap-partial
+    bases, window bases) is permuted host-side instead of the data, and
+    the DC bin stays at (row 0, lane 0) by construction.  The planes may
+    already carry ``signal_dtype`` (e.g. bf16 straight from the FFT
+    kernel) — they are used as-is.
+
     Equality vs the XLA formulation: tests/test_pallas_windows.py.
     """
     from . import dft
     if interpret is None:
         interpret = not _on_tpu()
+    if mixed:
+        if row_slab is not None:
+            raise ValueError("mixed-order X has no row-slab (TP) variant")
+        Xre, Xim = X
+        X = Xre     # shape source only
     B, D = X.shape[0], X.shape[1]
     nx_l = X.shape[-2]
     nyr = X.shape[-1]
@@ -359,6 +373,38 @@ def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
     top4, bot4, bxc4, bxs4, vx4, vy4 = _window_basis(nx, ny, hx4, hy4)
     from .spectral import _hermitian_weights
     wrow = jnp.asarray(_hermitian_weights(nx, ny))[None, :]
+
+    if mixed:
+        # permute every per-bin constant into the FFT kernels' mixed
+        # order instead of re-gathering the resolution-sized data; dead
+        # lanes (beyond-Nyquist bins the radix blocks carry) get zero
+        # weight AND zero bases, so they contribute to nothing
+        from .pallas_fft import perm_x as _mm_px, perm_y as _mm_py
+        px = _mm_px(nx)
+        py = _mm_py(ny)
+        if nyr != py.shape[0]:
+            raise ValueError(
+                f"mixed X has {nyr} lanes but ny={ny} maps to "
+                f"{py.shape[0]} — pass the rfft2_mixed output unsliced")
+        lval = np.where(py >= 0, py, 0)
+        lmask = (py >= 0).astype(np.float32)
+
+        def _lanes(a, axis):
+            out = jnp.take(a, jnp.asarray(lval), axis=axis)
+            shape = [1] * out.ndim
+            shape[axis] = py.shape[0]
+            return out * jnp.asarray(lmask).reshape(shape)
+
+        cy, sy = _lanes(cy, 1), _lanes(sy, 1)
+        wrow = _lanes(wrow, 1)
+        top2, bot2 = _lanes(top2, 0), _lanes(bot2, 0)
+        top4, bot4 = _lanes(top4, 0), _lanes(bot4, 0)
+        jpx = jnp.asarray(px)
+        cx = jnp.take(cx, jpx, axis=1)
+        sx = jnp.take(sx, jpx, axis=1)
+        bxc2, bxs2 = jnp.take(bxc2, jpx, 0), jnp.take(bxs2, jpx, 0)
+        bxc4, bxs4 = jnp.take(bxc4, jpx, 0), jnp.take(bxs4, jpx, 0)
+        # DC stays at (row 0, lane 0): perm_x[0] == 0, perm_y[0] == 0
 
     # x-major operands (phases/bases built for the GLOBAL grid); in slab
     # mode take this slab's rows — zero-pad first so an end slab reads
@@ -419,9 +465,12 @@ def anchor_windows(X, K0taps, nx: int, ny: int, hx2: int, hy2: int,
 
     # split (and optionally down-cast) the signal planes ONCE — the
     # real/imag extraction is an elementwise fusion, so the bf16 cast
-    # rides it for free and every downstream read is half-width
-    Xre, Xim = X.real, X.imag
-    if signal_dtype is not None:
+    # rides it for free and every downstream read is half-width.  Mixed
+    # mode arrives pre-split (often pre-cast straight from the FFT
+    # kernel's write)
+    if not mixed:
+        Xre, Xim = X.real, X.imag
+    if signal_dtype is not None and Xre.dtype != jnp.dtype(signal_dtype):
         Xre = Xre.astype(signal_dtype)
         Xim = Xim.astype(signal_dtype)
 

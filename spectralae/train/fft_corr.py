@@ -396,11 +396,13 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
         pallas_windows = (model_axis is None and _on_tpu()
                           and nx * ny >= 2 * 1024 * 1024)
 
+    if pallas_windows in ("pixel", "fft", "fft-bf16") \
+            and model_axis is not None:
+        raise ValueError(
+            f"pallas_windows={pallas_windows!r} has no model-sharded "
+            "variant — use the spectral kernel (True) under tensor "
+            "parallelism")
     if pallas_windows == "pixel":
-        if model_axis is not None:
-            raise ValueError(
-                "pallas_windows='pixel' has no model-sharded variant — "
-                "use the spectral kernel (True) under tensor parallelism")
         # FFT-free: every precompute quantity computed directly in pixel
         # space (ops/pixel_corr.py — same anchoring-precision contract,
         # equality-tested vs this spectral branch)
@@ -409,6 +411,32 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
             x, K0taps, hx2, hy2, s1)
         XX = XXw.reshape(dD, dD, -1)
         EGwin = EGw.reshape(dD, dD, -1)
+    elif pallas_windows in ("fft", "fft-bf16") and model_axis is None:
+        # Pallas radix-4 four-step rfft2 (ops/pallas_fft.py) replacing
+        # XLA's FFT custom-call — the ~75 % cost of the fused burst at
+        # 2048² (ROADMAP "Beating XLA's FFT").  The spectra stay in the
+        # FFT kernels' mixed bin order; anchor_windows(mixed=True)
+        # permutes its per-bin constants instead of the data, so no
+        # gather/transpose pass ever touches the resolution-sized
+        # planes.  "fft" keeps f32 planes and HIGHEST dot precision
+        # (rel ~1e-6 transform); "fft-bf16" streams bf16 planes at
+        # DEFAULT dot precision (rel ~2e-4 transform + 2⁻⁹ storage —
+        # the convergence-validated bf16 scale, and EG's two terms
+        # share the same rounded X so the anchoring contract holds)
+        from ..ops.pallas_fft import rfft2_mixed
+        from ..ops.pallas_windows import anchor_windows
+        fast = pallas_windows == "fft-bf16"
+        Xre, Xim = rfft2_mixed(
+            x,
+            precision=(jax.lax.Precision.DEFAULT if fast
+                       else jax.lax.Precision.HIGHEST),
+            out_dtype=(jnp.bfloat16 if fast else None))
+        XXw, EGw, SEG, E_cont0 = anchor_windows(
+            (Xre, Xim), K0taps, nx, ny, hx2, hy2, s1, mixed=True)
+        XX = XXw.reshape(dD, dD, -1)
+        EGwin = EGw.reshape(dD, dD, -1)
+        # DC bin stays at (row 0, lane 0) in mixed order
+        X0 = jnp.mean(Xre[:, :, 0, 0].astype(jnp.float32), axis=0)
     elif model_axis is None:
         X = spectral.rfft2(x)                          # [B, D, nx, nyr]
         if pallas_windows:

@@ -359,6 +359,81 @@ def test_pixel_burst_matches_spectral(batch, maxdiff, reanchor):
     assert_matches(got, ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("nx,lk,ll,d,m,b", [
+    (16, 1, 1, 2, 4, None),     # lag window wider than the grid
+    (32, 1, 1, 3, 4, 2),        # batched
+    (32, 1, 2, 2, 3, None),     # non-square 5×7 kernel
+])
+def test_fft_mode_precompute_matches_spectral(nx, lk, ll, d, m, b):
+    """pallas_windows='fft' (radix-4 four-step Pallas rfft2 feeding the
+    anchor kernel in mixed bin order with host-permuted constants,
+    ops/pallas_fft.py) produces the same T dict as the XLA spectral
+    route."""
+    from spectralae.train.fft_corr import corr_precompute_fused
+    x, _, enc, dec = setup(nx=nx, d=d, m=m, lk=lk, ll=ll, b=b)
+    xb = x if b else x[None]
+    Ts = corr_precompute_fused(xb, enc.c, dec.c, enc.b, dec.b,
+                               pallas_windows=False)
+    Tf = corr_precompute_fused(xb, enc.c, dec.c, enc.b, dec.b,
+                               pallas_windows="fft")
+    assert set(Ts) == set(Tf)
+    lag_scale = max(float(np.max(np.abs(np.asarray(Ts[k]))))
+                    for k in ("XX", "XE0", "XG0"))
+    for k in Ts:
+        want = np.asarray(Ts[k])
+        atol = (1e-5 * lag_scale if k in ("XX", "XE0", "XG0")
+                else 1e-5 * float(np.max(np.abs(want))) + 1e-6)
+        np.testing.assert_allclose(np.asarray(Tf[k]), want,
+                                   rtol=2e-3, atol=atol, err_msg=k)
+
+
+@pytest.mark.parametrize("batch,reanchor", [(None, None), (2, 4)])
+def test_fft_mode_burst_matches_spectral(batch, reanchor):
+    """Full fused bursts through the Pallas-FFT precompute equal the
+    spectral ones (weights, momentum, MSE trajectory)."""
+    x, _, enc, dec = setup(b=batch)
+    kw = dict(lr=0.2, iters=9, reanchor_every=reanchor)
+    ref = fft_burst_corr(x, None, None, enc.c, dec.c, enc.b, dec.b,
+                         pallas_windows=False, **kw)
+    got = fft_burst_corr(x, None, None, enc.c, dec.c, enc.b, dec.b,
+                         pallas_windows="fft", **kw)
+    assert_matches(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fft_bf16_mode_burst_converges_at_pixel_scale():
+    """'fft-bf16' (DEFAULT-precision transform + bf16 plane storage)
+    follows the f32 trajectory at the validated bf16-streaming scale and
+    descends monotonically on pixel-scale frames."""
+    x, _, enc, dec = setup(nx=32, d=3, m=4)
+    kw = dict(lr=0.2, iters=12)
+    ref = fft_burst_corr(x, None, None, enc.c, dec.c, enc.b, dec.b,
+                         pallas_windows=False, **kw)
+    got = fft_burst_corr(x, None, None, enc.c, dec.c, enc.b, dec.b,
+                         pallas_windows="fft-bf16", **kw)
+    m_ref = np.asarray(ref.mses)
+    m_got = np.asarray(got.mses)
+    assert m_got[-1] < 0.5 * m_got[0]
+    np.testing.assert_allclose(m_got, m_ref, rtol=3e-2)
+    np.testing.assert_allclose(np.asarray(got.c), np.asarray(ref.c),
+                               rtol=0, atol=5e-3 * float(
+                                   np.abs(np.asarray(ref.c)).max()))
+
+
+def test_fft_mode_rejects_model_axis():
+    from spectralae.train.fft_corr import corr_precompute_fused
+    x, _, enc, dec = setup()
+    devs = jax.devices()[:2]
+    m = jax.sharding.Mesh(np.array(devs), ("model",))
+
+    def run(xb):
+        return corr_precompute_fused(xb, enc.c, dec.c, enc.b, dec.b,
+                                     model_axis="model",
+                                     pallas_windows="fft")
+    with pytest.raises(ValueError, match="fft"):
+        shard_map(run, mesh=m, in_specs=(P(),), out_specs=P(),
+                  check_vma=False)(x[None])
+
+
 def test_pixel_precompute_rejects_model_axis():
     from spectralae.train.fft_corr import corr_precompute_fused
     x, _, enc, dec = setup()
