@@ -516,7 +516,62 @@ def main():
                          burst_iters, cost=(fl2b, by2b))
         except Exception as e:      # noqa: BLE001 — Mosaic VMEM limits
             bench.fail("fft_burst_100_ms_2048[bf16]", e)
+
+        # ---- 2048²/4096² with the Pallas radix-4 four-step rfft2
+        # replacing XLA's FFT custom-call for the signal transform (the
+        # ~75 % cost of the fused burst at these sizes —
+        # ops/pallas_fft.py; spectra stay in mixed bin order, the anchor
+        # kernel permutes its constants) + bf16 plane streaming.  The
+        # FFT kernel alone is 4.6× XLA at 2048² but the burst win needs
+        # BOTH pieces: measured 2048² fused 4.05→2.86 ms, 4096²
+        # 19.9→16.3 ms, while fused-fft (f32) and fused-bf16 (XLA FFT)
+        # each tie the baseline.  8192² is a recorded wall: the
+        # wrapper-recursion transients + mixed-order dead-lane padding
+        # OOM HBM (measured 22.8 G vs 15.75 G), so ≥8192² keeps the XLA
+        # FFT path.  CLI: --pallas-fft --bf16; equality pinned by
+        # tests/test_pallas_fft.py + tests/test_fft_corr.py::
+        # test_fft_mode_burst_matches_spectral /
+        # test_fft_bf16_mode_burst_converges_at_pixel_scale ----
+        def pallas_fft_row(nxy, x, enc, dec, nlinks, trials):
+            key = f"fft_burst_100_ms_{nxy}[pallas-fft-bf16]"
+
+            def burst_pfft(xx, e=enc, d_=dec):
+                r = fft_burst_corr(xx, None, None, e.c, d_.c, e.b, d_.b,
+                                   lr=0.2, iters=burst_iters,
+                                   pallas_windows="fft-bf16")
+                return r, xx + r.mses[-1] * 0.0 + 1e-6
+            try:
+                flp, byp = roofline.compiled_cost(
+                    fft_burst_corr, x, None, None, enc.c, dec.c, enc.b,
+                    dec.b, lr=0.2, iters=burst_iters,
+                    pallas_windows="fft-bf16")
+                if flp is not None:
+                    flp += roofline.corr_iter_flops(3, 10, 5, 5,
+                                                    burst_iters)
+                    ffl, fby = roofline.pallas_rfft2_cost(1, 3, nxy, nxy,
+                                                          out_bytes=2)
+                    afl, aby = roofline.anchor_windows_cost(
+                        1, 3, nxy, nxy, 4, 4, signal_bytes=2)
+                    flp += ffl + afl
+                    byp += fby + aby
+                bench.record(
+                    time_chained(burst_pfft, x, n=nlinks, trials=trials),
+                    key, f"fft_backprop_iters_per_sec_{nxy}"
+                    "[pallas-fft-bf16]", burst_iters, cost=(flp, byp))
+            except Exception as e:  # noqa: BLE001
+                bench.fail(key, e)
+
+        pallas_fft_row(2048, x2b, enc2b, dec2b, nlinks=5, trials=5)
         del x2b
+        cfg4p = Config(nx=4096, ny=4096, d=3,
+                       layer=LayerParams(depth=10, lk=1, ll=1, scale=2,
+                                         rmax=3.0))
+        params4p = init_params(jax.random.key(0), initial_spec(cfg4p), 1.0)
+        enc4p, dec4p = params4p.pair(0)
+        x4p = jax.device_put(
+            rng.normal(size=(3, 4096, 4096)).astype(np.float32) * 50)
+        pallas_fft_row(4096, x4p, enc4p, dec4p, nlinks=3, trials=3)
+        del x4p
 
         # ---- streaming @2048²: 4-frame × 100-iter on-device scan of the
         # fused Pallas-anchor burst (weights+momentum carried; the scan's

@@ -35,7 +35,12 @@ def main():
     ap.add_argument("--n", type=int, default=N,
                     help="grid edge (4096 exercises the omega_y-chunked "
                          "kernel; 4096² needs it to fit scoped VMEM)")
-    N = ap.parse_args().n
+    ap.add_argument("--only", default=None,
+                    help="comma-separated variant-name substrings to run "
+                         "(e.g. 'fused-fft-bf16,fused' — big N compiles "
+                         "are minutes each)")
+    args = ap.parse_args()
+    N = args.n
     rng = np.random.default_rng(0)
     x0 = jax.device_put(
         rng.normal(size=(3, N, N)).astype(np.float32) * 50)
@@ -75,10 +80,18 @@ def main():
             return x + r.mses[-1] * 0.0 + 1e-6
         variants.append(("unfused", run_unfused))
 
+    if args.only:
+        keys = [k.strip() for k in args.only.split(",")]
+        variants = [(n_, f) for n_, f in variants if n_ in keys]
     for name, fn in variants:
         t0 = time.time()
-        xw = fn(x0)
-        fetch(xw)
+        try:
+            xw = fn(x0)
+            fetch(xw)
+        except Exception as e:      # noqa: BLE001 — record, keep going
+            msg = str(e).replace("\n", " | ")[:200]
+            print(f"{name}: FAILED {type(e).__name__}: {msg}", flush=True)
+            continue
         print(f"{name}: warmup+compile {time.time()-t0:.1f}s", flush=True)
         if N > 8192:
             # 16384² peak-HBM budget: x (3.22 GB) + X half-spectra

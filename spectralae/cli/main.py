@@ -274,6 +274,11 @@ def _train_bursts(args):
     from ..model import autoencoder as model
     from ..train.fft_dp import fft_burst_dp
     from ..core.types import ConvStage
+    if args.pallas_fft:
+        raise SystemExit("--pallas-fft applies to --mode stream (the "
+                         "fused-anchor precompute); burst mode anchors "
+                         "on an explicit out0, where the signal-spectrum "
+                         "routing does not exist")
     params, spec, start_step = _resume_or_engine(args)
     if args.train_pair == "all":
         pairs = list(range(spec.n_pairs))
@@ -384,9 +389,18 @@ def _train_stream(args):
     # --bf16 in stream mode: the fused-anchor precompute streams the
     # signal spectra bf16 through the Pallas anchor kernel (f32
     # accumulation; ~2^-9-relative objective rounding — see
-    # ops/pallas_windows.anchor_windows).  Burst mode anchors on an
-    # explicit out0 (unfused), where the routing does not exist.
-    pw = "bf16" if (args.bf16 and not coord_domain) else None
+    # ops/pallas_windows.anchor_windows).  --pallas-fft additionally
+    # routes the signal transform through the Pallas radix-4 four-step
+    # rfft2 (ops/pallas_fft.py; mixed bin order, 4.6× XLA's FFT at
+    # 2048²) — combined with --bf16 the spectra stream bf16 straight
+    # from the FFT kernel's write.  Burst mode anchors on an explicit
+    # out0 (unfused), where the routing does not exist.
+    pw = None
+    if not coord_domain:
+        if args.pallas_fft:
+            pw = "fft-bf16" if args.bf16 else "fft"
+        elif args.bf16:
+            pw = "bf16"
     if args.pair_sweep == "frame" and not sweep:
         raise SystemExit("--pair-sweep frame requires --train-pair all "
                          "(a single selected pair has nothing to sweep)")
@@ -1000,6 +1014,12 @@ def main(argv=None):
                         "spectra bf16 through the Pallas anchor kernel "
                         "(halves its HBM read; 90%-of-peak-BW at 2048², "
                         "~2^-9-relative objective rounding)")
+    p.add_argument("--pallas-fft", action="store_true",
+                   help="stream/burst fft domain: compute the signal "
+                        "spectra with the Pallas radix-4 four-step rfft2 "
+                        "(ops/pallas_fft.py) instead of XLA's FFT — "
+                        "measured 4.6x at 2048²; with --bf16 the planes "
+                        "stream bf16 straight from the FFT kernel")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize per-stage blocks in the backward "
                         "(trades recompute for activation memory at "

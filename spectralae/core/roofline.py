@@ -162,6 +162,63 @@ def corr_iter_flops(D: int, M: int, nk: int, nl: int, iters: int) -> float:
     return float(per_iter * iters)
 
 
+def pallas_rfft2_cost(B: int, D: int, nx: int, ny: int,
+                      out_bytes: int = 4,
+                      max_m1: int | None = None) -> tuple[float, float]:
+    """Analytic (flops, hbm_bytes) of one mixed-order Pallas rfft2
+    (ops/pallas_fft.rfft2_mixed) over ``[B, D, nx, ny]`` real input —
+    invisible to XLA's cost model (custom calls are not costed).
+
+    Matmul flops from the kernel shapes (2 flops per MAC; m1 = n/4,
+    k1p = _k1p(n)):
+
+    - real y-leaf: 12 dots [nx, m1]×[m1, k1p] per plane
+    - complex y-leaf (wrapper recursion streams): 16 dots
+    - x-leaf: 16 dots [m1, m1]×[m1, L] per plane-group
+    - wrapper butterfly rounds: ~12 VPU flops/element, one extra HBM
+      read+write of the split planes each
+
+    HBM: one read of x, the inter-stage split-plane write+read, the
+    mixed-order write (×``out_bytes``), and the final y-group
+    lane-transpose pass (XLA; same dtype as the output).
+    """
+    from ..ops.pallas_fft import _k1p, _MAX_M1
+    if max_m1 is None:
+        max_m1 = _MAX_M1
+    BD = B * D
+    plane = nx * (ny // 2 + 1)              # ~split-plane elements
+
+    # ---- y-stage (transform length ny over nx rows per plane) ----
+    flops, hbm = 0.0, float(BD * nx * ny * 4)          # read x (f32)
+    n, rounds = ny, 0
+    while n // 4 > max_m1:
+        flops += 12.0 * BD * nx * n                    # butterfly VPU
+        hbm += 2 * 2 * BD * nx * n * 4                 # write+read ×2 planes
+        n //= 4
+        rounds += 1
+    g = 4 ** rounds
+    dots = 12 if rounds == 0 else 16                   # real vs complex leaf
+    flops += dots * 2.0 * BD * g * nx * (n // 4) * _k1p(n)
+    k1p_leaf = _k1p(n)
+    L = 4 * g * k1p_leaf                               # total mixed lanes
+    hbm += 2 * BD * nx * L * 4.0                       # y-stage write
+
+    # ---- x-stage (transform length nx, lanes L per plane) ----
+    hbm += 2 * BD * nx * L * 4.0                       # x-stage read
+    n = nx
+    while n // 4 > max_m1:
+        flops += 12.0 * BD * L * n
+        hbm += 2 * 2 * BD * n * L * 4
+        n //= 4
+    m1 = n // 4
+    flops += 16 * 2.0 * BD * (nx // n) * m1 * m1 * L
+    hbm += 2 * BD * nx * L * float(out_bytes)          # mixed write
+    # final lane transpose (XLA moveaxis): read + write
+    hbm += 2 * 2 * BD * nx * L * float(out_bytes)
+    del plane
+    return flops, hbm
+
+
 def utilization(flops: float | None, bytes_: float | None,
                 seconds: float, peaks: Peaks | None) -> dict:
     """Per-row utilization dict for bench_details.json."""

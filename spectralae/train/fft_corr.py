@@ -418,18 +418,20 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
         # FFT kernels' mixed bin order; anchor_windows(mixed=True)
         # permutes its per-bin constants instead of the data, so no
         # gather/transpose pass ever touches the resolution-sized
-        # planes.  "fft" keeps f32 planes and HIGHEST dot precision
-        # (rel ~1e-6 transform); "fft-bf16" streams bf16 planes at
-        # DEFAULT dot precision (rel ~2e-4 transform + 2⁻⁹ storage —
-        # the convergence-validated bf16 scale, and EG's two terms
-        # share the same rounded X so the anchoring contract holds)
+        # planes.  "fft" keeps f32 planes and HIGH (bf16_3x) dot
+        # precision (rel ~3e-6 transform; HIGHEST's 6-pass dots triple
+        # the MXU work and measured slower than XLA's FFT at 2048²);
+        # "fft-bf16" streams bf16 planes at DEFAULT dot precision
+        # (rel ~2e-4 transform + 2⁻⁹ storage — the convergence-
+        # validated bf16 scale, and EG's two terms share the same
+        # rounded X so the anchoring contract holds)
         from ..ops.pallas_fft import rfft2_mixed
         from ..ops.pallas_windows import anchor_windows
         fast = pallas_windows == "fft-bf16"
         Xre, Xim = rfft2_mixed(
             x,
             precision=(jax.lax.Precision.DEFAULT if fast
-                       else jax.lax.Precision.HIGHEST),
+                       else jax.lax.Precision.HIGH),
             out_dtype=(jnp.bfloat16 if fast else None))
         XXw, EGw, SEG, E_cont0 = anchor_windows(
             (Xre, Xim), K0taps, nx, ny, hx2, hy2, s1, mixed=True)

@@ -31,6 +31,20 @@ def test_rfft2_natural_equality(nx, ny):
     assert rel < 2e-6, rel
 
 
+def test_rfft2_high_tier_equality():
+    """HIGH requests the manual bf16x3 decomposition (Mosaic lowers only
+    DEFAULT/HIGHEST dot precisions) — the three-cross-product algebra
+    must reproduce the transform to the tier's intrinsic ~2^-18 rel
+    (the dropped lo·lo cross term)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(3, 64, 64)).astype(np.float32) * 7)
+    got = rfft2_pallas(x, precision=jax.lax.Precision.HIGH,
+                       interpret=True)
+    ref = jnp.fft.rfft2(x)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 1e-5, rel
+
+
 def test_mixed_order_maps():
     """The raw mixed-order output + (perm_x, perm_y) IS the spectrum:
     consumers permute per-bin constants instead of the data."""
@@ -95,6 +109,28 @@ def test_bf16_output_dtype():
            + 1j * np.asarray(Xim, np.float32))[row_of][:, lane_of]
     rel = np.linalg.norm(got - np.asarray(ref)) / np.linalg.norm(ref)
     assert rel < 6e-3, rel          # bf16 storage rounding (2⁻⁹ scale)
+
+
+@pytest.mark.parametrize("nx,ny", [(64, 64), (128, 64), (64, 128),
+                                   (256, 256)])
+def test_wrapper_recursion_equality(nx, ny, monkeypatch):
+    """Axes longer than 4·_MAX_M1 peel wrapper-level butterfly rounds
+    (the 4096²+ path).  Shrinking _MAX_M1 forces 1–3 rounds at toy
+    sizes; the recursive perm maps and the natural gather must agree
+    with jnp.fft.rfft2 exactly as in the single-round case."""
+    import spectralae.ops.pallas_fft as pf
+    monkeypatch.setattr(pf, "_MAX_M1", 8)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, nx, ny)).astype(np.float32) * 5)
+    got = pf.rfft2_pallas(x, precision=HI, interpret=True)
+    ref = jnp.fft.rfft2(x)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 3e-6, rel
+    # every needed bin appears exactly once in the recursive perm maps
+    py = pf.perm_y(ny)
+    vals = py[py >= 0]
+    assert sorted(vals) == list(range(ny // 2 + 1))
+    assert sorted(pf.perm_x(nx)) == list(range(nx))
 
 
 def test_batched_leading_dims():
