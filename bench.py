@@ -525,10 +525,11 @@ def main():
         # FFT kernel alone is 4.6× XLA at 2048² but the burst win needs
         # BOTH pieces: measured 2048² fused 4.05→2.86 ms, 4096²
         # 19.9→16.3 ms, while fused-fft (f32) and fused-bf16 (XLA FFT)
-        # each tie the baseline.  8192² is a recorded wall: the
-        # wrapper-recursion transients + mixed-order dead-lane padding
-        # OOM HBM (measured 22.8 G vs 15.75 G), so ≥8192² keeps the XLA
-        # FFT path.  CLI: --pallas-fft --bf16; equality pinned by
+        # each tie the baseline.  8192²: the three channel planes'
+        # concurrent wrapper-recursion transients OOMed HBM (22.8 vs
+        # 15.75 G) until rfft2_mixed grew lead_chunk (lax.map over
+        # planes — fft_corr auto-sets it ≥8192²); measured 79.4→57.2 ms
+        # same-window.  CLI: --pallas-fft --bf16; equality pinned by
         # tests/test_pallas_fft.py + tests/test_fft_corr.py::
         # test_fft_mode_burst_matches_spectral /
         # test_fft_bf16_mode_burst_converges_at_pixel_scale ----
@@ -572,6 +573,15 @@ def main():
             rng.normal(size=(3, 4096, 4096)).astype(np.float32) * 50)
         pallas_fft_row(4096, x4p, enc4p, dec4p, nlinks=3, trials=3)
         del x4p
+        cfg8p = Config(nx=8192, ny=8192, d=3,
+                       layer=LayerParams(depth=10, lk=1, ll=1, scale=2,
+                                         rmax=3.0))
+        params8p = init_params(jax.random.key(0), initial_spec(cfg8p), 1.0)
+        enc8p, dec8p = params8p.pair(0)
+        x8p = jax.device_put(
+            rng.normal(size=(3, 8192, 8192)).astype(np.float32) * 50)
+        pallas_fft_row(8192, x8p, enc8p, dec8p, nlinks=2, trials=3)
+        del x8p
 
         # ---- streaming @2048²: 4-frame × 100-iter on-device scan of the
         # fused Pallas-anchor burst (weights+momentum carried; the scan's
@@ -593,6 +603,32 @@ def main():
                              dec2b.b, iters=100), 4))
         except Exception as e:      # noqa: BLE001
             bench.fail("fft_stream_2048_4x100_ms", e)
+
+        # same stream with the Pallas rfft2 + bf16 planes feeding each
+        # per-frame re-anchoring (the production large-N stream path:
+        # CLI `--mode stream --pallas-fft --bf16`)
+        def stream2k_pfft(xs, e=enc2b, d_=dec2b):
+            r = fft_stream(xs, e.c, d_.c, e.b, d_.b, iters=100,
+                           pallas_windows="fft-bf16")
+            return r, xs + r.mses[-1, -1] * 0.0 + 1e-6
+        try:
+            fls, bys = roofline.compiled_cost(
+                fft_stream, xs2k, enc2b.c, dec2b.c, enc2b.b, dec2b.b,
+                iters=100, pallas_windows="fft-bf16")
+            if fls is not None:
+                ffl, fby = roofline.pallas_rfft2_cost(1, 3, 2048, 2048,
+                                                      out_bytes=2)
+                afl, aby = roofline.anchor_windows_cost(
+                    1, 3, 2048, 2048, 4, 4, signal_bytes=2)
+                fls += 4 * (ffl + afl + roofline.corr_iter_flops(
+                    3, 10, 5, 5, 100))
+                bys += 4 * (fby + aby)
+            bench.record(time_chained(stream2k_pfft, xs2k, n=2, trials=3),
+                         "fft_stream_2048_4x100_ms[pallas-fft-bf16]",
+                         "fft_stream_2048_iters_per_sec_sustained"
+                         "[pallas-fft-bf16]", 4 * 100, cost=(fls, bys))
+        except Exception as e:      # noqa: BLE001
+            bench.fail("fft_stream_2048_4x100_ms[pallas-fft-bf16]", e)
         del xs2k
 
     # --- window 3: after the big-burst tier ---

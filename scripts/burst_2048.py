@@ -69,8 +69,12 @@ def main():
                 ("fused-bf16", run_pw("bf16"))]
     # the unfused contract needs out0 via _true_forward, whose [M, D,
     # nx, nyr] kernel spectra are 32 GB at 16384² — single-chip HBM ends
-    # for THAT path well before the fused burst's own ~13 GB wall
-    if N <= 8192:
+    # for THAT path well before the fused burst's own ~13 GB wall.
+    # Only pay that forward when the unfused variant will actually run
+    # (--only excluding it must not burn the compile or the HBM).
+    want = ([k.strip() for k in args.only.split(",")] if args.only
+            else None)
+    if N <= 8192 and (want is None or "unfused" in want):
         out0 = jax.jit(lambda xx: _true_forward(
             xx[None], c, f, b, p, True)[0])(x0)
         fetch(out0)

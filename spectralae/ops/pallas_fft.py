@@ -572,7 +572,8 @@ def fft_x_mixed(Yre, Yim, *, precision=None, out_dtype=None,
     return Xre, Xim
 
 
-def rfft2_mixed(x, *, precision=None, out_dtype=None, interpret=None):
+def rfft2_mixed(x, *, precision=None, out_dtype=None, interpret=None,
+                lead_chunk=None):
     """Two-kernel rfft2 of real ``x [..., nx, ny]`` in mixed order.
 
     Returns ``(Xre, Xim) [..., nx, ny_padded(ny)]`` with row order
@@ -580,9 +581,28 @@ def rfft2_mixed(x, *, precision=None, out_dtype=None, interpret=None):
     carried through the x-kernel as batch and transposed back into
     lanes at the end (the one XLA pass in the pipeline).
     ``out_dtype=jnp.bfloat16`` halves that pass and the final planes —
-    pair with the anchor kernel's bf16 streaming."""
+    pair with the anchor kernel's bf16 streaming.
+
+    ``lead_chunk=k`` serializes the transform over the leading batch in
+    groups of k planes (``lax.map``), bounding peak HBM by the
+    per-chunk transients instead of the whole batch's — same total
+    flops/bytes.  At 8192² the three channel planes' concurrent
+    wrapper-recursion transients are the difference between fitting and
+    ResourceExhausted (22.8 vs 15.75 GB); ``lead_chunk=1`` fits."""
     nx, ny = x.shape[-2], x.shape[-1]
     lead = x.shape[:-2]
+    if lead_chunk is not None:
+        xb = x.reshape((-1, nx, ny))
+        BD = xb.shape[0]
+        if BD > lead_chunk and BD % lead_chunk == 0:
+            fn = functools.partial(rfft2_mixed, precision=precision,
+                                   out_dtype=out_dtype,
+                                   interpret=interpret)
+            Xre, Xim = jax.lax.map(
+                fn, xb.reshape((-1, lead_chunk, nx, ny)))
+            L = Xre.shape[-1]
+            return (Xre.reshape(lead + (nx, L)),
+                    Xim.reshape(lead + (nx, L)))
     Yre, Yim = rfft_y_mixed(x, precision=precision, interpret=interpret)
     G, k1p = Yre.shape[-3], Yre.shape[-1]
     Yre = Yre.reshape((-1, nx, k1p))        # [lead·G, nx, k1p]

@@ -428,11 +428,16 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
         from ..ops.pallas_fft import rfft2_mixed
         from ..ops.pallas_windows import anchor_windows
         fast = pallas_windows == "fft-bf16"
+        # ≥8192²: the channel planes' concurrent wrapper-recursion
+        # transients OOM HBM — serialize the transform one plane at a
+        # time (same flops/bytes, ~3× lower peak)
+        chunk = 1 if nx * ny >= 8192 * 8192 else None
         Xre, Xim = rfft2_mixed(
             x,
             precision=(jax.lax.Precision.DEFAULT if fast
                        else jax.lax.Precision.HIGH),
-            out_dtype=(jnp.bfloat16 if fast else None))
+            out_dtype=(jnp.bfloat16 if fast else None),
+            lead_chunk=chunk)
         XXw, EGw, SEG, E_cont0 = anchor_windows(
             (Xre, Xim), K0taps, nx, ny, hx2, hy2, s1, mixed=True)
         XX = XXw.reshape(dD, dD, -1)

@@ -133,6 +133,30 @@ def test_wrapper_recursion_equality(nx, ny, monkeypatch):
     assert sorted(pf.perm_x(nx)) == list(range(nx))
 
 
+def test_lead_chunk_equality(monkeypatch):
+    """``lead_chunk`` serializes the transform over the leading batch
+    (lax.map) — the ≥8192² HBM-fit path.  Bit-equal to the unchunked
+    pipeline, including under forced wrapper recursion and bf16 out."""
+    import spectralae.ops.pallas_fft as pf
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(3, 64, 64)).astype(np.float32) * 5)
+    ref = rfft2_mixed(x, precision=HI, interpret=True)
+    for chunk in (1, 3):
+        got = rfft2_mixed(x, precision=HI, interpret=True,
+                          lead_chunk=chunk)
+        assert all(jnp.array_equal(g, r) for g, r in zip(got, ref))
+    monkeypatch.setattr(pf, "_MAX_M1", 8)
+    ref = pf.rfft2_mixed(x, precision=HI, interpret=True,
+                         out_dtype=jnp.bfloat16)
+    got = pf.rfft2_mixed(x, precision=HI, interpret=True,
+                         out_dtype=jnp.bfloat16, lead_chunk=1)
+    assert all(jnp.array_equal(g, r) for g, r in zip(got, ref))
+    # non-divisible chunk: falls back to the unchunked pipeline
+    got = pf.rfft2_mixed(x, precision=HI, interpret=True,
+                         out_dtype=jnp.bfloat16, lead_chunk=2)
+    assert all(jnp.array_equal(g, r) for g, r in zip(got, ref))
+
+
 def test_batched_leading_dims():
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.normal(size=(2, 2, 3, 32, 48)).astype(np.float32))
