@@ -612,9 +612,11 @@ def main():
                            pallas_windows="fft-bf16")
             return r, xs + r.mses[-1, -1] * 0.0 + 1e-6
         try:
-            fls, bys = roofline.compiled_cost(
+            # scan bodies are costed once by XLA — scale by the 4-frame
+            # trip count, matching the baseline fft_stream_2048 row
+            fls, bys = scaled(roofline.compiled_cost(
                 fft_stream, xs2k, enc2b.c, dec2b.c, enc2b.b, dec2b.b,
-                iters=100, pallas_windows="fft-bf16")
+                iters=100, pallas_windows="fft-bf16"), 4)
             if fls is not None:
                 ffl, fby = roofline.pallas_rfft2_cost(1, 3, 2048, 2048,
                                                       out_bytes=2)

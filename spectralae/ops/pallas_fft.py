@@ -594,12 +594,18 @@ def rfft2_mixed(x, *, precision=None, out_dtype=None, interpret=None,
     if lead_chunk is not None:
         xb = x.reshape((-1, nx, ny))
         BD = xb.shape[0]
-        if BD > lead_chunk and BD % lead_chunk == 0:
+        if BD > lead_chunk:
+            # a non-divisor chunk must still bound HBM (that is the whole
+            # point of the parameter) — round DOWN to the largest divisor
+            # of BD, never silently fall through to the unchunked pipeline
+            k = max(1, lead_chunk)
+            while BD % k:
+                k -= 1
             fn = functools.partial(rfft2_mixed, precision=precision,
                                    out_dtype=out_dtype,
                                    interpret=interpret)
             Xre, Xim = jax.lax.map(
-                fn, xb.reshape((-1, lead_chunk, nx, ny)))
+                fn, xb.reshape((-1, k, nx, ny)))
             L = Xre.shape[-1]
             return (Xre.reshape(lead + (nx, L)),
                     Xim.reshape(lead + (nx, L)))

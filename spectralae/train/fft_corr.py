@@ -428,10 +428,18 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
         from ..ops.pallas_fft import rfft2_mixed
         from ..ops.pallas_windows import anchor_windows
         fast = pallas_windows == "fft-bf16"
-        # ≥8192²: the channel planes' concurrent wrapper-recursion
-        # transients OOM HBM — serialize the transform one plane at a
-        # time (same flops/bytes, ~3× lower peak)
-        chunk = 1 if nx * ny >= 8192 * 8192 else None
+        # The wrapper-recursion transients scale with the number of
+        # CONCURRENT planes times plane pixels: 3 planes at 8192² OOM
+        # HBM (22.8 vs 15.75 GB) while one plane fits — so the budget is
+        # plane-count-aware, not pixel-only: a batched precompute (B·D
+        # planes) at 4096² has B× the transients of the benched B=1 row.
+        # Serialize once total plane-pixels exceed ~2 8192² planes, in
+        # chunks of at most one-8192²-plane's-worth of pixels (measured
+        # to fit); rfft2_mixed rounds the chunk to a divisor of B·D.
+        planes = B * dD
+        chunk = None
+        if planes * nx * ny > 2 * 8192 * 8192:
+            chunk = max(1, (8192 * 8192) // (nx * ny))
         Xre, Xim = rfft2_mixed(
             x,
             precision=(jax.lax.Precision.DEFAULT if fast

@@ -151,10 +151,18 @@ def test_lead_chunk_equality(monkeypatch):
     got = pf.rfft2_mixed(x, precision=HI, interpret=True,
                          out_dtype=jnp.bfloat16, lead_chunk=1)
     assert all(jnp.array_equal(g, r) for g, r in zip(got, ref))
-    # non-divisible chunk: falls back to the unchunked pipeline
+    # non-divisible chunk: rounds DOWN to the largest divisor of B·D
+    # (here 2 -> 1) so the requested HBM bound still holds — it must
+    # NOT silently fall through to the unchunked pipeline
     got = pf.rfft2_mixed(x, precision=HI, interpret=True,
                          out_dtype=jnp.bfloat16, lead_chunk=2)
     assert all(jnp.array_equal(g, r) for g, r in zip(got, ref))
+    # a 4-plane batch with chunk=3 serializes as 2 chunks of 2
+    x4 = jnp.asarray(np.random.default_rng(12).normal(
+        size=(4, 64, 64)).astype(np.float32) * 5)
+    ref4 = pf.rfft2_mixed(x4, precision=HI, interpret=True)
+    got4 = pf.rfft2_mixed(x4, precision=HI, interpret=True, lead_chunk=3)
+    assert all(jnp.array_equal(g, r) for g, r in zip(got4, ref4))
 
 
 def test_batched_leading_dims():
