@@ -193,7 +193,7 @@ class Bench:
             json.dump(self.results, f, indent=2)
 
     def record(self, timing: Timing, ms_key: str, rate_key: str | None = None,
-               rate_num: float = 1.0, cost=None) -> bool:
+               rate_num: float = 1.0, cost=None, analytic_bytes=None):
         """Persist a timing row, or discard it loudly if it failed
         validation.
 
@@ -201,7 +201,18 @@ class Bench:
         ``results["discarded"]`` — a physically-impossible number must never
         masquerade as a measurement.  ``cost``: optional (flops, bytes) for
         the roofline entry (util[ms_key]); computed against the row's floor
-        time (the device-time estimate)."""
+        time (the device-time estimate).
+
+        Physicality guard: a floor that implies more FLOP/s than the
+        chip's dense bf16 peak cannot be a measurement (it is a relay
+        dedup/calibration artifact that slipped past FLOOR_S) — the row
+        is re-based on the median and the bogus floor kept under a
+        ``:floor_discarded_ms`` key.  A ``pct_peak_bw`` > 100 after
+        that is XLA's bytes-accessed overcounting fused handovers: the
+        entry is marked ``bytes_overcounted`` and, when the caller
+        passes an ``analytic_bytes`` bound (roofline.*_bytes), the
+        physical percentage is reported alongside.  Returns the basis
+        seconds (truthy) or None."""
         results = self.results
         if not timing.valid:
             results[ms_key] = None
@@ -212,16 +223,36 @@ class Bench:
                   f"the {FLOOR_S*1e3:.2f} ms tunnel floor even after the "
                   "long-chain retry", file=sys.stderr)
             self.flush()
-            return False
-        results[ms_key] = timing.best * 1e3
+            return None
+        basis = timing.best
+        if (cost is not None and cost[0] and PEAKS
+                and cost[0] / basis > PEAKS.flops
+                and cost[0] / timing.median <= PEAKS.flops):
+            basis = timing.median
+            results[ms_key + ":floor_discarded_ms"] = timing.best * 1e3
+            results[ms_key + ":note"] = (
+                "floor implies >peak FLOP/s (relay artifact) — row "
+                "re-based on the median")
+            print(f"# NONPHYSICAL FLOOR {ms_key}: {timing.best*1e3:.4f} ms "
+                  f"implies {cost[0]/timing.best/1e12:.0f} TFLOP/s — using "
+                  f"the median {timing.median*1e3:.4f} ms", file=sys.stderr)
+        results[ms_key] = basis * 1e3
         results[ms_key + ":median"] = timing.median * 1e3
         if rate_key:
-            results[rate_key] = rate_num / timing.best
+            results[rate_key] = rate_num / basis
         if cost is not None and (cost[0] is not None or cost[1] is not None):
-            results[f"util[{ms_key}]"] = roofline.utilization(
-                cost[0], cost[1], timing.best, PEAKS)
+            util = roofline.utilization(cost[0], cost[1], basis, PEAKS)
+            if PEAKS and util.get("pct_peak_flops", 0) > 100:
+                util["flops_overcounted"] = True
+            if PEAKS and util.get("pct_peak_bw", 0) > 100:
+                util["bytes_overcounted"] = True
+            if analytic_bytes is not None and PEAKS:
+                util["analytic_gb"] = round(analytic_bytes / 1e9, 3)
+                util["pct_peak_bw_analytic"] = round(
+                    100.0 * analytic_bytes / basis / PEAKS.hbm, 2)
+            results[f"util[{ms_key}]"] = util
         self.flush()
-        return True
+        return basis
 
     def fail(self, key: str, err: Exception):
         """A row whose program could not compile/run on this chip — record
@@ -409,6 +440,9 @@ def main():
                      fft_stream, xs32, enc.c, dec.c, enc.b, dec.b,
                      iters=100), 32))
 
+    # --- window 6 (interleaved: more windows tighten the median's IQR) ---
+    headline_window("w6", 38.8e-5)
+
     # ---- headline at 512² and 1024² (scaling) ----
     for nxy, nlinks in ((512, 10), (1024, 8)):
         cfgB = Config(nx=nxy, ny=nxy, d=3,
@@ -430,7 +464,9 @@ def main():
         bench.record(time_chained(burst_big, xb0, n=nlinks),
                      f"fft_burst_100_ms_{nxy}",
                      f"fft_backprop_iters_per_sec_{nxy}", burst_iters,
-                     cost=burst_cost(xb0, outB, encB, decB, burst_iters))
+                     cost=burst_cost(xb0, outB, encB, decB, burst_iters),
+                     analytic_bytes=roofline.corr_burst_bytes(
+                         1, 3, nxy, nxy, fused=False))
 
     # --- window 2 ---
     headline_window("w2", 7.7e-5)
@@ -676,6 +712,9 @@ def main():
                      coord_step, xc, outp, hin, enc.c, dec.c, enc.b,
                      dec.b, mom, mom, lr=0.2))
 
+    # --- window 7 ---
+    headline_window("w7", 46.6e-5)
+
     # ---- modern batched train step (3-layer, batch 8, fft domain) ----
     opt3 = init_opt_state(params3)
 
@@ -687,7 +726,9 @@ def main():
                  "modern_fft_step_b8_ms", "modern_fft_frames_per_sec", 8.0,
                  cost=roofline.compiled_cost(
                      train_step, params3, opt3, x8, spec3.scales, lr=0.2,
-                     domain="fft"))
+                     domain="fft"),
+                 analytic_bytes=roofline.fft_step_bytes(8, 3, 10, 256, 256,
+                                                        pairs=3))
 
     # ---- data-parallel burst throughput (8 frames, one shared pair) ----
     from spectralae.train.fft_dp import fft_burst_dp
@@ -739,11 +780,15 @@ def main():
         ok_c = bench.record(tc, f"conv_coord_{nk}x{nk}_b8_ms",
                             cost=roofline.compiled_cost(conv_coord, x8))
         ok_f = bench.record(tf, f"conv_spectral_{nk}x{nk}_b8_ms",
-                            cost=roofline.compiled_cost(conv_fftd, x8))
+                            cost=roofline.compiled_cost(conv_fftd, x8),
+                            analytic_bytes=roofline.spectral_conv_bytes(
+                                8, 3, 10, 256, 256))
         # the round-2 42-million-x row came from a ratio over a swallowed
         # chain — a speedup is only meaningful when both operands are real
+        # (and computed on each row's recorded basis: record() re-bases a
+        # floor that implies >peak FLOP/s on the median)
         results[f"spectral_speedup_{nk}x{nk}"] = (
-            tc.best / tf.best if ok_c and ok_f else None)
+            ok_c / ok_f if ok_c and ok_f else None)
         bench.flush()
 
     # --- window 4 ---
@@ -768,7 +813,9 @@ def main():
                  "modern_fft_step_512_b4_ms", "modern_fft_512_frames_per_sec",
                  4.0, cost=roofline.compiled_cost(
                      train_step, params512, opt512, x512, spec512.scales,
-                     lr=0.2, domain="fft"))
+                     lr=0.2, domain="fft"),
+                 analytic_bytes=roofline.fft_step_bytes(4, 3, 10, 512, 512,
+                                                        pairs=3))
 
     # ---- 1024×1024 deep config, batch 2 (fused-conv scaling) ----
     cfg1k = Config(nx=1024, ny=1024, d=3,
@@ -788,7 +835,12 @@ def main():
                  "modern_fft_step_1024_b2_ms", "modern_fft_1024_frames_per_sec",
                  2.0, cost=roofline.compiled_cost(
                      train_step, params1k, opt1k, x1k, spec1k.scales,
-                     lr=0.2, domain="fft"))
+                     lr=0.2, domain="fft"),
+                 analytic_bytes=roofline.fft_step_bytes(2, 3, 10, 1024, 1024,
+                                                        pairs=3))
+
+    # --- window 8 ---
+    headline_window("w8", 54.4e-5)
 
     # =================== full tier (BASELINE.md one-off rows) ============
     if not args.quick:
@@ -859,6 +911,9 @@ def main():
                          fft_burst_dp, x8_512, None, out8_512, enc5.c,
                          dec5.c, enc5.b, dec5.b, lr=0.2, iters=100))
 
+        # --- window 9 ---
+        headline_window("w9", 62.2e-5)
+
         # ---- M=50 (the reference source's default depth) @256² ----
         cfg50 = Config(nx=256, ny=256, d=3,
                        layer=LayerParams(depth=50, lk=1, ll=1, scale=2,
@@ -918,28 +973,37 @@ def main():
     # --- window 5: end of run ---
     headline_window("w5", 31.1e-5)
 
-    # headline = MEDIAN of the (up to 5) time-separated window FLOORS:
+    # headline = MEDIAN of the (up to 9) time-separated window FLOORS:
     # the floor of one window estimates device time under additive tunnel
     # noise; the median across windows is reproducible by construction
     # (no single tunnel period, good or bad, decides the value).  The
-    # spread of the window floors IS the run-to-run reproducibility band.
+    # quotable number is the median, so its band is the INTERQUARTILE
+    # spread of the window floors (the band a re-run's median lands in —
+    # round-4 evidence: two full runs' medians agreed to 10 % while the
+    # full window range was ~2×); the full range ships as range_pct.
     fft_steps_per_sec = (float(np.median(windows_floor))
                          if windows_floor else None)
     fft_steps_per_sec_median = (float(np.median(windows_median))
                                 if windows_median else None)
-    spread_pct = (100.0 * (max(windows_floor) - min(windows_floor))
-                  / fft_steps_per_sec
-                  if fft_steps_per_sec else None)
+    spread_pct = range_pct = None
+    if fft_steps_per_sec:
+        q25, q75 = np.percentile(windows_floor, [25, 75])
+        spread_pct = 100.0 * (q75 - q25) / fft_steps_per_sec
+        range_pct = (100.0 * (max(windows_floor) - min(windows_floor))
+                     / fft_steps_per_sec)
     results["headline_windows_floor"] = windows_floor
     results["headline_windows_median"] = windows_median
+    results["headline_range_pct"] = range_pct
     results["headline_basis"] = (
-        "median of the window floors from five time-separated windows "
-        "spread across the run, fastest impl; each window floor = best "
-        "of 5 chained trials (device-time estimate; tunnel noise is "
-        "additive).  spread_pct = (max-min)/median of the window floors "
-        "(the run-to-run band of a SINGLE window; the median is far "
-        "tighter).  Per-impl floors in *_ms keys, medians in *_ms:median "
-        "and *_median keys; per-row roofline in util[...] keys")
+        "median of the window floors from up to nine time-separated "
+        "windows spread across the run, fastest impl; each window floor "
+        "= best of 5 chained trials (device-time estimate; tunnel noise "
+        "is additive).  spread_pct = IQR/median of the window floors — "
+        "the reproducibility band of the quoted MEDIAN (what a re-run "
+        "lands in); range_pct = (max-min)/median, the band of a single "
+        "window under tunnel weather.  Per-impl floors in *_ms keys, "
+        "medians in *_ms:median and *_median keys; per-row roofline in "
+        "util[...] keys")
     bench.flush()
 
     rnd = lambda v, n: round(v, n) if v is not None else None

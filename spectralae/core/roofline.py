@@ -219,6 +219,63 @@ def pallas_rfft2_cost(B: int, D: int, nx: int, ny: int,
     return flops, hbm
 
 
+def spectral_conv_bytes(B: int, D: int, M: int, nx: int, ny: int) -> float:
+    """Analytic HBM byte *bound* for one rfft2 → pointwise conv → irfft2
+    round trip (the ``conv_spectral_*`` bench rows): every resolution-
+    sized array counted once written + once read where it crosses a
+    fusion boundary (input read, X/kernel/Y spectra w+r as split-complex
+    f32, output write).  True traffic can only be LOWER (XLA may fuse
+    some handovers), so pct_peak_bw against this bound is an upper
+    bound on utilization — unlike XLA's bytes-accessed, it can never
+    exceed physics."""
+    nyr = ny // 2 + 1
+    cplx = 8.0
+    return float(B * D * nx * ny * 4            # x read
+                 + 2 * B * D * nx * nyr * cplx  # X write+read
+                 + 2 * M * D * nx * nyr * cplx  # kernel spectra w+r
+                 + 2 * B * M * nx * nyr * cplx  # Y write+read
+                 + B * M * nx * ny * 4)         # out write
+
+
+def fft_step_bytes(B: int, D: int, M: int, nx: int, ny: int,
+                   pairs: int) -> float:
+    """Analytic HBM byte bound for one fused fwd+bwd ``train_step``
+    (``modern_fft_step_*`` rows): forward traffic = the input/output
+    planes plus each stage's activation spectra (write+read, split-
+    complex) down the pooled pyramid and back up; backward ≈ 2× forward
+    (re-read activations + write cotangents).  A bound, not an exact
+    count — XLA's fusions can only move less."""
+    nyr_of = lambda r: r // 2 + 1
+    fwd = B * D * nx * ny * 4.0 + B * D * nx * ny * 4.0   # x read, recon w
+    for s in range(pairs):
+        r = nx >> (s + 1)                # resolution after encoder pool s
+        din = D if s == 0 else M
+        # encoder stage s: read in-spectra, write out-spectra (and the
+        # mirrored decoder stage moves the same planes back up)
+        stage = (B * din * r * nyr_of(r) * 8.0
+                 + B * M * r * nyr_of(r) * 8.0)
+        fwd += 2 * stage
+    return float(3.0 * fwd)
+
+
+def corr_burst_bytes(B: int, D: int, nx: int, ny: int, *,
+                     fused: bool, signal_bytes: int = 4) -> float:
+    """Analytic HBM byte bound for the correlation burst's precompute
+    (``fft_burst_100_ms_*`` rows; the 100 iterations move only
+    window-sized tensors).  XLA path (``fused=False``): signal spectra
+    write+read plus the [D², nx, nyr] XX and EG product planes
+    (write + one read by the lag-window transforms).  Fused Pallas path:
+    the kernel reads the split spectra once and products never touch
+    HBM (ops/pallas_windows.py design invariant)."""
+    nyr = ny // 2 + 1
+    x_read = B * D * nx * ny * 4.0
+    spectra = 2 * B * D * nx * nyr * 2 * float(signal_bytes)  # w+r, re+im
+    if fused:
+        return float(x_read + spectra)
+    planes = 2 * (D * D) * nx * nyr * 8.0 * 2     # XX + EG, w+r each
+    return float(x_read + spectra + B * planes)
+
+
 def utilization(flops: float | None, bytes_: float | None,
                 seconds: float, peaks: Peaks | None) -> dict:
     """Per-row utilization dict for bench_details.json."""
