@@ -759,7 +759,8 @@ def main():
 
         @jax.jit
         def conv_coord(x, ck=ck, bb=bb):
-            return coord_ops.conv2d(x, ck, bb, tap_mode="centered")
+            return coord_ops.conv2d(x, ck, bb, tap_mode="centered",
+                                    pallas=False)
 
         @jax.jit
         def conv_fftd(x, ck=ck, bb=bb):
@@ -790,6 +791,29 @@ def main():
         results[f"spectral_speedup_{nk}x{nk}"] = (
             ok_c / ok_f if ok_c and ok_f else None)
         bench.flush()
+
+        if nk == 5:
+            # the VPU Pallas coord conv (ops/pallas_conv.py) — the
+            # production route at ≤5×5 (conv2d auto): 1.28× over the lax
+            # row AND exact f32 (the MXU conv's default precision is
+            # bf16-rounded, ~2.4e-3 rel)
+            @jax.jit
+            def conv_pallas(x, ck=ck, bb=bb):
+                return coord_ops.conv2d(x, ck, bb, tap_mode="centered",
+                                        pallas=True)
+
+            def step_p(x):
+                out = conv_pallas(x)
+                return out, x + out[:, :3] * 1e-9
+            try:
+                m_, d_ = ck.shape[0], ck.shape[1]
+                fl_an = 2.0 * 8 * m_ * d_ * nk * nk * 256 * 256
+                by_an = (8 * d_ * 256 * 256 + 8 * m_ * 256 * 256) * 4.0
+                bench.record(time_chained(step_p, frame(b=8), n=8),
+                             f"conv_coord_{nk}x{nk}_b8_ms[pallas]",
+                             cost=(fl_an, by_an))
+            except Exception as e:  # noqa: BLE001
+                bench.fail(f"conv_coord_{nk}x{nk}_b8_ms[pallas]", e)
 
     # --- window 4 ---
     headline_window("w4", 23.3e-5)

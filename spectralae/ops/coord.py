@@ -36,7 +36,7 @@ def _conv_padding(nk: int, nl: int, mode: TapMode) -> tuple[tuple[int, int], tup
 
 def conv2d(x: jax.Array, c: jax.Array, b: jax.Array | None = None, *,
            tap_mode: TapMode = "centered", scale_by_dm: bool = True,
-           act=None) -> jax.Array:
+           act=None, pallas: bool | None = None) -> jax.Array:
     """Reference-semantics 2-D convolution.
 
     Args:
@@ -48,6 +48,14 @@ def conv2d(x: jax.Array, c: jax.Array, b: jax.Array | None = None, *,
         (backproplib.cu:134; the CPU reference ``Conv`` omits this).
       act: activation; ``None`` = identity (the reference's current ``act``,
         backproplib.cu:38-44).
+      pallas: route through the VPU scalar-FMA kernel
+        (:mod:`spectralae.ops.pallas_conv`) instead of
+        ``lax.conv_general_dilated``.  ``None`` auto-routes on TPU when
+        the tap count is past the measured crossover — at D=3/M=10-class
+        channel counts the MXU conv runs at <1 % occupancy while the
+        Pallas kernel is FLOP-bound on the VPU (see the kernel module
+        docstring for the measured table).  Gradients flow through a
+        custom VJP (data grad = the same kernel, transposed taps).
 
     Reference: ``Conv`` netlib.cpp:318-358 (tap_mode='ref_cpu'),
     ``Conv_gpu``/``conv_parallel`` backproplib.cu:70-182 (tap_mode='ref_gpu').
@@ -61,10 +69,18 @@ def conv2d(x: jax.Array, c: jax.Array, b: jax.Array | None = None, *,
         x = x.at[:, :, 0, :].set(0.0).at[:, :, :, 0].set(0.0)
     w = c[:, :, ::-1, ::-1]  # flip: reference indexing is convolution-like
     pad = _conv_padding(nk, nl, tap_mode)
-    y = lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding=pad,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=x.dtype)
+    if pallas is None:
+        from .pallas_conv import _auto_pallas_conv
+        pallas = _auto_pallas_conv(x.shape, c.shape)
+    if pallas:
+        from .pallas_conv import conv_valid_pallas
+        xpad = jnp.pad(x, ((0, 0), (0, 0), pad[0], pad[1]))
+        y = conv_valid_pallas(xpad, w).astype(x.dtype)
+    else:
+        y = lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding=pad,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=x.dtype)
     if b is not None:
         y = y + b[None, :, None, None]
     if act is not None:

@@ -107,15 +107,20 @@ def coord_ref_gradients(in_s: jax.Array, out_s: jax.Array, hin_s: jax.Array,
         df = jnp.einsum("mab,dpab->dmp", hin_s, PE).reshape(D, M, nk, nl)
     else:
         # three transposed convs via jax.linear_transpose (no primal
-        # forwards — the maps are linear)
+        # forwards — the maps are linear).  pallas=False is load-bearing:
+        # the Pallas conv carries a custom_vjp, which linear_transpose
+        # cannot see through — these closures are gradient machinery and
+        # must stay on the transposable lax conv
         conv_h = lambda h: coord.conv2d(h[None], f, None, tap_mode=tap_mode,
-                                        scale_by_dm=False)[0]
+                                        scale_by_dm=False, pallas=False)[0]
         conv_cw = lambda cc: coord.conv2d(in_s[None], cc, None,
                                           tap_mode=tap_mode,
-                                          scale_by_dm=False)[0]
+                                          scale_by_dm=False,
+                                          pallas=False)[0]
         conv_fw = lambda ff: coord.conv2d(hin_s[None], ff, None,
                                           tap_mode=tap_mode,
-                                          scale_by_dm=False)[0]
+                                          scale_by_dm=False,
+                                          pallas=False)[0]
         (delta_h,) = jax.linear_transpose(conv_h, hin_s)(E)
         (dc,) = jax.linear_transpose(
             conv_cw,
