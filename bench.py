@@ -290,24 +290,125 @@ def scaled(cost, k):
             by * k if by is not None else None)
 
 
-def burst_cost(x, out0, enc, dec, iters, fused_pallas=False, batch=1):
+def burst_cost(x, out0, enc, dec, iters, fused_pallas=False, batch=1,
+               pallas_windows=None):
     """(flops, bytes) for an fft_burst_corr row: XLA cost analysis plus the
     analytic supplements for the Pallas anchor kernel (opaque to XLA) and
     the inner fori_loop's per-iteration arithmetic (while bodies are
-    costed once)."""
+    costed once).  ``pallas_windows`` must match the timed row's variant
+    (the compiled program differs)."""
     fl, by = roofline.compiled_cost(
         fft_burst_corr, x, None, out0, enc.c, dec.c, enc.b, dec.b,
-        lr=0.2, iters=iters)
+        lr=0.2, iters=iters, pallas_windows=pallas_windows)
     if fl is not None:
         M, D, nk, nl = enc.c.shape
         fl += roofline.corr_iter_flops(D, M, nk, nl, iters)
         if fused_pallas:
             nx, ny = x.shape[-2], x.shape[-1]
             kfl, _ = roofline.anchor_windows_cost(
-                batch, D, nx, ny, 2 * (nk // 2), 2 * (nl // 2))
+                batch, D, nx, ny, 2 * (nk // 2), 2 * (nl // 2),
+                signal_bytes=(2 if pallas_windows in ("bf16", "fft-bf16")
+                              else 4))
             fl += kfl   # kernel HBM traffic (the X read) is already in
             #             the custom call's operand bytes — arithmetic only
     return fl, by
+
+
+def xl_row(bench: "Bench", variant: str = "fused"):
+    """The 16384² (268 MP) burst row — the largest single-frame config
+    that fits single-chip (peaks at ~12.9 of 16 GB HBM).
+
+    MUST run in a fresh process: a full-run attempt measured exactly the
+    two failure modes process isolation removes — (a) allocator state
+    from the preceding ~40 rows turns the otherwise-fitting burst into
+    ResourceExhausted, and (b) on this backend a device-side
+    ResourceExhausted poisons the process (every later allocation fails,
+    killing the remaining rows).  ``--xl`` therefore dispatches this row
+    to ``--xl-child`` subprocesses — one per variant, so an OOM in one
+    variant is recorded as that row's failure note and nothing else —
+    and merges their JSON into bench_details.json.
+
+    variants: ``fused`` (XLA FFT + f32 Pallas anchor — the round-4
+    record config; its ~12.9 GB peak is a fit-or-OOM coin flip against
+    the chip's usable HBM, so a recorded OOM here is a measurement),
+    ``bf16`` (XLA FFT + bf16 plane streaming — ~1.6 GB lower peak, the
+    robust 268 MP row), and ``pallas-fft-bf16`` (the radix-4 four-step
+    rfft2 + bf16 streaming that wins 1.39× at 8192²; at 16384²
+    ``lead_chunk`` bottoms out at one plane per chunk, so whether its
+    recursion transients fit is exactly what this row measures — a
+    recorded OOM is the tightened wall).
+    """
+    nxy, burst_iters = 16384, 100
+    rng = np.random.default_rng(0)
+    cfgN = Config(nx=nxy, ny=nxy, d=3,
+                  layer=LayerParams(depth=10, lk=1, ll=1, scale=2,
+                                    rmax=3.0))
+    paramsN = init_params(jax.random.key(0), initial_spec(cfgN), 1.0)
+    encN, decN = paramsN.pair(0)
+    suffix = "" if variant == "fused" else f"[{variant}]"
+    key = f"fft_burst_100_ms_{nxy}{suffix}"
+    pw = {"fused": None, "bf16": "bf16",
+          "pallas-fft-bf16": "fft-bf16"}[variant]
+    try:
+        xN = jax.device_put(rng.standard_normal(
+            size=(3, nxy, nxy), dtype=np.float32) * 50)
+
+        def burst_n(x, e=encN, d_=decN):
+            r = fft_burst_corr(x, None, None, e.c, d_.c, e.b, d_.b,
+                               lr=0.2, iters=burst_iters,
+                               pallas_windows=pw)
+            return r, x + r.mses[-1] * 0.0 + 1e-6
+        # consume-mode: a second retained base buffer OOMs, so the timer
+        # chains trials from its one live value and the cost row lowers
+        # from an abstract ShapeDtypeStruct (compile-cache hit; no array)
+        holder = [xN]
+        xN = jax.ShapeDtypeStruct((3, nxy, nxy), np.float32)
+        timing = time_chained(burst_n, holder, n=1, trials=3,
+                              live_chain=True)
+        bench.record(timing, key, f"fft_backprop_iters_per_sec_{nxy}"
+                     + suffix, burst_iters,
+                     cost=burst_cost(xN, None, encN, decN, burst_iters,
+                                     fused_pallas=True,
+                                     pallas_windows=pw))
+    except Exception as e:      # noqa: BLE001 — record the wall
+        bench.fail(key, e)
+
+
+_XL_VARIANTS = ("fused", "bf16", "pallas-fft-bf16")
+
+
+def _run_xl_children(results: dict):
+    """Dispatch one --xl-child subprocess per 16384² variant and merge
+    each child's row keys.  Runs before the parent touches big buffers;
+    the child sees a fresh allocator either way."""
+    import subprocess
+    import tempfile
+    for variant in _XL_VARIANTS:
+        with tempfile.NamedTemporaryFile(
+                mode="r", suffix=".json", prefix="bench_xl_",
+                delete=False) as tf:
+            out = tf.name
+        print(f"# --xl: 16384² [{variant}] in a fresh child process "
+              "(clean HBM; Mosaic compile is minutes cold)",
+              file=sys.stderr, flush=True)
+        proc = subprocess.run(
+            [sys.executable, __file__, "--xl-child", out,
+             "--xl-variant", variant],
+            capture_output=True, text=True, timeout=3600)
+        try:
+            with open(out) as f:
+                child = json.load(f)
+        except Exception:           # noqa: BLE001
+            child = {}
+        if not child or proc.returncode != 0:
+            key = ("fft_burst_100_ms_16384" if variant == "fused"
+                   else f"fft_burst_100_ms_16384[{variant}]")
+            child.setdefault(key, None)
+            child[key + ":error"] = (
+                f"child exited {proc.returncode}: "
+                + (proc.stderr or "")[-300:])
+        results.update(child)
+        os.unlink(out)
 
 
 def main():
@@ -316,10 +417,18 @@ def main():
                     help="headline windows + small-config rows only "
                          "(skip the ≥2048² bursts / sweep / streaming tier)")
     ap.add_argument("--xl", action="store_true",
-                    help="add the 16384² (268 MP) fused burst row — adds "
-                         "4-25 min of Mosaic compile (cold vs cached) on "
-                         "top of the full run")
+                    help="add the 16384² (268 MP) burst rows (fused + "
+                         "pallas-fft-bf16), each in an isolated child "
+                         "process — adds minutes of Mosaic compile "
+                         "(cold) on top of the full run")
+    ap.add_argument("--xl-child", metavar="OUT", help=argparse.SUPPRESS)
+    ap.add_argument("--xl-variant", default="fused",
+                    choices=_XL_VARIANTS, help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    if args.xl_child:
+        xl_row(Bench(path=args.xl_child), args.xl_variant)
+        return
 
     bench = Bench()
     results = bench.results
@@ -329,6 +438,12 @@ def main():
         results["peaks"] = {"chip": PEAKS.name,
                             "bf16_tflops": PEAKS.flops / 1e12,
                             "hbm_gbps": PEAKS.hbm / 1e9}
+
+    if args.xl and not args.quick:
+        # before the parent allocates anything resolution-sized: the
+        # children need the chip's full 16 GB (see xl_row docstring)
+        _run_xl_children(results)
+        bench.flush()
 
     rng = np.random.default_rng(0)
     cfg = Config(nx=256, ny=256, d=3,
@@ -472,16 +587,12 @@ def main():
     headline_window("w2", 7.7e-5)
 
     # ---- ≥2048² fused-anchor bursts: 2048² (4.2 MP) / 4096² (16.8 MP) /
-    # 8192² (67 MP) / [--xl] 16384² (268 MP).  At these sizes the precompute
-    # auto-routes through the single-pass Pallas anchor kernel
-    # (ops/pallas_windows.anchor_windows); above 2048² the wrapper's ω_y
-    # chunking keeps Mosaic's scoped-VMEM working set bounded.  16384² DOES
-    # fit single-chip (12.9 of 16 GB peak) but only if the timing harness
-    # keeps exactly one signal buffer alive — hence live_chain — and its
-    # Mosaic compile alone is 4-25 min, so it rides behind --xl. ----
+    # 8192² (67 MP).  At these sizes the precompute auto-routes through
+    # the single-pass Pallas anchor kernel (ops/pallas_windows.
+    # anchor_windows); above 2048² the wrapper's ω_y chunking keeps
+    # Mosaic's scoped-VMEM working set bounded.  The 16384² (268 MP) row
+    # rides behind --xl in an ISOLATED child process — see xl_row(). ----
     big_sizes = [2048] if args.quick else [2048, 4096, 8192]
-    if args.xl and not args.quick:
-        big_sizes.append(16384)
     for nxy in big_sizes:
         cfgN = Config(nx=nxy, ny=nxy, d=3,
                       layer=LayerParams(depth=10, lk=1, ll=1, scale=2,
@@ -497,19 +608,9 @@ def main():
                 r = fft_burst_corr(x, None, None, e.c, d_.c, e.b, d_.b,
                                    lr=0.2, iters=burst_iters)
                 return r, x + r.mses[-1] * 0.0 + 1e-6
-            nlinks = {2048: 5, 4096: 3, 8192: 2, 16384: 1}[nxy]
-            if nxy > 8192:
-                # consume-mode: the burst peaks at 12.9 of 16 GB — a second
-                # retained base buffer OOMs, so the timer chains trials from
-                # its one live value and the cost row lowers from an
-                # abstract ShapeDtypeStruct (compile-cache hit; no array)
-                holder = [xN]
-                xN = jax.ShapeDtypeStruct((3, nxy, nxy), np.float32)
-                timing = time_chained(burst_n, holder, n=nlinks, trials=3,
-                                      live_chain=True)
-            else:
-                timing = time_chained(burst_n, xN, n=nlinks,
-                                      trials=3 if nxy > 2048 else 5)
+            nlinks = {2048: 5, 4096: 3, 8192: 2}[nxy]
+            timing = time_chained(burst_n, xN, n=nlinks,
+                                  trials=3 if nxy > 2048 else 5)
             bench.record(timing,
                          key, f"fft_backprop_iters_per_sec_{nxy}",
                          burst_iters,

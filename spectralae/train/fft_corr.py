@@ -126,6 +126,15 @@ def _lag_maps(nk: int, nl: int):
 # primitives (shared with ops/pallas_windows — ops must not import train)
 _lag_basis = dft.lag_basis
 
+# Plane-pixel budget above which resolution-sized transforms serialize
+# (per-plane lax.map instead of one batched call): XLA's batched 2-D FFT
+# workspace scales with the number of concurrent planes — measured via
+# compile-time memory_analysis of the 16384² fused burst, 12.0 GB temp
+# batched vs 10.1 serialized (the difference between ResourceExhausted
+# and the 407 ms record row on a 16 GB chip).  Shared by the XLA-FFT
+# fused path and the Pallas rfft2_mixed lead_chunk heuristic below.
+_FFT_SERIALIZE_PIXELS = 2 * 8192 * 8192
+
 
 def _corr_windows(prods, nx, ny, hx, hy):
     """Centered lag windows ``[planes, 2hx+1, 2hy+1]`` of the circular
@@ -438,8 +447,8 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
         # to fit); rfft2_mixed rounds the chunk to a divisor of B·D.
         planes = B * dD
         chunk = None
-        if planes * nx * ny > 2 * 8192 * 8192:
-            chunk = max(1, (8192 * 8192) // (nx * ny))
+        if planes * nx * ny > _FFT_SERIALIZE_PIXELS:
+            chunk = max(1, (_FFT_SERIALIZE_PIXELS // 2) // (nx * ny))
         Xre, Xim = rfft2_mixed(
             x,
             precision=(jax.lax.Precision.DEFAULT if fast
@@ -453,7 +462,18 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
         # DC bin stays at (row 0, lane 0) in mixed order
         X0 = jnp.mean(Xre[:, :, 0, 0].astype(jnp.float32), axis=0)
     elif model_axis is None:
-        X = spectral.rfft2(x)                          # [B, D, nx, nyr]
+        if B * dD * nx * ny > _FFT_SERIALIZE_PIXELS:
+            # serialize the signal transform one plane at a time — the
+            # XLA-FFT analogue of rfft2_mixed(lead_chunk=1): same
+            # flops/bytes, ~planes× lower transient peak, and the big
+            # per-plane FFTs were device-serialized anyway (see
+            # _FFT_SERIALIZE_PIXELS; equality pinned by
+            # tests/test_fft_corr.py::test_serialized_fft_equality)
+            planes = x.reshape(B * dD, nx, ny)
+            X = lax.map(spectral.rfft2, planes)
+            X = X.reshape(B, dD, nx, ny // 2 + 1)
+        else:
+            X = spectral.rfft2(x)                      # [B, D, nx, nyr]
         if pallas_windows:
             # single-pass Pallas precompute (ops/pallas_windows.py):
             # anchor spectra generated per x-tile from the tap partials,

@@ -515,3 +515,24 @@ def test_corr_burst_bf16_pixel_scale():
     np.testing.assert_allclose(m_got[:20], m_ref[:20], rtol=5e-2)
     # and the same convergence level at the end
     assert m_got[-1] < 2.0 * m_ref[-1]
+
+
+def test_serialized_fft_equality(monkeypatch):
+    """At >_FFT_SERIALIZE_PIXELS total plane-pixels the fused precompute
+    serializes the signal rfft2 one plane at a time (lax.map — the
+    XLA-FFT analogue of rfft2_mixed's lead_chunk; ~planes× lower
+    transient peak is what fits the 16384² burst on a 16 GB chip).  The
+    serialized transform is the same FFT per plane, so the T dict must
+    be bit-comparable to the batched route."""
+    from spectralae.train import fft_corr as fc
+    x, _, enc, dec = setup(nx=32, d=3, b=2)
+    batched = fc.corr_precompute_fused(x, enc.c, dec.c, enc.b, dec.b,
+                                       pallas_windows=False)
+    monkeypatch.setattr(fc, "_FFT_SERIALIZE_PIXELS", 0)
+    serial = fc.corr_precompute_fused(x, enc.c, dec.c, enc.b, dec.b,
+                                      pallas_windows=False)
+    assert set(batched) == set(serial)
+    for k in batched:
+        np.testing.assert_allclose(np.asarray(serial[k]),
+                                   np.asarray(batched[k]),
+                                   rtol=1e-6, atol=1e-6, err_msg=k)
