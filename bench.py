@@ -1106,6 +1106,24 @@ def main():
     # spread of the window floors (the band a re-run's median lands in —
     # round-4 evidence: two full runs' medians agreed to 10 % while the
     # full window range was ~2×); the full range ships as range_pct.
+    # cross-window physicality guard: the per-row >peak-FLOP/s rebase
+    # cannot bite at 256² (the dispatch-bound burst is far from compute
+    # peak), but relay-dedup artifacts still occasionally slip past the
+    # tunnel floor INSIDE one window (observed: a 715k it/s window floor
+    # in a run whose eight other windows sat at 35-76k — 0.14 ms for a
+    # burst whose iterations alone cost ~0.5 ms).  Tunnel noise is
+    # strictly additive, so a window floor far ABOVE its peers is an
+    # artifact of that window, never weather: drop floors >3× the median
+    # of the windows and ship them under headline_windows_discarded.
+    if windows_floor:
+        med0 = float(np.median(windows_floor))
+        bogus = [w for w in windows_floor if w > 3.0 * med0]
+        if bogus:
+            results["headline_windows_discarded"] = bogus
+            keep_w = [i for i, w in enumerate(windows_floor)
+                      if w <= 3.0 * med0]
+            windows_floor = [windows_floor[i] for i in keep_w]
+            windows_median = [windows_median[i] for i in keep_w]
     fft_steps_per_sec = (float(np.median(windows_floor))
                          if windows_floor else None)
     fft_steps_per_sec_median = (float(np.median(windows_median))
