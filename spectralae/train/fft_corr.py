@@ -126,14 +126,20 @@ def _lag_maps(nk: int, nl: int):
 # primitives (shared with ops/pallas_windows — ops must not import train)
 _lag_basis = dft.lag_basis
 
-# Plane-pixel budget above which resolution-sized transforms serialize
-# (per-plane lax.map instead of one batched call): XLA's batched 2-D FFT
-# workspace scales with the number of concurrent planes — measured via
-# compile-time memory_analysis of the 16384² fused burst, 12.0 GB temp
-# batched vs 10.1 serialized (the difference between ResourceExhausted
-# and the 407 ms record row on a 16 GB chip).  Shared by the XLA-FFT
-# fused path and the Pallas rfft2_mixed lead_chunk heuristic below.
+# Plane-pixel budgets above which resolution-sized transforms serialize
+# (per-plane/chunked instead of one batched call).  Two distinct walls:
+#
+# - Pallas rfft2_mixed: the wrapper-recursion TRANSIENTS of 3 concurrent
+#   8192² planes OOM HBM (measured 22.8 vs 15.75 GB) while one plane
+#   fits — chunk above ~2 planes' worth of 8192² pixels.
+# - XLA's FFT custom-call: its batched workspace only breaks one step
+#   later — 3×8192² fit batched for two rounds of records (81.2 ms row)
+#   but 3×16384² is a 15.0 GB fit-or-OOM coin flip (compile-time
+#   memory_analysis; 13.1 GB serialized) — so the XLA path serializes
+#   only ABOVE the proven batched case, keeping the 8192² row on its
+#   measured-faster batched program.
 _FFT_SERIALIZE_PIXELS = 2 * 8192 * 8192
+_XLA_FFT_SERIALIZE_PIXELS = 4 * 8192 * 8192
 
 
 def _corr_windows(prods, nx, ny, hx, hy):
@@ -462,12 +468,12 @@ def corr_precompute_fused(x, c0, f0, b0, p0, *, scale_by_dm=True,
         # DC bin stays at (row 0, lane 0) in mixed order
         X0 = jnp.mean(Xre[:, :, 0, 0].astype(jnp.float32), axis=0)
     elif model_axis is None:
-        if B * dD * nx * ny > _FFT_SERIALIZE_PIXELS:
+        if B * dD * nx * ny > _XLA_FFT_SERIALIZE_PIXELS:
             # serialize the signal transform one plane at a time — the
             # XLA-FFT analogue of rfft2_mixed(lead_chunk=1): same
             # flops/bytes, ~planes× lower transient peak, and the big
             # per-plane FFTs were device-serialized anyway (see
-            # _FFT_SERIALIZE_PIXELS; equality pinned by
+            # _XLA_FFT_SERIALIZE_PIXELS; equality pinned by
             # tests/test_fft_corr.py::test_serialized_fft_equality)
             planes = x.reshape(B * dD, nx, ny)
             X = lax.map(spectral.rfft2, planes)

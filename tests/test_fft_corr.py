@@ -518,7 +518,7 @@ def test_corr_burst_bf16_pixel_scale():
 
 
 def test_serialized_fft_equality(monkeypatch):
-    """At >_FFT_SERIALIZE_PIXELS total plane-pixels the fused precompute
+    """At >_XLA_FFT_SERIALIZE_PIXELS total plane-pixels the fused precompute
     serializes the signal rfft2 one plane at a time (lax.map — the
     XLA-FFT analogue of rfft2_mixed's lead_chunk; ~planes× lower
     transient peak is what fits the 16384² burst on a 16 GB chip).  The
@@ -528,7 +528,7 @@ def test_serialized_fft_equality(monkeypatch):
     x, _, enc, dec = setup(nx=32, d=3, b=2)
     batched = fc.corr_precompute_fused(x, enc.c, dec.c, enc.b, dec.b,
                                        pallas_windows=False)
-    monkeypatch.setattr(fc, "_FFT_SERIALIZE_PIXELS", 0)
+    monkeypatch.setattr(fc, "_XLA_FFT_SERIALIZE_PIXELS", 0)
     serial = fc.corr_precompute_fused(x, enc.c, dec.c, enc.b, dec.b,
                                       pallas_windows=False)
     assert set(batched) == set(serial)
