@@ -377,10 +377,12 @@ def xl_row(bench: "Bench", variant: str = "fused"):
 _XL_VARIANTS = ("fused", "bf16", "pallas-fft-bf16")
 
 
-def _run_xl_children(results: dict):
+def _run_xl_children(bench: "Bench"):
     """Dispatch one --xl-child subprocess per 16384² variant and merge
     each child's row keys.  Runs before the parent touches big buffers;
-    the child sees a fresh allocator either way."""
+    the child sees a fresh allocator either way.  Flushed per child, and
+    a hung child (wedged device tunnel) becomes that row's error note —
+    the remaining variants and the whole parent tier still run."""
     import subprocess
     import tempfile
     for variant in _XL_VARIANTS:
@@ -391,23 +393,26 @@ def _run_xl_children(results: dict):
         print(f"# --xl: 16384² [{variant}] in a fresh child process "
               "(clean HBM; Mosaic compile is minutes cold)",
               file=sys.stderr, flush=True)
-        proc = subprocess.run(
-            [sys.executable, __file__, "--xl-child", out,
-             "--xl-variant", variant],
-            capture_output=True, text=True, timeout=3600)
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--xl-child", out,
+                 "--xl-variant", variant],
+                capture_output=True, text=True, timeout=3600)
+            rc, err = proc.returncode, proc.stderr or ""
+        except subprocess.TimeoutExpired as e:
+            rc, err = "timeout", str(e)
         try:
             with open(out) as f:
                 child = json.load(f)
         except Exception:           # noqa: BLE001
             child = {}
-        if not child or proc.returncode != 0:
+        if not child or rc != 0:
             key = ("fft_burst_100_ms_16384" if variant == "fused"
                    else f"fft_burst_100_ms_16384[{variant}]")
             child.setdefault(key, None)
-            child[key + ":error"] = (
-                f"child exited {proc.returncode}: "
-                + (proc.stderr or "")[-300:])
-        results.update(child)
+            child[key + ":error"] = f"child exited {rc}: " + err[-300:]
+        bench.results.update(child)
+        bench.flush()
         os.unlink(out)
 
 
@@ -442,8 +447,7 @@ def main():
     if args.xl and not args.quick:
         # before the parent allocates anything resolution-sized: the
         # children need the chip's full 16 GB (see xl_row docstring)
-        _run_xl_children(results)
-        bench.flush()
+        _run_xl_children(bench)
 
     rng = np.random.default_rng(0)
     cfg = Config(nx=256, ny=256, d=3,
